@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the corpus at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line with per-query medians.
+
+Protocol (BASELINE.md §measured): warm session, median of 3 runs per query,
+wall-clock seconds. Each run executes the full plan and consumes results
+(collect), matching how the DuckDB baseline is measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from gcpde_spark.queries import CORPUS
+from gcpde_spark.session import build_session
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    spark = build_session(
+        app_name="gcpde_spark_bench", extra_confs={"spark.ui.enabled": "false"}
+    )
+
+    # Warm the JVM + file index once with the flagship query.
+    CORPUS["c06_three_way_join_agg"].build(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(CORPUS.items()):
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            spec.build(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_total_median_s",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": RUNS,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Engine — the user-facing facade (SURVEY.md §7 architecture).
+
+One object wrapping a SparkSession, exposing the reference's three pillars
+plus the relational surface:
+
+- ``engine.sql(q)`` / ``engine.select(q)`` / ``engine.run_command(q)`` —
+  GoogleSQL-passthrough parity (Q1–Q3), served by Catalyst.
+- ``engine.tables`` — table lifecycle / DML (B1–B14).
+- ``engine.datasets`` — partitioned JSONL datasets (S1–S8).
+- ``engine.sheets`` — worksheet-style small-table I/O (H1–H5).
+
+Every record-returning verb has a ``*_df`` sibling that stays distributed.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gcpde_spark.tables import FIVE_MINUTES, TableStore
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, warehouse_dir: str | None = None):
+        self.spark = spark
+        self.tables = TableStore(spark, warehouse_dir=warehouse_dir)
+        # Lazily constructed (they need a base path / backend):
+        self._datasets_cache: dict[str, Any] = {}
+
+    # -- relational surface (Q1–Q3, Q5) -------------------------------------
+
+    def sql(self, query: str, timeout: float = FIVE_MINUTES) -> list[dict[str, Any]]:
+        """Run SQL and materialize records (≙ bq.query, gcpde/bq.py:149-163)."""
+        return self.tables.query(query, timeout=timeout)
+
+    def select(self, query: str, timeout: float = 10) -> list[dict[str, Any]]:
+        """Interactive variant with a 10 s default timeout (gcpde/bq.py:680)."""
+        return self.tables.select(query, timeout=timeout)
+
+    def run_command(self, command: str, timeout: float = FIVE_MINUTES) -> None:
+        self.tables.run_command(command, timeout=timeout)
+
+    def sql_df(self, query: str) -> DataFrame:
+        """The scale path: plan, don't collect."""
+        return self.spark.sql(query)
+
+    def datasets(self, base_path: str):
+        """Dataset store rooted at ``base_path`` (local dir, hdfs://, gs://)."""
+        from gcpde_spark.datasets import DatasetStore
+
+        if base_path not in self._datasets_cache:
+            self._datasets_cache[base_path] = DatasetStore(self.spark, base_path)
+        return self._datasets_cache[base_path]
+
+    def sheets(self, backend=None):
+        """Sheet store over a backend (default: in-memory fake)."""
+        from gcpde_spark.sheets import InMemorySheetBackend, SheetStore
+
+        return SheetStore(self.spark, backend or InMemorySheetBackend())

@@ -1,0 +1,822 @@
+"""The declared query corpus — SURVEY.md §2C (C01–C32, plus extras).
+
+Each entry certifies one operator class from SURVEY.md §2B, the relational
+surface implied by the reference's SQL-passthrough contract
+(gcpde/bq.py:149-163,219-234,651-675). The Spark side is written with the
+DataFrame API (declarative — Catalyst plans it exactly like the SQL form);
+the ``oracle`` is equivalent ANSI SQL for DuckDB over the same parquet
+tables.
+
+Determinism rules (SURVEY.md §2C): every query carries a total ORDER BY;
+money aggregates are computed in DECIMAL(18,2) (exact, order-independent —
+the testdata money columns are exactly 2-decimal) and cast to DOUBLE only
+after ROUND(..., 4), so Spark and DuckDB produce bit-identical doubles
+regardless of partial-aggregation order. Counts/ranks/extracts are cast to
+BIGINT on both sides (dialects disagree on the natural width).
+
+Plan-quality notes are inline: which joins broadcast, where pre-filtering
+shrinks the shuffle, what AQE is expected to do at scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from gcpde_spark.catalog import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One corpus entry: a DataFrame builder + its DuckDB oracle SQL."""
+
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver runs a rows-only check
+    certifies: str = ""
+
+
+CORPUS: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: str | None, certifies: str = "") -> Callable:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        CORPUS[name] = QuerySpec(build=fn, oracle=oracle, certifies=certifies)
+        return fn
+
+    return deco
+
+
+def money(col: str | Column) -> Column:
+    """Exact 2-decimal money column (testdata money values are 2-decimal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def dsum(col: str | Column, alias: str) -> Column:
+    """ROUND(SUM(decimal), 4) cast back to DOUBLE — bit-stable cross-engine."""
+    return F.round(F.sum(money(col)), 4).cast("double").alias(alias)
+
+
+def davg(col: str | Column, alias: str) -> Column:
+    """Decimal-exact sum / count, divided in the double domain (identical
+    IEEE operands on both engines → identical quotient)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(money(c)).cast("double") / F.count(c), 4).alias(alias)
+
+
+_MONEY_SQL = "CAST({} AS DECIMAL(18,2))"
+
+
+# ---------------------------------------------------------------------------
+# C01–C04: scan / filter / predicates / aggregation
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "c01_scan_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_quantity > 45 AND l_returnflag = 'R'
+       ORDER BY l_orderkey, l_linenumber""",
+    "scan+projection+filter (§2B-1,3,4); filter + column pruning push to parquet",
+)
+def c01(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@_q(
+    "c02_predicates",
+    """SELECT p_partkey, p_name FROM part
+       WHERE p_name LIKE '%green%' AND p_size IN (1,5,10)
+         AND p_retailprice BETWEEN 900 AND 1100
+       ORDER BY p_partkey""",
+    "LIKE / IN / BETWEEN predicates (§2B-4)",
+)
+def c02(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    return (
+        p.where(
+            F.col("p_name").like("%green%")
+            & F.col("p_size").isin(1, 5, 10)
+            & F.col("p_retailprice").between(900, 1100)
+        )
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@_q(
+    "c03_agg_group_having",
+    f"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(ROUND(SUM({_MONEY_SQL.format('l_quantity')}),4) AS DOUBLE) AS sum_qty,
+         ROUND(CAST(SUM({_MONEY_SQL.format('l_extendedprice')}) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       HAVING COUNT(*) > 10
+       ORDER BY l_returnflag, l_linestatus""",
+    "hash aggregate + GROUP BY + HAVING (§2B-6); map-side partial agg is automatic",
+)
+def c03(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_quantity", "sum_qty"),
+            davg("l_extendedprice", "avg_price"),
+        )
+        .where(F.col("n") > 10)
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "c04_count_distinct",
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS cd FROM orders
+       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "COUNT(DISTINCT) (§2B-6): Spark plans expand + two-phase agg",
+)
+def c04(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("cd"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C05–C11: joins
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "c05_inner_join",
+    """SELECT n_name, COUNT(*) AS n FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name""",
+    "inner equi-join (§2B-5); nation is a dim → broadcast-hash join, no shuffle of customer",
+)
+def c05(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "c06_three_way_join_agg",
+    f"""SELECT n_name,
+         CAST(ROUND(SUM({_MONEY_SQL.format('l_extendedprice')} *
+              (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))),4) AS DOUBLE) AS rev
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY rev DESC, n_name""",
+    "multi-join + agg (TPC-H Q5 shape, §2B-5/6): fact-fact shuffle joins on keys, dim broadcast",
+)
+def c06(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    n = load_table(spark, sf, "nation")
+    rev = money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - money_discount())
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("rev"))
+        .orderBy(F.desc("rev"), "n_name")
+    )
+
+
+def money_discount() -> Column:
+    return F.col("l_discount").cast("decimal(3,2)")
+
+
+@_q(
+    "c07_left_join_nulls",
+    """SELECT c_custkey, COUNT(o_orderkey) AS cnt FROM customer
+       LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey ORDER BY cnt DESC, c_custkey LIMIT 100""",
+    "left outer join + NULL-aware count (§2B-5)",
+)
+def c07(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("cnt"))
+        .orderBy(F.desc("cnt"), "c_custkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "c08_semi_join",
+    """SELECT c_custkey FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+       ORDER BY c_custkey""",
+    "EXISTS ≙ left-semi join (§2B-5); pre-filtering orders shrinks the build side",
+)
+def c08(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "c09_anti_join",
+    """SELECT c_custkey FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       ORDER BY c_custkey""",
+    "NOT EXISTS ≙ left-anti join (§2B-5)",
+)
+def c09(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "c10_theta_join",
+    """SELECT s_suppkey, c_custkey FROM supplier
+       JOIN customer ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+       WHERE s_suppkey <= 20
+       ORDER BY s_suppkey, c_custkey""",
+    "equi+theta join (§2B-5): hash join on the equi part, range residual as filter",
+)
+def c10(spark: SparkSession, sf: str) -> DataFrame:
+    s = load_table(spark, sf, "supplier").where(F.col("s_suppkey") <= 20)
+    c = load_table(spark, sf, "customer")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal < c.c_acctbal))
+        .select("s_suppkey", "c_custkey")
+        .orderBy("s_suppkey", "c_custkey")
+    )
+
+
+@_q(
+    "c11_cross_join",
+    """SELECT r1.r_name AS r1_name, r2.r_name AS r2_name
+       FROM region r1 CROSS JOIN region r2
+       ORDER BY r1_name, r2_name""",
+    "bounded cross join (§2B-5): broadcast-nested-loop",
+)
+def c11(spark: SparkSession, sf: str) -> DataFrame:
+    r1 = load_table(spark, sf, "region").select(F.col("r_name").alias("r1_name"))
+    r2 = load_table(spark, sf, "region").select(F.col("r_name").alias("r2_name"))
+    return r1.crossJoin(r2).orderBy("r1_name", "r2_name")
+
+
+# ---------------------------------------------------------------------------
+# C12–C14: subqueries / CTE
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "c12_scalar_subquery",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders)
+             > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+       ORDER BY o_orderkey LIMIT 100""",
+    "scalar (uncorrelated) subquery (§2B-13): price > AVG, in exact decimal form "
+    "(x*n > sum avoids cross-engine double-average boundary flips)",
+)
+def c12(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    stats = o.agg(
+        F.sum(money("o_totalprice")).alias("_s"), F.count("*").alias("_n")
+    )
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .where(money("o_totalprice") * F.col("_n") > F.col("_s"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "c13_correlated_subquery",
+    """SELECT c_custkey FROM customer c
+       WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+             (SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+             > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+       ORDER BY c_custkey""",
+    "correlated scalar subquery (§2B-13): Spark side expresses the decorrelated "
+    "form (group + re-join) Catalyst itself would produce",
+)
+def c13(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    per_nation = c.groupBy(F.col("c_nationkey").alias("_nk")).agg(
+        F.sum(money("c_acctbal")).alias("_s"), F.count("*").alias("_n")
+    )
+    return (
+        c.join(F.broadcast(per_nation), c.c_nationkey == F.col("_nk"))
+        .where(money("c_acctbal") * F.col("_n") > F.col("_s"))
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "c14_cte",
+    f"""WITH big AS (
+         SELECT o_custkey, SUM({_MONEY_SQL.format('o_totalprice')}) AS t
+         FROM orders GROUP BY o_custkey)
+       SELECT c_mktsegment, COUNT(*) AS n FROM customer
+       JOIN big ON c_custkey = o_custkey WHERE t > 50000
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "CTE (§2B-13); agg-before-join shrinks the join input",
+)
+def c14(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    big = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("t"))
+        .where(F.col("t") > 50000)
+    )
+    return (
+        c.join(big, c.c_custkey == big.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C15–C17: window functions
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "c15_window_rank",
+    """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+         SELECT o_custkey, o_orderkey,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) t
+       WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "window ranking / top-k per group (§2B-8)",
+)
+def c15(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@_q(
+    "c16_window_lag",
+    """SELECT o_custkey, o_orderkey,
+              LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev
+       FROM orders ORDER BY o_custkey, o_orderkey LIMIT 500""",
+    "window analytic LAG (§2B-8)",
+)
+def c16(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("prev", F.lag("o_orderkey").over(w))
+        .select("o_custkey", "o_orderkey", "prev")
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(500)
+    )
+
+
+@_q(
+    "c17_window_running_sum",
+    f"""SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(SUM({_MONEY_SQL.format('l_extendedprice')})
+              OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS DOUBLE) AS run
+       FROM lineitem WHERE l_orderkey <= 100
+       ORDER BY l_orderkey, l_linenumber""",
+    "window frame running aggregate (§2B-8)",
+)
+def c17(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").where(F.col("l_orderkey") <= 100)
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum(money("l_extendedprice")).over(w), 4).cast("double").alias("run"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# C18–C19: rollup / cube
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "c18_rollup",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+       GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""",
+    "GROUP BY ROLLUP (§2B-6): Expand + single hash agg",
+)
+def c18(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+            "n",
+        )
+    )
+
+
+@_q(
+    "c19_cube",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),4) AS DOUBLE) AS q
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, q""",
+    "GROUP BY CUBE / grouping sets (§2B-6)",
+)
+def c19(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "q"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+            "q",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C20: set operations (one entry per op)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "c20_intersect",
+    """SELECT c_nationkey AS k FROM customer
+       INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""",
+    "INTERSECT (distinct) (§2B-10)",
+)
+def c20a(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy("k")
+
+
+@_q(
+    "c20_except",
+    """SELECT c_nationkey AS k FROM customer
+       EXCEPT SELECT s_nationkey FROM supplier ORDER BY k""",
+    "EXCEPT (distinct) (§2B-10)",
+)
+def c20b(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.subtract(s).orderBy("k")
+
+
+@_q(
+    "c20_union_all",
+    """SELECT k FROM (
+         SELECT c_custkey AS k FROM customer
+         UNION ALL SELECT s_suppkey FROM supplier) u
+       ORDER BY k LIMIT 200""",
+    "UNION ALL (§2B-10)",
+)
+def c20c(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    s = load_table(spark, sf, "supplier").select(F.col("s_suppkey").alias("k"))
+    return c.unionByName(s).orderBy("k").limit(200)
+
+
+# ---------------------------------------------------------------------------
+# C21–C27: ordering, scalar functions
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "c21_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "ORDER BY + LIMIT (§2B-9): planned as TakeOrderedAndProject (no full sort)",
+)
+def c21(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "c22_string_funcs",
+    """SELECT p_partkey, UPPER(p_brand) AS b, SUBSTRING(p_name, 1, 5) AS pfx,
+              CAST(LENGTH(p_type) AS BIGINT) AS lt, REPLACE(p_type, ' ', '_') AS tt,
+              TRIM(CONCAT(' ', p_brand, ' ')) AS tb
+       FROM part ORDER BY p_partkey LIMIT 100""",
+    "string scalar functions (§2B-11)",
+)
+def c22(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("b"),
+        F.substring("p_name", 1, 5).alias("pfx"),
+        F.length("p_type").cast("bigint").alias("lt"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("tt"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("tb"),
+    ).orderBy("p_partkey").limit(100)
+
+
+@_q(
+    "c23_regex",
+    # DuckDB's regexp_replace is first-match unless the 'g' flag is given;
+    # Spark's is global — the oracle adds the flag.
+    """SELECT p_partkey, REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS cons
+       FROM part ORDER BY p_partkey LIMIT 100""",
+    "regular expressions (§2B-11)",
+)
+def c23(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    return (
+        p.select("p_partkey", F.regexp_replace("p_name", "[aeiou]", "").alias("cons"))
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+@_q(
+    "c24_extract_date",
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+              CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m, COUNT(*) AS n
+       FROM orders GROUP BY 1, 2 ORDER BY y, m""",
+    "date EXTRACT (§2B-11) — the partition-convention analog of S2/S6",
+)
+def c24(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("y", "m")
+    )
+
+
+@_q(
+    "c25_date_trunc_interval",
+    """SELECT CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS mo,
+              CAST(DATE_TRUNC('DAY', o_orderdate) + INTERVAL 1 DAY AS DATE) AS nxt,
+              COUNT(*) AS n
+       FROM orders GROUP BY 1, 2 ORDER BY mo, nxt""",
+    "date_trunc + interval arithmetic (§2B-11)",
+)
+def c25(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("MONTH", "o_orderdate").cast("date").alias("mo"),
+            F.date_add(F.date_trunc("DAY", "o_orderdate").cast("date"), 1).alias("nxt"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("mo", "nxt")
+    )
+
+
+@_q(
+    "c26_math_case_cast",
+    """SELECT l_orderkey, l_linenumber,
+              CAST(ROUND(ABS(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                             CAST(l_discount AS DECIMAL(4,2))), 2) AS DECIMAL(18,2)) AS disc,
+              CASE WHEN l_tax > 0.05 THEN 'hi' ELSE 'lo' END AS t,
+              CAST(MOD(l_partkey, 7) AS BIGINT) AS m7,
+              CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
+              CAST(CEIL(l_quantity) AS BIGINT) AS cq
+       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200""",
+    "math / CASE / CAST (§2B-11); decimal product is exact so ROUND ties are impossible",
+)
+def c26(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    disc = F.abs(money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(disc, 2).cast("decimal(18,2)").alias("disc"),
+        F.when(F.col("l_tax") > 0.05, "hi").otherwise("lo").alias("t"),
+        (F.col("l_partkey") % 7).cast("bigint").alias("m7"),
+        F.floor("l_quantity").cast("bigint").alias("fq"),
+        F.ceil("l_quantity").cast("bigint").alias("cq"),
+    ).orderBy("l_orderkey", "l_linenumber").limit(200)
+
+
+@_q(
+    "c27_coalesce_nullif",
+    """SELECT c_custkey, COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg
+       FROM customer ORDER BY c_custkey LIMIT 200""",
+    "COALESCE / NULLIF (§2B-11)",
+)
+def c27(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+                "seg"
+            ),
+        )
+        .orderBy("c_custkey")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C28–C30: CTAS / MERGE / DISTINCT
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "c28_ctas_scanback",
+    """SELECT l_returnflag, n FROM (
+         SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag) t
+       ORDER BY l_returnflag""",
+    "CTAS + scan-back (B9/B10 semantics): the Spark side materializes via the "
+    "table-lifecycle layer then reads the table back; oracle is the underlying SELECT",
+)
+def c28(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.tables import TableStore
+
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_c28_lineitem")
+    store = TableStore(spark)
+    store.create_table_from_query(
+        "SELECT l_returnflag, COUNT(*) AS n FROM _c28_lineitem GROUP BY l_returnflag",
+        "corpus_tmp",
+        "c28_ctas",
+    )
+    return store.table_df("corpus_tmp", "c28_ctas").orderBy("l_returnflag")
+
+
+@_q(
+    "c29_merge_upsert",
+    """WITH delta AS (
+         SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice
+         FROM orders WHERE o_orderkey % 100 = 0
+         UNION ALL
+         SELECT (SELECT MAX(o_orderkey) FROM orders) + i AS o_orderkey,
+                CAST(i AS DOUBLE) * 1000 AS o_totalprice
+         FROM range(1, 11) t(i)),
+       merged AS (
+         SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+         UNION ALL SELECT o_orderkey, o_totalprice FROM delta)
+       SELECT o_orderkey, o_totalprice FROM merged ORDER BY o_orderkey""",
+    "MERGE upsert (B13 semantics, gcpde/bq.py:538-547): the Spark side runs the "
+    "engine's DataFrame merge operator on a deterministic delta; the oracle "
+    "realizes MERGE as the equivalent anti-join + union",
+)
+def c29(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.tables import merge_dataframes
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    updates = o.where(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    max_key = o.agg(F.max("o_orderkey").alias("_mk"))
+    inserts = (
+        spark.range(1, 11)
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("_mk") + F.col("id")).alias("o_orderkey"),
+            (F.col("id").cast("double") * 1000).alias("o_totalprice"),
+        )
+    )
+    delta = updates.unionByName(inserts)
+    return merge_dataframes(o, delta, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+@_q(
+    "c30_distinct",
+    """SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority""",
+    "DISTINCT (§2B-6)",
+)
+def c30(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.select("o_orderpriority").distinct().orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# C31–C32 + extras: events table (time / JSON / approx)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "c31_events_group",
+    """SELECT user_id, event_type, COUNT(*) AS n,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))),4) AS DOUBLE) AS sv
+       FROM events GROUP BY user_id, event_type
+       ORDER BY user_id, event_type LIMIT 500""",
+    "events aggregation — sessionization precursor (§2B-6)",
+)
+def c31(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sv"))
+        .orderBy("user_id", "event_type")
+        .limit(500)
+    )
+
+
+@_q(
+    "c32_tumbling_window",
+    """SELECT CAST(DATE_TRUNC('HOUR', ts) AS TIMESTAMP) AS h, event_type, COUNT(*) AS n
+       FROM events GROUP BY 1, 2 ORDER BY h, event_type""",
+    "tumbling time window, batch formulation (§2B-15 reuses this shape in streaming)",
+)
+def c32(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("HOUR", "ts").cast("timestamp_ntz").alias("h"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("h", "event_type")
+    )
+
+
+@_q(
+    "c33_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       FROM events ORDER BY event_id LIMIT 500""",
+    "JSON field access (§2B-12): Spark get_json_object ≙ DuckDB json_extract_string",
+)
+def c33(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.select(
+            "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+@_q(
+    "c34_approx_distinct",
+    None,  # approximate → rows-only driver check; exact tolerance asserted in pytest
+    "approx_count_distinct (§2B-7), property-checked within 5% of exact",
+)
+def c34(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    # rsd=0.01 → HLL++ with enough precision to sit well inside the 5% gate
+    return o.agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("acd"))
+
+
+@_q(
+    "c35_percentile_approx",
+    None,  # approximate → rows-only; tolerance asserted in pytest
+    "percentile_approx (§2B-7), property-checked within 1 of exact median",
+)
+def c35(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(F.percentile_approx("l_quantity", 0.5).alias("p50"))

@@ -1,0 +1,367 @@
+"""Table lifecycle, DML, and query execution — reference gcpde/bq.py, Spark-native.
+
+Operator parity map (SURVEY.md §2A):
+
+- B1  check_table            ≙ gcpde/bq.py:50-65
+- B2  get_table_schema       ≙ gcpde/bq.py:67-75
+- B3  create_table           ≙ gcpde/bq.py:77-103,330-364
+- B4  delete_table           ≙ gcpde/bq.py:105-117,276-299
+- B5/B6 insert               ≙ gcpde/bq.py:119-147,386-417
+- B9  create_or_replace_table_as ≙ gcpde/bq.py:420-447
+- B10 create_table_from_query    ≙ gcpde/bq.py:651-675
+- B11 replace_table          ≙ gcpde/bq.py:557-591
+- B12 create_table_from_records  ≙ gcpde/bq.py:594-648
+- B13 upsert_table_from_records  ≙ gcpde/bq.py:450-554
+- Q1/Q2 query/select         ≙ gcpde/bq.py:149-163,678-700
+- Q3  run_command            ≙ gcpde/bq.py:219-234
+- Q5  query_to_df            ≙ gcpde/bq.py:736-753
+
+Design notes (Spark-first, not a transliteration):
+
+- The reference's *chunked streaming insert* (1000 rows/request,
+  gcpde/bq.py:403,415) exists because of an HTTP payload limit; a Spark
+  write batches natively, so ``chunk_size`` is accepted for API parity but
+  a single atomic append job is issued.
+- The reference's *no-downtime replace* choreography (tmp table + CTAS
+  swap, gcpde/bq.py:557-591) is preserved at the API level, realized as
+  stage-then-rename on the catalog — on a Delta/Iceberg catalog the same
+  call maps to one atomic ``overwrite`` (jars not in this image; the swap
+  path is the portable fallback).
+- MERGE (B13) is a DataFrame rewrite: ``target ANTI-JOIN source ON keys
+  UNION ALL source`` — semantically identical to the reference's generated
+  ``MERGE … WHEN MATCHED UPDATE all-cols WHEN NOT MATCHED INSERT all-cols``
+  (gcpde/bq.py:538-547). At scale the anti-join shuffles both sides by the
+  key once (or broadcasts a small source under AQE), which is the same
+  cost profile a native MERGE pays.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from gcpde_spark.errors import (
+    SchemaMismatchException,
+    TableAlreadyExistsError,
+    TableNotFoundError,
+)
+from gcpde_spark.records import records_to_dataframe, rows_to_records
+from gcpde_spark.schema import infer_schema
+
+FIVE_MINUTES = 300  # default query timeout, ≙ gcpde/bq.py:21
+DEFAULT_WAREHOUSE = os.environ.get(
+    "GCPDE_SPARK_WAREHOUSE", "/tmp/gcpde_spark_warehouse"
+)
+
+
+def merge_dataframes(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE semantics as a pure DataFrame transform.
+
+    Equivalent to the reference's generated statement (gcpde/bq.py:538-547):
+    every target row whose key appears in ``source`` is replaced by the
+    source row (UPDATE all columns); source rows with new keys are appended
+    (INSERT all columns). Columns are matched by name.
+
+    Scale: one shuffle of each side on ``keys`` (AQE turns it into a
+    broadcast anti-join when ``source`` is small). No driver materialization.
+    """
+    source = source.select(*[c for c in target.columns])
+    return target.join(source, on=keys, how="left_anti").unionByName(source)
+
+
+class QueryTimeout(Exception):
+    """Query exceeded its timeout and was cancelled (≙ job timeout at gcpde/bq.py:162)."""
+
+
+class TableStore:
+    """Catalog-backed table operations on a SparkSession.
+
+    ``(dataset, table)`` addressing maps to Spark databases/tables; managed
+    data lives under ``warehouse_dir`` as Parquet.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str | None = None):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir or DEFAULT_WAREHOUSE
+
+    # -- helpers -----------------------------------------------------------
+
+    def _qualify(self, dataset: str, table: str) -> str:
+        self._ensure_database(dataset)
+        return f"`{dataset}`.`{table}`"
+
+    def _ensure_database(self, dataset: str) -> None:
+        # Explicit LOCATION keeps managed data out of the (possibly
+        # read-only) default warehouse of a caller-provided session.
+        self.spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS `{dataset}` "
+            f"LOCATION '{self.warehouse_dir}/{dataset}.db'"
+        )
+
+    # -- B1/B2: existence & metadata ---------------------------------------
+
+    def check_table(self, dataset: str, table: str) -> bool:
+        """True iff the table exists (≙ gcpde/bq.py:50-65)."""
+        return self.spark.catalog.tableExists(f"`{dataset}`.`{table}`")
+
+    def get_table_schema(self, dataset: str, table: str) -> StructType:
+        """Schema of an existing table (≙ get_table, gcpde/bq.py:67-75)."""
+        if not self.check_table(dataset, table):
+            raise TableNotFoundError(f"{dataset}.{table} not found")
+        return self.spark.table(f"`{dataset}`.`{table}`").schema
+
+    # -- B3/B4: create / delete --------------------------------------------
+
+    def create_table(
+        self,
+        dataset: str,
+        table: str,
+        schema: StructType | None = None,
+        schema_from_records: list[dict[str, Any]] | None = None,
+    ) -> None:
+        """Create an empty managed Parquet table (≙ gcpde/bq.py:77-103,330-364).
+
+        Exactly one of ``schema`` / ``schema_from_records`` must be given —
+        same contract as the reference module fn (gcpde/bq.py:330-349).
+        """
+        if (schema is None) == (schema_from_records is None):
+            raise ValueError("provide exactly one of schema / schema_from_records")
+        if schema is None:
+            schema = infer_schema(schema_from_records or [])
+        if self.check_table(dataset, table):
+            raise TableAlreadyExistsError(f"{dataset}.{table} already exists")
+        name = self._qualify(dataset, table)
+        self.spark.sql(f"CREATE TABLE {name} ({_ddl(schema)}) USING parquet")
+
+    def delete_table(self, dataset: str, table: str) -> None:
+        """DROP TABLE IF EXISTS — module semantics no-op when absent
+        (≙ gcpde/bq.py:276-299)."""
+        self.spark.sql(f"DROP TABLE IF EXISTS `{dataset}`.`{table}`")
+
+    # -- B5/B6: insert -------------------------------------------------------
+
+    def insert(
+        self,
+        dataset: str,
+        table: str,
+        records: list[dict[str, Any]],
+        chunk_size: int = 1000,
+    ) -> None:
+        """Strict append of records (≙ gcpde/bq.py:119-147,386-417).
+
+        Rows must conform to the table schema — extra keys raise, like the
+        reference's ``ignore_unknown_values=False`` (gcpde/bq.py:139-144).
+        ``chunk_size`` is kept for API parity; Spark batches the write
+        itself, in one atomic job rather than N retried HTTP calls.
+        """
+        del chunk_size
+        schema = self.get_table_schema(dataset, table)
+        known = {f.name for f in schema.fields}
+        for i, rec in enumerate(records):
+            unknown = set(rec) - known
+            if unknown:
+                raise ValueError(f"record {i} has unknown fields {sorted(unknown)}")
+        df = records_to_dataframe(self.spark, records, schema)
+        df.write.mode("append").insertInto(f"`{dataset}`.`{table}`")
+
+    def insert_df(self, dataset: str, table: str, df: DataFrame) -> None:
+        """Scale variant of insert: append a DataFrame by name."""
+        target = self.get_table_schema(dataset, table)
+        df.select(*[f.name for f in target.fields]).write.mode("append").insertInto(
+            f"`{dataset}`.`{table}`"
+        )
+
+    # -- B9/B10: CTAS ---------------------------------------------------------
+
+    def create_or_replace_table_as(
+        self, dataset: str, output_table: str, source_table: str
+    ) -> None:
+        """CREATE OR REPLACE ds.out AS SELECT * FROM ds.src (≙ gcpde/bq.py:420-447)."""
+        self.create_table_from_query(
+            f"SELECT * FROM `{dataset}`.`{source_table}`", dataset, output_table
+        )
+
+    def create_table_from_query(self, query: str, dataset: str, table: str) -> None:
+        """CTAS from an arbitrary SELECT (≙ gcpde/bq.py:651-675).
+
+        The v1 Parquet catalog has no atomic CREATE OR REPLACE; this stages
+        the result into a temp table then swaps by rename — the same
+        choreography the reference itself performs (gcpde/bq.py:674 after a
+        tmp-table dance). On Delta this is a single atomic statement.
+        """
+        self._ensure_database(dataset)
+        tmp = f"{table}__ctas_{uuid.uuid4().hex[:8]}"
+        self.spark.sql(f"CREATE TABLE `{dataset}`.`{tmp}` USING parquet AS {query}")
+        self._swap(dataset, tmp, table)
+
+    # -- B11/B12: replace / create-from-records ------------------------------
+
+    def replace_table(
+        self,
+        dataset: str,
+        table: str,
+        records: list[dict[str, Any]],
+        schema: StructType | None = None,
+    ) -> None:
+        """No-downtime replace (≙ gcpde/bq.py:557-591): stage records, swap."""
+        df = records_to_dataframe(self.spark, records, schema)
+        self.replace_table_df(dataset, table, df)
+
+    def replace_table_df(self, dataset: str, table: str, df: DataFrame) -> None:
+        self._ensure_database(dataset)
+        tmp = f"{table}__tmp_{uuid.uuid4().hex[:8]}"
+        df.write.format("parquet").saveAsTable(f"`{dataset}`.`{tmp}`")
+        self._swap(dataset, tmp, table)
+
+    def _swap(self, dataset: str, tmp: str, table: str) -> None:
+        """Swap a staged table into place (the reference's tmp-table
+        choreography, gcpde/bq.py:585-591, as drop + rename)."""
+        try:
+            self.spark.sql(f"DROP TABLE IF EXISTS `{dataset}`.`{table}`")
+            self._remove_orphan_location(dataset, table)
+            self.spark.sql(
+                f"ALTER TABLE `{dataset}`.`{tmp}` RENAME TO `{dataset}`.`{table}`"
+            )
+        except Exception:
+            self.spark.sql(f"DROP TABLE IF EXISTS `{dataset}`.`{tmp}`")
+            raise
+
+    def _remove_orphan_location(self, dataset: str, table: str) -> None:
+        """Delete a leftover managed-table directory the (in-memory) catalog
+        no longer knows about — e.g. from a previous session. Uses the
+        Hadoop FS API so it works for any scheme (file://, hdfs://, gs://)."""
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(
+            f"{self.warehouse_dir}/{dataset}.db/{table}"
+        )
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
+
+    def create_table_from_records(
+        self,
+        dataset: str,
+        table: str,
+        records: list[dict[str, Any]],
+        overwrite: bool = False,
+        schema: StructType | None = None,
+    ) -> None:
+        """≙ gcpde/bq.py:594-648 incl. the empty-records guard (:619-621)."""
+        if not records:
+            return  # warn-and-return parity with gcpde/bq.py:619-621
+        if overwrite:
+            self.replace_table(dataset, table, records, schema)
+            return
+        if self.check_table(dataset, table):
+            raise TableAlreadyExistsError(f"{dataset}.{table} already exists")
+        df = records_to_dataframe(self.spark, records, schema)
+        self._ensure_database(dataset)
+        df.write.format("parquet").saveAsTable(f"`{dataset}`.`{table}`")
+
+    # -- B13: upsert -----------------------------------------------------------
+
+    def upsert_table_from_records(
+        self,
+        dataset: str,
+        table: str,
+        records: list[dict[str, Any]],
+        key_field: str,
+        use_target_schema: bool = True,
+    ) -> None:
+        """MERGE-based upsert (≙ gcpde/bq.py:450-554).
+
+        Missing target → plain create (gcpde/bq.py:492-504). Otherwise the
+        source is built with the target schema (or inferred when
+        ``use_target_schema=False``), gated on *structural* schema equality
+        (gcpde/bq.py:523-531), merged, and swapped in.
+        """
+        if not records:
+            return  # ≙ empty guard gcpde/bq.py:488-490
+        if not self.check_table(dataset, table):
+            self.create_table_from_records(dataset, table, records)
+            return
+        target_schema = self.get_table_schema(dataset, table)
+        source_schema = target_schema if use_target_schema else infer_schema(records)
+        if source_schema != target_schema:
+            raise SchemaMismatchException(
+                f"schema mismatch upserting into {dataset}.{table}",
+                source_schema,
+                target_schema,
+            )
+        source = records_to_dataframe(self.spark, records, source_schema)
+        self.upsert_table_df(dataset, table, source, key_field)
+
+    def upsert_table_df(
+        self, dataset: str, table: str, source: DataFrame, key_field: str
+    ) -> None:
+        """Scale variant: merge a DataFrame into a managed table and swap."""
+        target = self.spark.table(f"`{dataset}`.`{table}`")
+        merged = merge_dataframes(target, source, [key_field])
+        self.replace_table_df(dataset, table, merged)
+
+    # -- Q1/Q2/Q3/Q5: query execution ------------------------------------------
+
+    def query(self, query: str, timeout: float = FIVE_MINUTES) -> list[dict[str, Any]]:
+        """Run SQL, materialize as records (≙ gcpde/bq.py:149-163)."""
+        df = self._run(query, timeout)
+        return rows_to_records(self._collect_with_timeout(df, timeout))
+
+    def select(self, query: str, timeout: float = 10) -> list[dict[str, Any]]:
+        """Interactive select — 10 s default timeout (≙ gcpde/bq.py:678-700)."""
+        return self.query(query, timeout=timeout)
+
+    def run_command(self, command: str, timeout: float = FIVE_MINUTES) -> None:
+        """Execute DDL/DML producing no rows (≙ gcpde/bq.py:219-234)."""
+        self._run(command, timeout)
+
+    def query_df(self, query: str) -> DataFrame:
+        """The scale-path variant: plan only, no collect."""
+        return self.spark.sql(query)
+
+    def query_to_df(self, query: str, timeout: float = FIVE_MINUTES):
+        """SQL → pandas DataFrame via Arrow (≙ gcpde/bq.py:736-753)."""
+        return self._run(query, timeout).toPandas()
+
+    def table_df(self, dataset: str, table: str) -> DataFrame:
+        return self.spark.table(f"`{dataset}`.`{table}`")
+
+    # -- internals ---------------------------------------------------------------
+
+    def _run(self, query: str, timeout: float) -> DataFrame:
+        return self.spark.sql(query)
+
+    def _collect_with_timeout(self, df: DataFrame, timeout: float):
+        """collect() guarded by a cancelJobGroup watchdog (SURVEY.md §3.1)."""
+        sc = self.spark.sparkContext
+        group = f"gcpde-q-{uuid.uuid4().hex[:8]}"
+        timed_out = threading.Event()
+
+        def _cancel() -> None:
+            timed_out.set()
+            sc.cancelJobGroup(group)
+
+        sc.setJobGroup(group, "gcpde_spark query", interruptOnCancel=True)
+        timer = threading.Timer(timeout, _cancel)
+        timer.start()
+        try:
+            return df.collect()
+        except Exception:
+            if timed_out.is_set():
+                raise QueryTimeout(f"query exceeded {timeout}s and was cancelled")
+            raise
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
+
+
+def _ddl(schema: StructType) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        + ("" if f.nullable else " NOT NULL")
+        for f in schema.fields
+    )

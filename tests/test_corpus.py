@@ -1,0 +1,90 @@
+"""t2-style correctness: every corpus query vs the DuckDB oracle at sf0.01.
+
+Mirrors the driver's gate (SURVEY.md §5.2): row count + column names +
+order-insensitive value comparison, columns sorted by name.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+
+import pytest
+
+from gcpde_spark.queries import CORPUS
+from tests.conftest import SF_ORACLE
+
+
+def canon_value(v):
+    if isinstance(v, decimal.Decimal):
+        return ("num", float(v))
+    if isinstance(v, float):
+        return ("num", v)
+    if isinstance(v, int) and not isinstance(v, bool):
+        return ("num", float(v))
+    if isinstance(v, dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, dt.date):
+        return ("ts", v.isoformat())
+    return (type(v).__name__, v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon_value(r[i]) for i in order) for r in rows)
+
+
+def values_equal(a, b) -> bool:
+    if a == b:
+        return True
+    if isinstance(a, tuple) and isinstance(b, tuple) and a[0] == b[0] == "num":
+        x, y = a[1], b[1]
+        if x is None or y is None:
+            return x is y
+        return math.isclose(x, y, rel_tol=0, abs_tol=0)  # exact — bit parity
+    return False
+
+
+@pytest.mark.parametrize("name", sorted(CORPUS))
+def test_corpus_query(name, spark, oracle):
+    spec = CORPUS[name]
+    sdf = spec.build(spark, SF_ORACLE)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    if spec.oracle is None:
+        assert len(srows) >= 0  # rows-only check, mirroring the driver
+        return
+
+    ores = oracle.sql(spec.oracle)
+    ocols = [c for c in ores.columns]
+    orows = ores.fetchall()
+
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} != {len(orows)}"
+
+    s_canon = canon_rows(scols, [tuple(r) for r in srows])
+    o_canon = canon_rows(ocols, orows)
+    mismatches = [
+        (i, a, b)
+        for i, (a, b) in enumerate(zip(s_canon, o_canon))
+        if not all(values_equal(x, y) for x, y in zip(a, b))
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_approx_count_distinct_tolerance(spark, oracle):
+    sdf = CORPUS["c34_approx_distinct"].build(spark, SF_ORACLE)
+    approx = sdf.collect()[0][0]
+    exact = oracle.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_percentile_approx_tolerance(spark, oracle):
+    sdf = CORPUS["c35_percentile_approx"].build(spark, SF_ORACLE)
+    approx = sdf.collect()[0][0]
+    exact = oracle.sql(
+        "SELECT MEDIAN(l_quantity) FROM lineitem"
+    ).fetchone()[0]
+    assert abs(approx - exact) <= 1
