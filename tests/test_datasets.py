@@ -1,0 +1,169 @@
+"""Dataset layer — ports the reference's behavioral assertions
+(tests/unit/test_gcs.py) to local-FS + real Spark, no mocks."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from gcpde_spark.datasets import (
+    DatasetStore,
+    DateTimePartitions,
+    build_file_name,
+    build_partition_path,
+    get_latest_path_files,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return DatasetStore(spark, str(tmp_path))
+
+
+P = DateTimePartitions(year=2022, month=1, day=1, hour=0)
+
+
+def test_path_contract_exact():
+    """Golden path from tests/unit/test_gcs.py:39-62 — dir unpadded, file padded."""
+    assert (
+        build_partition_path("ds", "1", P) + build_file_name("ds", P)
+        == "ds/version=1/year=2022/month=1/day=1/ds__2022-01-01T00:00.jsonl"
+    )
+    p2 = DateTimePartitions(year=2022, month=12, day=9, hour=5)
+    assert build_partition_path("ds", "2", p2) == "ds/version=2/year=2022/month=12/day=9/"
+    assert build_file_name("ds", p2) == "ds__2022-12-09T05:00.jsonl"
+
+
+def test_add_records_writes_single_jsonl(store, tmp_path):
+    store.add_records_to_dataset(
+        ['{"id": "1"}', '{"id": "2"}'], "ds", version="1", datetime_partition=P
+    )
+    f = tmp_path / "ds/version=1/year=2022/month=1/day=1/ds__2022-01-01T00:00.jsonl"
+    assert f.read_text() == '{"id": "1"}\n{"id": "2"}'
+
+
+def test_add_records_custom_file_name(store, tmp_path):
+    """build_file_name callback ≙ gcpde/gcs.py:70-79, tests/unit/test_gcs.py:69-108."""
+    store.add_records_to_dataset(
+        ['{"id": "1"}'], "ds", datetime_partition=P, build_file_name_fn=lambda: "custom.jsonl"
+    )
+    assert (tmp_path / "ds/version=1/year=2022/month=1/day=1/custom.jsonl").exists()
+
+
+def test_add_records_empty_noop(store, tmp_path):
+    """Empty guard ≙ gcpde/gcs.py:189-191."""
+    store.add_records_to_dataset([], "ds", datetime_partition=P)
+    assert not (tmp_path / "ds").exists()
+
+
+def test_latest_partition_selection_golden():
+    """Golden from tests/unit/test_gcs.py:225-242."""
+    paths = [
+        "ds/version=1/year=2022/month=9/day=1/a.jsonl",
+        "ds/version=1/year=2022/month=12/day=9/b.jsonl",
+        "ds/version=1/year=2022/month=12/day=10/c.jsonl",
+        "ds/version=1/year=2022/month=12/day=10/d.jsonl",
+    ]
+    assert get_latest_path_files(paths) == [
+        "ds/version=1/year=2022/month=12/day=10/c.jsonl",
+        "ds/version=1/year=2022/month=12/day=10/d.jsonl",
+    ]
+
+
+def test_get_dataset_roundtrip_and_latest(store):
+    old = DateTimePartitions(year=2022, month=9, day=1, hour=0)
+    new = DateTimePartitions(year=2022, month=12, day=10, hour=3)
+    store.add_records_to_dataset(['{"id": "1"}'], "ds", datetime_partition=old)
+    store.add_records_to_dataset(['{"id": "2"}', '{"id": "3"}'], "ds", datetime_partition=new)
+    assert store.get_dataset("ds") == [{"id": "1"}, {"id": "2"}, {"id": "3"}]
+    assert store.get_dataset("ds", latest_partition_only=True) == [
+        {"id": "2"},
+        {"id": "3"},
+    ]
+
+
+def test_get_dataset_df_distributed(store):
+    old = DateTimePartitions(year=2022, month=9, day=1, hour=0)
+    new = DateTimePartitions(year=2022, month=12, day=10, hour=3)
+    store.add_records_to_dataset(['{"id": "1"}'], "ds", datetime_partition=old)
+    store.add_records_to_dataset(['{"id": "2"}'], "ds", datetime_partition=new)
+    assert store.get_dataset_df("ds").count() == 2
+    df = store.get_dataset_df("ds", latest_partition_only=True)
+    assert [r.id for r in df.collect()] == ["2"]
+
+
+def test_get_dataset_version_isolation(store):
+    store.add_records_to_dataset(['{"id": "1"}'], "ds", version="1", datetime_partition=P)
+    store.add_records_to_dataset(['{"id": "9"}'], "ds", version="2", datetime_partition=P)
+    assert store.get_dataset("ds", version="2") == [{"id": "9"}]
+
+
+def test_list_files_time_filters(store, tmp_path):
+    """updated_after/before inclusive client-side filters ≙ gcpde/gcs.py:404-417,
+    tests/unit/test_gcs.py:126-178."""
+    for i, day in enumerate([1, 2, 3], start=1):
+        p = DateTimePartitions(year=2022, month=1, day=day, hour=0)
+        store.add_records_to_dataset([f'{{"id": "{i}"}}'], "ds", datetime_partition=p)
+    files = sorted(store.list_files("ds", recursive=True))
+    assert len(files) == 3
+    # pin distinct mtimes: 2022-01-0{1,2,3}T00:00:00Z
+    for f in files:
+        day = int(f.split("day=")[1].split("/")[0])
+        ts = dt.datetime(2022, 1, day, tzinfo=dt.timezone.utc).timestamp()
+        os.utime(tmp_path / f, (ts, ts))
+    after = store.list_files(
+        "ds", recursive=True, updated_after=dt.datetime(2022, 1, 2, tzinfo=dt.timezone.utc)
+    )
+    assert sorted(after) == files[1:]
+    before = store.list_files(
+        "ds", recursive=True, updated_before=dt.datetime(2022, 1, 2, tzinfo=dt.timezone.utc)
+    )
+    assert sorted(before) == files[:2]
+    both = store.list_files(
+        "ds",
+        recursive=True,
+        updated_after=dt.datetime(2022, 1, 2, tzinfo=dt.timezone.utc),
+        updated_before=dt.datetime(2022, 1, 2, tzinfo=dt.timezone.utc),
+    )
+    assert sorted(both) == [files[1]]
+
+
+def test_list_files_nonrecursive_lists_direct_children_only(store, tmp_path):
+    store.add_records_to_dataset(['{"id": "1"}'], "ds", datetime_partition=P)
+    store.upload_file("x", "ds/top.txt")
+    assert store.list_files("ds") == ["ds/top.txt"]
+    assert len(store.list_files("ds", recursive=True)) == 2
+
+
+def test_upload_download_roundtrip(store):
+    store.upload_file('{"a": 1}', "raw/file.json")
+    (got,) = store.download_files(["raw/file.json"])
+    assert got.file_bytes == b'{"a": 1}'
+    assert got.path == "raw/file.json"
+
+
+def test_copy_files_between_stores(store, spark, tmp_path_factory):
+    dst = DatasetStore(spark, str(tmp_path_factory.mktemp("dst")))
+    store.add_records_to_dataset(['{"id": "1"}'], "ds", datetime_partition=P)
+    n = store.copy_files("ds", dst_store=dst, dst_prefix="ds")
+    assert n == 1
+    assert dst.get_dataset("ds") == [{"id": "1"}]
+
+
+def test_add_dataframe_to_dataset_partitioned(store, spark):
+    """Scale-path S2: distributed partitioned write, readable via get_dataset."""
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2022, 1, 1, 5)), ("b", dt.datetime(2022, 1, 2, 6))],
+        "id string, ts timestamp",
+    )
+    store.add_dataframe_to_dataset(df.select("id", "ts"), "ev", ts_column="ts")
+    files = store.list_files("ev", recursive=True)
+    dirs = {f.rsplit("/", 1)[0] for f in files if f.endswith(".json")}
+    assert "ev/version=1/year=2022/month=1/day=1" in dirs
+    assert "ev/version=1/year=2022/month=1/day=2" in dirs
+    out = store.get_dataset_df("ev", latest_partition_only=True)
+    recs = [json.loads(r) for r in out.toJSON().collect()]
+    assert [r["id"] for r in recs] == ["b"]
