@@ -45,6 +45,36 @@ class Engine:
         """The scale path: plan, don't collect."""
         return self.spark.sql(query)
 
+    def query_paginated(
+        self, query: str, page_size: int, page_token: str | None = None
+    ):
+        """Paged query with a stateless continuation token (Q4)."""
+        return self.tables.query_paginated(query, page_size, page_token)
+
+    def select_paginated(
+        self, query: str, page_size: int, page_token: str | None = None
+    ):
+        return self.tables.select_paginated(query, page_size, page_token)
+
+    def register_udf(self, name: str, fn, return_type=None) -> None:
+        """Register a Python UDF usable from ``engine.sql`` (SURVEY §2B-12).
+
+        UDFs are the slow path — row-at-a-time Python. Prefer built-in
+        functions; for vectorized user code use ``register_pandas_udf``.
+        """
+        self.spark.udf.register(name, fn, return_type)
+
+    def register_pandas_udf(self, name: str, fn, return_type) -> None:
+        """Register an Arrow-vectorized pandas UDF usable from ``engine.sql``.
+
+        ``fn`` takes/returns pandas Series batches — ~10-100× faster than a
+        row-at-a-time UDF because data crosses the JVM↔Python boundary as
+        Arrow record batches.
+        """
+        from pyspark.sql.functions import pandas_udf
+
+        self.spark.udf.register(name, pandas_udf(fn, return_type))
+
     def datasets(self, base_path: str):
         """Dataset store rooted at ``base_path`` (local dir, hdfs://, gs://)."""
         from gcpde_spark.datasets import DatasetStore

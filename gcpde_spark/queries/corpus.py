@@ -79,15 +79,19 @@ _MONEY_SQL = "CAST({} AS DECIMAL(18,2))"
     "c01_scan_filter_project",
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
        WHERE l_quantity > 45 AND l_returnflag = 'R'
-       ORDER BY l_orderkey, l_linenumber""",
+       ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "scan+projection+filter (§2B-1,3,4); filter + column pruning push to parquet",
 )
 def c01(spark: SparkSession, sf: str) -> DataFrame:
+    # l_quantity is an ORDER BY tie-breaker: the testdata lineitem has
+    # duplicate (l_orderkey, l_linenumber) pairs, and the driver's value
+    # hash is order-sensitive — the ORDER BY must be a total order of the
+    # OUTPUT columns (SURVEY.md §2C determinism rules).
     li = load_table(spark, sf, "lineitem")
     return (
         li.where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     )
 
 
@@ -418,24 +422,29 @@ def c16(spark: SparkSession, sf: str) -> DataFrame:
     "c17_window_running_sum",
     f"""SELECT l_orderkey, l_linenumber,
          CAST(ROUND(SUM({_MONEY_SQL.format('l_extendedprice')})
-              OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+              OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, {_MONEY_SQL.format('l_extendedprice')}
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS DOUBLE) AS run
        FROM lineitem WHERE l_orderkey <= 100
-       ORDER BY l_orderkey, l_linenumber""",
+       ORDER BY l_orderkey, l_linenumber, run""",
     "window frame running aggregate (§2B-8)",
 )
 def c17(spark: SparkSession, sf: str) -> DataFrame:
+    # lineitem has duplicate (l_orderkey, l_linenumber) pairs, so the
+    # window ORDER BY carries l_extendedprice as a tie-breaker (a ROWS
+    # frame over a non-total order is engine-dependent), and the final
+    # ORDER BY includes `run` to totally order the output.
     li = load_table(spark, sf, "lineitem").where(F.col("l_orderkey") <= 100)
     w = (
         W.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
+        .orderBy("l_linenumber", money("l_extendedprice"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.round(F.sum(money("l_extendedprice")).over(w), 4).cast("double").alias("run"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).orderBy("l_orderkey", "l_linenumber", "run")
 
 
 # ---------------------------------------------------------------------------
@@ -632,21 +641,28 @@ def c25(spark: SparkSession, sf: str) -> DataFrame:
               CAST(MOD(l_partkey, 7) AS BIGINT) AS m7,
               CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
               CAST(CEIL(l_quantity) AS BIGINT) AS cq
-       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200""",
+       FROM lineitem ORDER BY l_orderkey, l_linenumber, disc, t, m7, fq, cq LIMIT 200""",
     "math / CASE / CAST (§2B-11); decimal product is exact so ROUND ties are impossible",
 )
 def c26(spark: SparkSession, sf: str) -> DataFrame:
+    # ORDER BY covers every output column: lineitem has duplicate
+    # (l_orderkey, l_linenumber) pairs, and a LIMIT under a non-total
+    # order hashes differently across engines (round-1 c26 failure).
     li = load_table(spark, sf, "lineitem")
     disc = F.abs(money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(disc, 2).cast("decimal(18,2)").alias("disc"),
-        F.when(F.col("l_tax") > 0.05, "hi").otherwise("lo").alias("t"),
-        (F.col("l_partkey") % 7).cast("bigint").alias("m7"),
-        F.floor("l_quantity").cast("bigint").alias("fq"),
-        F.ceil("l_quantity").cast("bigint").alias("cq"),
-    ).orderBy("l_orderkey", "l_linenumber").limit(200)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(disc, 2).cast("decimal(18,2)").alias("disc"),
+            F.when(F.col("l_tax") > 0.05, "hi").otherwise("lo").alias("t"),
+            (F.col("l_partkey") % 7).cast("bigint").alias("m7"),
+            F.floor("l_quantity").cast("bigint").alias("fq"),
+            F.ceil("l_quantity").cast("bigint").alias("cq"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "disc", "t", "m7", "fq", "cq")
+        .limit(200)
+    )
 
 
 @_q(
@@ -808,8 +824,10 @@ def c33(spark: SparkSession, sf: str) -> DataFrame:
 )
 def c34(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
-    # rsd=0.01 → HLL++ with enough precision to sit well inside the 5% gate
-    return o.agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("acd"))
+    # rsd=0.02: one standard deviation is 2% — comfortably inside the 5%
+    # property gate (rsd=0.05 breached it at sf0.01) at a fraction of the
+    # HLL++ register cost of round 1's rsd=0.01.
+    return o.agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("acd"))
 
 
 @_q(

@@ -156,13 +156,14 @@ _BQ_TO_SPARK: dict[str, T.DataType] = {
     "JSON": T.StringType(),
 }
 
+# Keys are DataType.simpleString() names (LongType → "bigint", etc.).
 _SPARK_TO_BQ: dict[str, str] = {
     "string": "STRING",
     "binary": "BYTES",
-    "long": "INTEGER",
+    "bigint": "INTEGER",
     "int": "INTEGER",
-    "short": "INTEGER",
-    "byte": "INTEGER",
+    "smallint": "INTEGER",
+    "tinyint": "INTEGER",
     "double": "FLOAT",
     "float": "FLOAT",
     "boolean": "BOOLEAN",

@@ -29,6 +29,13 @@ _BASE_CONFS: dict[str, str] = {
     # vectorized Parquet reader rejects; read nanos as raw int64 and let
     # the catalog layer (gcpde_spark.catalog) convert to timestamp_ntz.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The dataset file-name contract contains ':' (…T00:00.jsonl,
+    # gcpde/gcs.py:82-83). The default local FS is a ChecksumFileSystem
+    # whose ".{name}.crc" sidecar Path construction rejects colons
+    # (HADOOP-14217) — executors reading such files throw URISyntaxException.
+    # RawLocalFileSystem skips sidecars and handles colons fine; remote
+    # schemes (hdfs://, gs://) are unaffected by this conf.
+    "spark.hadoop.fs.file.impl": "org.apache.hadoop.fs.RawLocalFileSystem",
 }
 
 

@@ -14,6 +14,7 @@ Operator parity map (SURVEY.md §2A):
 - B13 upsert_table_from_records  ≙ gcpde/bq.py:450-554
 - Q1/Q2 query/select         ≙ gcpde/bq.py:149-163,678-700
 - Q3  run_command            ≙ gcpde/bq.py:219-234
+- Q4  query_paginated/select_paginated ≙ gcpde/bq.py:165-217,703-733
 - Q5  query_to_df            ≙ gcpde/bq.py:736-753
 
 Design notes (Spark-first, not a transliteration):
@@ -43,9 +44,11 @@ import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from gcpde_spark.errors import (
+    EngineException,
     SchemaMismatchException,
     TableAlreadyExistsError,
     TableNotFoundError,
@@ -59,7 +62,12 @@ DEFAULT_WAREHOUSE = os.environ.get(
 )
 
 
-def merge_dataframes(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+def merge_dataframes(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    on_duplicate_keys: str = "error",
+) -> DataFrame:
     """MERGE semantics as a pure DataFrame transform.
 
     Equivalent to the reference's generated statement (gcpde/bq.py:538-547):
@@ -67,10 +75,37 @@ def merge_dataframes(target: DataFrame, source: DataFrame, keys: list[str]) -> D
     source row (UPDATE all columns); source rows with new keys are appended
     (INSERT all columns). Columns are matched by name.
 
+    ``on_duplicate_keys="error"`` mirrors BigQuery MERGE, which fails when
+    one target row matches multiple source rows: a per-key count is planned
+    over the source and ``raise_error`` fires at execution time if any key
+    repeats — distributed, no extra driver-side job. Pass ``"keep"`` to
+    skip the guard (both duplicate source rows survive).
+
     Scale: one shuffle of each side on ``keys`` (AQE turns it into a
-    broadcast anti-join when ``source`` is small). No driver materialization.
+    broadcast anti-join when ``source`` is small); the guard adds one
+    window over the already-shuffled source partitioning.
     """
+    from pyspark.sql import Window
+
     source = source.select(*[c for c in target.columns])
+    if on_duplicate_keys == "error":
+        cnt = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        first = target.columns[0]
+        source = source.withColumn(
+            first,
+            F.when(
+                cnt > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("merge source has duplicate keys on ("
+                              + ", ".join(keys) + "): "),
+                        *[F.col(k).cast("string") for k in keys],
+                    )
+                ).cast(dict(source.dtypes)[first]),
+            ).otherwise(F.col(first)),
+        )
+    elif on_duplicate_keys != "keep":
+        raise ValueError("on_duplicate_keys must be 'error' or 'keep'")
     return target.join(source, on=keys, how="left_anti").unionByName(source)
 
 
@@ -220,16 +255,44 @@ class TableStore:
 
     def _swap(self, dataset: str, tmp: str, table: str) -> None:
         """Swap a staged table into place (the reference's tmp-table
-        choreography, gcpde/bq.py:585-591, as drop + rename)."""
-        try:
-            self.spark.sql(f"DROP TABLE IF EXISTS `{dataset}`.`{table}`")
+        choreography, gcpde/bq.py:585-591) — rename-aside, so the target's
+        data is never destroyed before its replacement is committed:
+
+        1. rename target → aside (target data intact under a new name)
+        2. rename tmp → target (the commit point)
+        3. drop aside
+
+        If step 2 fails the aside table is renamed back and the staged tmp
+        is LEFT IN PLACE (named in the raised error) — at no point is the
+        only surviving copy of either dataset dropped, unlike a
+        drop-then-rename swap which has a data-loss window between the drop
+        and the rename.
+        """
+        aside = f"{table}__aside_{uuid.uuid4().hex[:8]}"
+        had_target = self.check_table(dataset, table)
+        if had_target:
+            self.spark.sql(
+                f"ALTER TABLE `{dataset}`.`{table}` RENAME TO `{dataset}`.`{aside}`"
+            )
+        else:
+            # No live target — clear any stale directory from a previous
+            # session so the managed rename's destination is free.
             self._remove_orphan_location(dataset, table)
+        try:
             self.spark.sql(
                 f"ALTER TABLE `{dataset}`.`{tmp}` RENAME TO `{dataset}`.`{table}`"
             )
-        except Exception:
-            self.spark.sql(f"DROP TABLE IF EXISTS `{dataset}`.`{tmp}`")
-            raise
+        except Exception as exc:
+            if had_target:
+                self.spark.sql(
+                    f"ALTER TABLE `{dataset}`.`{aside}` RENAME TO `{dataset}`.`{table}`"
+                )
+            raise RuntimeError(
+                f"swap of {dataset}.{table} failed; target restored, staged data "
+                f"kept in {dataset}.{tmp}"
+            ) from exc
+        if had_target:
+            self.spark.sql(f"DROP TABLE IF EXISTS `{dataset}`.`{aside}`")
 
     def _remove_orphan_location(self, dataset: str, table: str) -> None:
         """Delete a leftover managed-table directory the (in-memory) catalog
@@ -324,11 +387,99 @@ class TableStore:
         return self.spark.sql(query)
 
     def query_to_df(self, query: str, timeout: float = FIVE_MINUTES):
-        """SQL → pandas DataFrame via Arrow (≙ gcpde/bq.py:736-753)."""
-        return self._run(query, timeout).toPandas()
+        """SQL → pandas DataFrame via Arrow (≙ gcpde/bq.py:736-753).
+
+        Enforces ``timeout`` through the same cancelJobGroup watchdog as
+        query/select (the reference applies its job timeout on this path
+        too, gcpde/bq.py:736-753)."""
+        df = self._run(query, timeout)
+        return self._action_with_timeout(lambda: df.toPandas(), timeout)
 
     def table_df(self, dataset: str, table: str) -> DataFrame:
         return self.spark.table(f"`{dataset}`.`{table}`")
+
+    # -- Q4: pagination ----------------------------------------------------------
+
+    def query_paginated(
+        self,
+        query: str,
+        page_size: int,
+        page_token: str | None = None,
+        timeout: float = FIVE_MINUTES,
+    ) -> tuple[list[dict[str, Any]], str | None]:
+        """Paged query execution (≙ gcpde/bq.py:165-217).
+
+        First call (``page_token=None``) runs the query and materializes the
+        result ONCE to a scratch parquet directory — the Spark analog of
+        BigQuery's implicit destination table (gcpde/bq.py:193-195) — with a
+        stable ``_rn`` row index assigned by ``zipWithIndex`` (two
+        distributed passes, no single-reducer shuffle). Subsequent calls
+        read only the requested slice; the parquet ``_rn`` min/max stats
+        prune non-matching files, so a page costs IO proportional to the
+        page, not the result.
+
+        The continuation token is base64 JSON ``{result_path, offset,
+        total}`` (≙ ``{destination, token}``, gcpde/bq.py:198-200,211-215),
+        stateless and valid across sessions/processes because the
+        materialized result lives in storage, not in memory. Returns
+        ``(records, next_token)`` with ``next_token=None`` at the end.
+        """
+        import base64
+        import json as _json
+
+        if page_token is None:
+            df = self._run(query, timeout)
+            path = f"{self.warehouse_dir}/_paged/{uuid.uuid4().hex}"
+            indexed = self._with_row_index(df)
+            self._action_with_timeout(
+                lambda: indexed.write.mode("errorifexists").parquet(path), timeout
+            )
+            total = self.spark.read.parquet(path).count()
+            offset = 0
+        else:
+            try:
+                state = _json.loads(base64.b64decode(page_token).decode("utf-8"))
+                path, offset, total = state["result_path"], state["offset"], state["total"]
+            except Exception as exc:
+                raise EngineException(f"invalid page token: {page_token!r}") from exc
+
+        page_df = (
+            self.spark.read.parquet(path)
+            .where((F.col("_rn") >= offset) & (F.col("_rn") < offset + page_size))
+            .orderBy("_rn")
+            .drop("_rn")
+        )
+        records = rows_to_records(self._collect_with_timeout(page_df, timeout))
+        next_offset = offset + page_size
+        if next_offset >= total:
+            return records, None
+        token = base64.b64encode(
+            _json.dumps(
+                {"result_path": path, "offset": next_offset, "total": total}
+            ).encode("utf-8")
+        ).decode("ascii")
+        return records, token
+
+    def select_paginated(
+        self, query: str, page_size: int, page_token: str | None = None,
+        timeout: float = 10,
+    ) -> tuple[list[dict[str, Any]], str | None]:
+        """Interactive paged select (≙ gcpde/bq.py:703-733, 10 s default)."""
+        return self.query_paginated(query, page_size, page_token, timeout=timeout)
+
+    def _with_row_index(self, df: DataFrame) -> DataFrame:
+        """Append a contiguous ``_rn`` preserving the DataFrame's row order.
+
+        ``zipWithIndex`` counts rows per partition in one pass, then
+        assigns per-partition offsets — distributed, unlike a global
+        ``row_number()`` window which would funnel everything through one
+        reducer.
+        """
+        from pyspark.sql.types import LongType, StructField
+
+        schema = StructType(df.schema.fields + [StructField("_rn", LongType(), False)])
+        rdd = df.rdd.zipWithIndex().map(lambda pair: tuple(pair[0]) + (pair[1],))
+        return self.spark.createDataFrame(rdd, schema)
 
     # -- internals ---------------------------------------------------------------
 
@@ -337,6 +488,10 @@ class TableStore:
 
     def _collect_with_timeout(self, df: DataFrame, timeout: float):
         """collect() guarded by a cancelJobGroup watchdog (SURVEY.md §3.1)."""
+        return self._action_with_timeout(df.collect, timeout)
+
+    def _action_with_timeout(self, action, timeout: float):
+        """Run any job-launching action under a cancelJobGroup watchdog."""
         sc = self.spark.sparkContext
         group = f"gcpde-q-{uuid.uuid4().hex[:8]}"
         timed_out = threading.Event()
@@ -349,7 +504,7 @@ class TableStore:
         timer = threading.Timer(timeout, _cancel)
         timer.start()
         try:
-            return df.collect()
+            return action()
         except Exception:
             if timed_out.is_set():
                 raise QueryTimeout(f"query exceeded {timeout}s and was cancelled")

@@ -1,0 +1,144 @@
+"""Sheets pillar (H1–H5) — ports the reference's behavioral assertions
+(tests/unit/test_sheets.py) onto the in-memory backend."""
+
+from __future__ import annotations
+
+import pytest
+
+from gcpde_spark.sheets import InMemorySheetBackend, SheetStore, WorksheetNotFound
+
+
+@pytest.fixture()
+def store(spark):
+    return SheetStore(spark, InMemorySheetBackend())
+
+
+def _seed(store: SheetStore, doc: str, name: str, values: list[list]) -> None:
+    ws = store.backend.open_document(doc).add_worksheet(name, rows=100, cols=26)
+    ws.update(values=values, range_name="A1")
+
+
+def test_read_sheet_coerces_all_values_to_str_or_none(store):
+    """Golden coercion ≙ gcpde/sheets.py:250-253, tests/unit/test_sheets.py:184-196:
+    str(value), with empty string → None."""
+    _seed(store, "doc", "s", [["col", "n"], ["value", 123], ["", 4.5]])
+    assert store.read_sheet("doc", "s") == [
+        {"col": "value", "n": "123"},
+        {"col": None, "n": "4.5"},
+    ]
+
+
+def test_read_sheet_zero_is_kept_not_nulled(store):
+    # str(0) == "0" is truthy — only the EMPTY string becomes None
+    _seed(store, "doc", "s", [["n"], [0]])
+    assert store.read_sheet("doc", "s") == [{"n": "0"}]
+
+
+def test_read_sheet_head_selects_header_row(store):
+    _seed(store, "doc", "s", [["junk", "junk2"], ["a", "b"], [1, 2]])
+    assert store.read_sheet("doc", "s", head=2) == [{"a": "1", "b": "2"}]
+
+
+def test_read_sheet_expected_headers_validated(store):
+    _seed(store, "doc", "s", [["a", "b"], [1, 2]])
+    assert store.read_sheet("doc", "s", expected_headers=["a"]) == [
+        {"a": "1", "b": "2"}
+    ]
+    with pytest.raises(ValueError):
+        store.read_sheet("doc", "s", expected_headers=["missing"])
+    with pytest.raises(ValueError):
+        store.read_sheet("doc", "s", expected_headers=["a", "a"])
+
+
+def test_read_sheets_all_and_named(store):
+    """≙ tests/unit/test_sheets.py:199-219 — ints stringified per sheet."""
+    _seed(store, "doc", "s1", [["key"], [123]])
+    _seed(store, "doc", "s2", [["k2"], ["x"]])
+    assert store.read_sheets("doc") == {
+        "s1": [{"key": "123"}],
+        "s2": [{"k2": "x"}],
+    }
+    assert store.read_sheets("doc", sheet_names=["s2"]) == {"s2": [{"k2": "x"}]}
+
+
+def test_replace_from_records_clears_and_projects_columns(store):
+    """≙ gcpde/sheets.py:86-117 — header row + records projected to the
+    given column order; pre-existing content cleared."""
+    _seed(store, "doc", "s", [["old"], ["stale"]])
+    store.replace_from_records(
+        "doc", "s", [{"a": 1, "b": 2}, {"a": 3, "b": 4}], columns=["b", "a"]
+    )
+    ws = store.backend.open_document("doc").worksheet("s")
+    assert ws.get_all_values() == [["b", "a"], [2, 1], [4, 3]]
+
+
+def test_replace_from_records_missing_column_raises(store):
+    _seed(store, "doc", "s", [["a"]])
+    with pytest.raises(KeyError):
+        store.replace_from_records("doc", "s", [{"a": 1}], columns=["a", "missing"])
+
+
+def test_replace_from_records_missing_worksheet_raises(store):
+    with pytest.raises(WorksheetNotFound):
+        store.replace_from_records("doc", "nope", [], columns=["a"])
+
+
+def test_replace_or_create_creates_with_min_rows(store):
+    """Create sizing ≙ gcpde/sheets.py:149-155: rows=max(min_rows, n+1)."""
+    ws = store.replace_or_create_from_records(
+        "doc", "new", [{"a": i} for i in range(3)], columns=["a"], min_rows=10
+    )
+    assert (ws.row_count, ws.col_count) == (10, 1)
+    big = store.replace_or_create_from_records(
+        "doc", "big", [{"a": i} for i in range(20)], columns=["a"], min_rows=10
+    )
+    assert big.row_count == 21  # n+1 > min_rows
+
+
+def test_replace_or_create_resize_grows_never_shrinks(store):
+    """Resize ≙ gcpde/sheets.py:156-161: max(existing, min_rows, required)."""
+    doc = store.backend.open_document("doc")
+    doc.add_worksheet("s", rows=500, cols=5)
+    ws = store.replace_or_create_from_records(
+        "doc", "s", [{"a": 1}], columns=["a"], min_rows=100
+    )
+    assert (ws.row_count, ws.col_count) == (500, 5)  # grow-only
+    assert ws.get_all_values() == [["a"], [1]]
+
+
+def test_list_and_delete_worksheet(store):
+    """≙ gcpde/sheets.py:172-213 — delete of a missing sheet raises."""
+    _seed(store, "doc", "s1", [["a"]])
+    _seed(store, "doc", "s2", [["a"]])
+    assert [w.title for w in store.list_worksheets("doc")] == ["s1", "s2"]
+    store.delete_worksheet("doc", "s1")
+    assert [w.title for w in store.list_worksheets("doc")] == ["s2"]
+    with pytest.raises(WorksheetNotFound):
+        store.delete_worksheet("doc", "s1")
+
+
+def test_read_sheet_df_all_string_schema_and_broadcast_joinable(store, spark):
+    """The Spark boundary: worksheet → all-StringType DataFrame usable as a
+    broadcast dimension (SURVEY.md §1.1 'Worksheet')."""
+    from pyspark.sql import functions as F
+
+    _seed(store, "doc", "dim", [["k", "label"], [1, "one"], [2, ""]])
+    df = store.read_sheet_df("doc", "dim")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "string"]
+    rows = {r.k: r.label for r in df.collect()}
+    assert rows == {"1": "one", "2": None}
+
+    facts = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    joined = facts.join(
+        F.broadcast(df.withColumn("k", F.col("k").cast("int"))), on="k", how="left"
+    )
+    assert {(r.k, r.label) for r in joined.collect()} == {(1, "one"), (2, None)}
+
+
+def test_replace_from_df_roundtrip(store, spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, name string")
+    store.replace_from_df("doc", "out", df)
+    assert store.read_sheet("doc", "out") == [
+        {"id": "1", "name": "x"},
+        {"id": "2", "name": "y"},
+    ]

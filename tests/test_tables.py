@@ -1,0 +1,280 @@
+"""Table lifecycle / DML / pagination — ports the reference's behavioral
+assertions (tests/unit/test_bq.py) to a real local SparkSession, no mocks."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from gcpde_spark.errors import (
+    EngineException,
+    SchemaMismatchException,
+    TableAlreadyExistsError,
+    TableNotFoundError,
+)
+from gcpde_spark.tables import QueryTimeout, TableStore, merge_dataframes
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    # The SparkSession (and its catalog) is session-scoped; each test gets
+    # a fresh warehouse, so stale database entries pointing at a previous
+    # test's tmp_path must go.
+    for db in ("ds", "qx"):
+        spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
+    return TableStore(spark, warehouse_dir=str(tmp_path / "wh"))
+
+
+RECORDS = [
+    {"id": 1, "name": "a", "score": 1.5},
+    {"id": 2, "name": "b", "score": 2.5},
+]
+
+
+# -- B1-B4: lifecycle ---------------------------------------------------------
+
+
+def test_create_check_delete_roundtrip(store):
+    assert not store.check_table("ds", "t")
+    store.create_table("ds", "t", schema_from_records=RECORDS)
+    assert store.check_table("ds", "t")
+    schema = store.get_table_schema("ds", "t")
+    assert [f.name for f in schema.fields] == ["id", "name", "score"]
+    store.delete_table("ds", "t")
+    assert not store.check_table("ds", "t")
+    store.delete_table("ds", "t")  # module semantics: no-op when absent
+
+
+def test_create_requires_exactly_one_schema_source(store):
+    with pytest.raises(ValueError):
+        store.create_table("ds", "t")
+
+
+def test_create_existing_raises(store):
+    """≙ google Conflict on create (gcpde/bq.py:321-329)."""
+    store.create_table("ds", "t", schema_from_records=RECORDS)
+    with pytest.raises(TableAlreadyExistsError):
+        store.create_table("ds", "t", schema_from_records=RECORDS)
+
+
+def test_get_schema_missing_table_raises(store):
+    with pytest.raises(TableNotFoundError):
+        store.get_table_schema("ds", "missing")
+
+
+# -- B5/B6: strict insert -----------------------------------------------------
+
+
+def test_insert_strict_unknown_field_raises(store):
+    """≙ ignore_unknown_values=False (gcpde/bq.py:139-144,
+    tests/unit/test_bq.py:367-394): a record with an extra key raises and
+    nothing is written."""
+    store.create_table("ds", "t", schema_from_records=RECORDS)
+    with pytest.raises(ValueError, match="unknown fields"):
+        store.insert("ds", "t", [{"id": 3, "name": "c", "score": 0.0, "extra": 1}])
+    assert store.query("SELECT COUNT(*) AS n FROM ds.t") == [{"n": 0}]
+
+
+def test_insert_appends(store):
+    store.create_table("ds", "t", schema_from_records=RECORDS)
+    store.insert("ds", "t", RECORDS)
+    store.insert("ds", "t", [{"id": 3, "name": "c", "score": 3.5}])
+    assert store.query("SELECT COUNT(*) AS n FROM ds.t") == [{"n": 3}]
+
+
+# -- B11/B12: create-from-records / replace ----------------------------------
+
+
+def test_create_table_from_records_empty_guard(store):
+    """≙ warn-and-return on empty records (gcpde/bq.py:619-621)."""
+    store.create_table_from_records("ds", "t", [])
+    assert not store.check_table("ds", "t")
+
+
+def test_create_table_from_records_and_overwrite(store):
+    store.create_table_from_records("ds", "t", RECORDS)
+    with pytest.raises(TableAlreadyExistsError):
+        store.create_table_from_records("ds", "t", RECORDS)
+    store.create_table_from_records(
+        "ds", "t", [{"id": 9, "name": "z", "score": 0.0}], overwrite=True
+    )
+    assert store.query("SELECT id FROM ds.t") == [{"id": 9}]
+
+
+def test_replace_table_swaps_content(store):
+    store.create_table_from_records("ds", "t", RECORDS)
+    store.replace_table("ds", "t", [{"id": 7, "name": "n", "score": 9.9}])
+    assert store.query("SELECT id FROM ds.t ORDER BY id") == [{"id": 7}]
+
+
+def test_swap_failure_keeps_target_and_staged_data(store):
+    """Crash-injection for the rename-aside choreography: a failing swap
+    must leave the target intact (round-1 _swap could destroy both
+    copies)."""
+    store.create_table_from_records("ds", "t", RECORDS)
+    with pytest.raises(RuntimeError, match="target restored"):
+        store._swap("ds", "missing_tmp", "t")  # tmp doesn't exist → rename fails
+    # target survived the failed swap with its original content
+    assert store.query("SELECT COUNT(*) AS n FROM ds.t") == [{"n": 2}]
+
+
+# -- B9/B10: CTAS ------------------------------------------------------------
+
+
+def test_ctas_and_create_or_replace(store):
+    store.create_table_from_records("ds", "src", RECORDS)
+    store.create_table_from_query("SELECT id, score FROM ds.src WHERE id = 1", "ds", "out")
+    assert store.query("SELECT id FROM ds.out") == [{"id": 1}]
+    # CREATE OR REPLACE over an existing table
+    store.create_or_replace_table_as("ds", "out", "src")
+    assert store.query("SELECT COUNT(*) AS n FROM ds.out") == [{"n": 2}]
+
+
+# -- B13: upsert / MERGE ------------------------------------------------------
+
+
+def test_upsert_missing_target_creates(store):
+    """≙ NotFound → plain create (gcpde/bq.py:492-504)."""
+    store.upsert_table_from_records("ds", "t", RECORDS, key_field="id")
+    assert store.query("SELECT COUNT(*) AS n FROM ds.t") == [{"n": 2}]
+
+
+def test_upsert_updates_and_inserts(store):
+    """≙ MERGE golden semantics (tests/unit/test_bq.py:447-456): matched
+    keys update all columns, new keys insert."""
+    store.create_table_from_records("ds", "t", RECORDS)
+    store.upsert_table_from_records(
+        "ds",
+        "t",
+        [{"id": 2, "name": "B!", "score": 0.0}, {"id": 3, "name": "c", "score": 3.0}],
+        key_field="id",
+    )
+    got = store.query("SELECT id, name FROM ds.t ORDER BY id")
+    assert got == [
+        {"id": 1, "name": "a"},
+        {"id": 2, "name": "B!"},
+        {"id": 3, "name": "c"},
+    ]
+
+
+def test_upsert_empty_records_noop(store):
+    """≙ empty guard (gcpde/bq.py:488-490)."""
+    store.upsert_table_from_records("ds", "t", [], key_field="id")
+    assert not store.check_table("ds", "t")
+
+
+def test_upsert_schema_gate_raises_with_both_schemas(store):
+    """≙ structural schema-equality gate (gcpde/bq.py:523-531) — the
+    exception carries source and target schemas (gcpde/bq.py:241-260)."""
+    store.create_table_from_records("ds", "t", RECORDS)
+    bad = [{"id": 1, "other_field": "x"}]
+    with pytest.raises(SchemaMismatchException) as ei:
+        store.upsert_table_from_records(
+            "ds", "t", bad, key_field="id", use_target_schema=False
+        )
+    assert ei.value.source_schema is not None
+    assert ei.value.target_schema == store.get_table_schema("ds", "t")
+
+
+def test_merge_duplicate_source_keys_raise(spark):
+    """≙ BigQuery MERGE errors when a target row matches multiple source
+    rows; on_duplicate_keys='keep' opts out."""
+    target = spark.createDataFrame([(1, "a")], "id int, v string")
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "id int, v string")
+    with pytest.raises(Exception, match="duplicate keys"):
+        merge_dataframes(target, dup, ["id"]).collect()
+    kept = merge_dataframes(target, dup, ["id"], on_duplicate_keys="keep").collect()
+    assert len(kept) == 2
+
+
+# -- Q1-Q3/Q5: query execution -------------------------------------------------
+
+
+def test_query_returns_records_and_run_command(store):
+    store.run_command("CREATE DATABASE IF NOT EXISTS qx")
+    store.create_table_from_records("ds", "t", RECORDS)
+    got = store.query("SELECT id, name FROM ds.t ORDER BY id")
+    assert got == [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+
+
+# sha2 per row defeats whole-stage-codegen shortcuts — reliably slower
+# than the 2 s timeout, and promptly killed by cancelJobGroup.
+SLOW_QUERY = """
+  SELECT COUNT(*) AS n FROM (
+    SELECT sha2(CAST(id AS STRING), 256) AS h FROM range(500000000)
+  ) WHERE h IS NOT NULL
+"""
+
+
+def test_query_timeout_cancels(store):
+    """The cancelJobGroup watchdog fires (≙ job timeout, gcpde/bq.py:162)."""
+    t0 = time.monotonic()
+    with pytest.raises(QueryTimeout):
+        store.query(SLOW_QUERY, timeout=2)
+    assert time.monotonic() - t0 < 60
+
+
+def test_query_to_df_timeout_enforced(store):
+    """query_to_df goes through the same watchdog (round-1 gap)."""
+    with pytest.raises(QueryTimeout):
+        store.query_to_df(SLOW_QUERY, timeout=2)
+
+
+def test_query_to_df_returns_pandas(store):
+    store.create_table_from_records("ds", "t", RECORDS)
+    pdf = store.query_to_df("SELECT id FROM ds.t ORDER BY id")
+    assert list(pdf["id"]) == [1, 2]
+
+
+# -- Q4: pagination ------------------------------------------------------------
+
+
+def test_query_paginated_walk(store):
+    """Full pagination walk ≙ tests/unit/test_bq.py:66-167: fixed-size
+    pages, stable order, next=None at the end."""
+    store.create_table_from_records(
+        "ds", "t", [{"id": i, "v": f"v{i}"} for i in range(10)]
+    )
+    q = "SELECT id, v FROM ds.t ORDER BY id"
+    seen, token, pages = [], None, 0
+    while True:
+        records, token = store.query_paginated(q, page_size=3, page_token=token)
+        seen.extend(records)
+        pages += 1
+        if token is None:
+            break
+    assert pages == 4  # 3+3+3+1
+    assert [r["id"] for r in seen] == list(range(10))
+
+
+def test_query_paginated_exact_multiple_ends_cleanly(store):
+    store.create_table_from_records("ds", "t", [{"id": i} for i in range(4)])
+    records, token = store.query_paginated("SELECT id FROM ds.t ORDER BY id", 2)
+    assert [r["id"] for r in records] == [0, 1] and token is not None
+    records, token = store.query_paginated("ignored", 2, page_token=token)
+    assert [r["id"] for r in records] == [2, 3] and token is None
+
+
+def test_page_token_survives_new_store_instance(store, spark):
+    """Tokens are stateless — the materialized result lives in storage, so
+    a fresh 'session' (new store over the same warehouse) can continue
+    (≙ destination-table semantics, gcpde/bq.py:193-200)."""
+    store.create_table_from_records("ds", "t", [{"id": i} for i in range(5)])
+    _, token = store.query_paginated("SELECT id FROM ds.t ORDER BY id", 2)
+    other = TableStore(spark, warehouse_dir=store.warehouse_dir)
+    records, token2 = other.query_paginated("ignored", 2, page_token=token)
+    assert [r["id"] for r in records] == [2, 3]
+    records, token3 = other.query_paginated("ignored", 2, page_token=token2)
+    assert [r["id"] for r in records] == [4] and token3 is None
+
+
+def test_invalid_page_token_raises(store):
+    with pytest.raises(EngineException, match="invalid page token"):
+        store.query_paginated("SELECT 1", 10, page_token="not-a-token")
+
+
+def test_empty_result_pagination(store):
+    store.create_table_from_records("ds", "t", [{"id": 1}])
+    records, token = store.query_paginated("SELECT id FROM ds.t WHERE id > 99", 10)
+    assert records == [] and token is None
