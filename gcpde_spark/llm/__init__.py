@@ -1,0 +1,60 @@
+"""LLM-data-pipeline operators — the 100 TB extension layer (SURVEY.md §2B-16).
+
+No reference counterpart (the reference is an ETL client); these are the
+operations a large-scale training-data pipeline needs, expressed as
+DataFrame → DataFrame transforms so they scale with partitioning:
+
+- :mod:`gcpde_spark.llm.text`       — normalization, token stats, quality
+  scoring, language-ID heuristic, document fingerprinting.
+- :mod:`gcpde_spark.llm.dedup`      — exact dedup, MinHash-LSH banded
+  near-dup, SimHash, n-gram Jaccard verification.
+- :mod:`gcpde_spark.llm.similarity` — embedding cosine top-k (brute-force
+  baseline + random-hyperplane LSH scale path), embedding near-dup.
+- :mod:`gcpde_spark.llm.multimodal` — binary media columns: binaryFile
+  source, Arrow-batched decode / feature-extraction plumbing (decode
+  itself stubbed — media libs are not in this image).
+
+Design rules: no Python row UDFs in any hot path (everything is built-in
+column expressions / higher-order functions compiled by Catalyst, except
+the explicitly-Arrow multimodal batch ops), no ``collect()`` inside any
+operator, no all-pairs joins (candidate generation is always banded /
+bucketed).
+"""
+
+from gcpde_spark.llm.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    with_minhash_signature,
+    with_simhash,
+)
+from gcpde_spark.llm.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+    with_lsh_buckets,
+)
+from gcpde_spark.llm.text import (
+    normalize_text,
+    with_fingerprint,
+    with_language_id,
+    with_text_stats,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_near_dup_pairs",
+    "with_minhash_signature",
+    "with_simhash",
+    "brute_force_topk",
+    "embedding_near_dup_pairs",
+    "lsh_topk",
+    "with_lsh_buckets",
+    "normalize_text",
+    "with_fingerprint",
+    "with_language_id",
+    "with_text_stats",
+]

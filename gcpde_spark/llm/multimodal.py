@@ -1,0 +1,192 @@
+"""Multimodal (image/audio/video) columns over binary data
+(SURVEY.md §2B-16; no reference counterpart — 100 TB extension layer).
+
+Media are opaque ``binary`` columns with typed metadata, loaded through
+Spark's ``binaryFile`` source and processed with Arrow-batched
+``mapInPandas`` — the Spark-side plumbing (schema, partitioning, UDF
+signatures, batch shapes) is real and tested; the codec step itself is
+STUBBED (``decode="fake"`` is a deterministic content-hash-derived
+decode; ``decode="real"`` raises ``NotImplementedError``) because no
+image/audio libraries ship in this environment. Swapping in PIL /
+torchaudio / pyav is a body-only change to ``_decode_batch``.
+
+Scale notes: ``binaryFile`` gives one row per file with the content as a
+single cell — fine for images/short audio; for long video, store
+pre-chunked segments. ``maxPartitionBytes`` controls files-per-task;
+decode parallelism is task parallelism, and Arrow moves bytes to Python
+in batches, not per row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_EXT_TO_TYPE = {
+    "jpg": "image", "jpeg": "image", "png": "image", "gif": "image", "bmp": "image",
+    "wav": "audio", "mp3": "audio", "flac": "audio", "ogg": "audio",
+    "mp4": "video", "mkv": "video", "webm": "video", "avi": "video",
+}
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Load files as binary rows (path, modificationTime, length, content)
+    via the built-in ``binaryFile`` source, plus a ``media_type`` column
+    derived from the extension ('image' | 'audio' | 'video' | 'other')."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    reader = reader.option("recursiveFileLookup", str(recursive).lower())
+    df = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mapping = F.create_map(
+        *[F.lit(x) for pair in _EXT_TO_TYPE.items() for x in pair]
+    )
+    return df.withColumn("media_type", F.coalesce(mapping[ext], F.lit("other")))
+
+
+_DECODED_FIELDS = [
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_channels", IntegerType(), True),
+    StructField("duration_ms", LongType(), True),
+]
+
+
+def _fake_decode(content: bytes, media_type: str) -> dict[str, Any]:
+    """Deterministic stand-in decode: metadata derived from the content
+    hash. STUB — replace with a real codec; kept deterministic so tests
+    and oracles are stable."""
+    h = hashlib.sha256(content or b"").digest()
+    if media_type == "image":
+        return {
+            "width": 16 + h[0] % 240,
+            "height": 16 + h[1] % 240,
+            "n_channels": 1 + h[2] % 3,
+            "duration_ms": None,
+        }
+    return {
+        "width": None,
+        "height": None,
+        "n_channels": 1 + h[2] % 2,
+        "duration_ms": 1000 + int.from_bytes(h[3:5], "big"),
+    }
+
+
+def decode_media(df: DataFrame, decode: str = "fake") -> DataFrame:
+    """Decode binary content to typed metadata columns with
+    ``mapInPandas`` (Arrow batches of rows, not per-row calls).
+
+    ``decode="real"`` raises NotImplementedError — media codecs are not
+    available in this environment; the distributed plumbing (schema
+    contract, batch iteration, column passthrough) is exactly what a real
+    codec would use.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "real media decoding requires codec libraries not present in this "
+            "environment; use decode='fake' for the deterministic stub"
+        )
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != "content"] + _DECODED_FIELDS
+    )
+    passthrough = [f.name for f in df.schema.fields if f.name != "content"]
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [
+                _fake_decode(c, t)
+                for c, t in zip(pdf["content"], pdf["media_type"])
+            ]
+            out = pdf[passthrough].copy()
+            for field in _DECODED_FIELDS:
+                out[field.name] = [m[field.name] for m in meta]
+            yield out
+
+    return df.mapInPandas(_decode_batch, out_schema)
+
+
+def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
+    """Add a ``features: array<float>`` pseudo-embedding per media row.
+
+    Arrow-batched ``mapInPandas``; the feature values are a deterministic
+    content-hash expansion (STUB for a real vision/audio encoder — the
+    batch shape, schema, and partition behavior match what an ONNX/torch
+    encoder plugged into ``_embed_batch`` would see).
+    """
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("features", ArrayType(FloatType()), True)]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def _embed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for content in pdf["content"]:
+                raw = bytes(content or b"")
+                vals: list[float] = []
+                counter = 0
+                while len(vals) < dim:
+                    h = hashlib.sha256(raw + counter.to_bytes(4, "big")).digest()
+                    vals.extend(b / 255.0 - 0.5 for b in h)
+                    counter += 1
+                feats.append(vals[:dim])
+            out = pdf[cols].copy()
+            out["features"] = feats
+            yield out
+
+    return df.mapInPandas(_embed_batch, out_schema)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Explode each video row into ``n_frames`` evenly-spaced frame rows
+    ``(path, media_type, frame_idx, frame_offset_ms)`` — the frame-sample
+    plumbing of a video pipeline, with decode stubbed like
+    :func:`decode_media` (a real implementation yields frame images from
+    the same batch iterator)."""
+    base = decode_media(df)
+    out_schema = StructType(
+        [
+            StructField("path", StringType(), True),
+            StructField("media_type", StringType(), True),
+            StructField("frame_idx", IntegerType(), True),
+            StructField("frame_offset_ms", LongType(), True),
+        ]
+    )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = r["duration_ms"] or 0
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "path": r["path"],
+                            "media_type": r["media_type"],
+                            "frame_idx": i,
+                            "frame_offset_ms": int(dur * i / n_frames),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return base.where(F.col("media_type") == "video").mapInPandas(_frames, out_schema)

@@ -1,0 +1,128 @@
+"""Text analysis over document tables: normalization, stats, quality,
+language ID, fingerprinting (SURVEY.md §2B-16; no reference counterpart).
+
+Everything here is a narrow projection of built-in column expressions —
+whole-stage-codegen'd, zero shuffles, zero Python — so cost is one pass
+over the text column regardless of table size. Oracle-checkable: each
+expression has a DuckDB-equivalent form (see queries/llm_corpus.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small function-word list per language. Deliberately tiny and fixed:
+# the language-ID operator is an n-gram/stopword HEURISTIC (cheap, single
+# pass), not a trained model — swap in fastText/CLD3 via the multimodal
+# pandas-UDF pattern when a real model is available.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "por", "con"],
+    "de": ["der", "die", "das", "und", "zu", "ein", "eine", "mit", "von", "ist"],
+    "fr": ["le", "la", "de", "et", "que", "un", "une", "pour", "dans", "est"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def round4(c: Column) -> Column:
+    """Cross-engine-stable 4-decimal rounding for DOUBLE ratios.
+
+    ``ROUND(x, 4)`` itself diverges between engines on representation
+    ties: Spark rounds the SHORTEST DECIMAL REPR of the double
+    (BigDecimal.valueOf), DuckDB rounds the binary value — e.g. the
+    double nearest 0.73935 rounds to 0.7394 on Spark and 0.7393 on
+    DuckDB. ``round(x * 10000) / 10000`` performs the same IEEE multiply
+    on both engines first, so both round the same binary value and agree
+    on every input (ties at .5 round away from zero on both).
+    """
+    return F.round(c * 10000) / 10000
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical text form for hashing/dedup: lowercase, whitespace
+    collapsed to single spaces, trimmed. Keep this in sync with the
+    DuckDB oracle's normalization (queries/llm_corpus.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add token/character statistics and a composite quality score.
+
+    Columns added: ``n_chars_norm``, ``n_tokens``, ``avg_token_len``,
+    ``punct_ratio``, ``stopword_ratio``, ``quality_score`` — the standard
+    cheap quality signals (length, punctuation density, function-word
+    density) used to filter web-scale corpora before training.
+    """
+    norm = normalize_text(text_col)
+    toks = tokens(text_col)
+    n_tokens = F.size(toks).cast("bigint")
+    no_space = F.replace(norm, F.lit(" "), F.lit(""))
+    punct = F.length(norm) - F.length(F.regexp_replace(norm, r"[^a-z0-9\s]", ""))
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    stopword_ratio = round4(stop_hits.cast("double") / n_tokens)
+    avg_token_len = round4(F.length(no_space).cast("double") / n_tokens)
+    punct_ratio = round4(punct.cast("double") / F.length(norm))
+    # Composite score in [0,1]: long-enough docs with low punctuation and
+    # a natural function-word density score high. Computed from the
+    # already-rounded ratios in plain double arithmetic (identical IEEE
+    # ops cross-engine), then round4'd.
+    quality = round4(
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.3
+        + F.least(stopword_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return (
+        df.withColumn("n_chars_norm", F.length(norm).cast("bigint"))
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("avg_token_len", avg_token_len)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stopword_ratio)
+        .withColumn("quality_score", quality)
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``lang_pred``: the language whose function-word list hits the
+    most tokens (ties broken by language code order), or ``und`` when
+    nothing hits. Single projection — no shuffle, no UDF."""
+    toks = tokens(text_col)
+
+    def _hits(words: list[str]) -> Column:
+        # closure, NOT a default-arg lambda: PySpark introspects lambda
+        # arity, and a (t, lst=...) lambda is treated as a two-argument
+        # (element, index) function.
+        lst = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(lst, t)))
+
+    hit_cols = []
+    for lang in sorted(STOPWORDS):
+        hit_cols.append(
+            F.struct(_hits(STOPWORDS[lang]).alias("hits"), F.lit(lang).alias("lang"))
+        )
+    # argmax via array_max over (hits, lang) structs — struct comparison is
+    # lexicographic, so max hits wins and the LAST lang code breaks ties;
+    # sort order of codes is made explicit by building the array sorted.
+    best = F.array_max(F.array(*hit_cols))
+    pred = F.when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+    return df.withColumn("lang_pred", pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add two deterministic document fingerprints:
+
+    - ``fp_exact``: md5 of the normalized text — exact-dup key.
+    - ``fp_bow``: md5 of the sorted distinct token set ("bag-of-words"
+      fingerprint) — invariant to word order and repetition, a cheap
+      near-dup pre-key between exact hashing and MinHash.
+    """
+    norm = normalize_text(text_col)
+    bow = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))
+    return df.withColumn("fp_exact", F.md5(norm)).withColumn("fp_bow", F.md5(bow))

@@ -1,0 +1,274 @@
+"""LLM-pipeline corpus entries (SURVEY.md §2B-16) over the ``documents``
+and ``embeddings`` tables.
+
+Deterministic operators (exact dedup, text stats, language ID,
+fingerprints, n-gram Jaccard, brute-force cosine top-k) are hash-matched
+against DuckDB oracles that replicate the exact same expressions
+(normalization regex, fold order, rounding). The inherently
+engine-specific ones (MinHash/SimHash signatures use Spark's xxhash64;
+LSH buckets use seeded hyperplanes) have no SQL oracle — the driver runs
+a rows-only check and tests/test_llm.py property-checks recall /
+precision against brute force.
+
+Cross-engine numeric rules: ratios are ROUND(x, 4); cosine scores add
+``+ 0.0`` after rounding so ``-0.0`` never reaches the value hash; all
+counts cast to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcpde_spark.catalog import load_table
+from gcpde_spark.llm.dedup import (
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from gcpde_spark.llm.similarity import brute_force_topk, lsh_topk
+from gcpde_spark.llm.text import (
+    STOPWORDS,
+    with_fingerprint,
+    with_language_id,
+    with_text_stats,
+)
+from gcpde_spark.queries.corpus import _q
+
+# DuckDB fragments mirroring gcpde_spark.llm.text expressions exactly.
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# L01–L04: dedup + text analysis (oracle-matched)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "l01_exact_dedup",
+    f"""SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY fp""",
+    "exact deduplication (hash-groupBy on normalized text, §2B-16); one "
+    "shuffle on a uniform 128-bit key — skew-free at any scale",
+)
+def l01(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return exact_dedup_groups(docs, "doc_id").orderBy("fp")
+
+
+@_q(
+    "l02_text_stats",
+    f"""WITH t AS (
+          SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents),
+        s AS (
+          SELECT doc_id,
+            CAST(len(norm) AS BIGINT) AS n_chars_norm,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            ROUND(CAST(len(replace(norm, ' ', '')) AS DOUBLE) / len(toks)
+                  * 10000) / 10000 AS avg_token_len,
+            ROUND(CAST(len(norm) -
+                  len(regexp_replace(norm, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                  / len(norm) * 10000) / 10000 AS punct_ratio,
+            ROUND(CAST(len(list_filter(toks,
+                  tk -> list_contains({_sql_list(STOPWORDS['en'])}, tk)))
+                  AS DOUBLE) / len(toks) * 10000) / 10000 AS stopword_ratio
+          FROM t)
+        SELECT doc_id, n_chars_norm, n_tokens, avg_token_len, punct_ratio,
+               stopword_ratio,
+               ROUND((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3
+                     + least(stopword_ratio * 5.0, 1.0) * 0.3) * 10000) / 10000
+                 AS quality_score
+        FROM s ORDER BY doc_id""",
+    "text quality scoring: token counting, length/punct/stopword ratios "
+    "(§2B-16); single codegen'd projection, no shuffle",
+)
+def l02(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return with_text_stats(docs).select(
+        "doc_id",
+        "n_chars_norm",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    ).orderBy("doc_id")
+
+
+@_q(
+    "l03_lang_id",
+    f"""WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+        h AS (
+          SELECT doc_id, lang,
+            len(list_filter(toks, tk -> list_contains({_sql_list(STOPWORDS['de'])}, tk))) AS h_de,
+            len(list_filter(toks, tk -> list_contains({_sql_list(STOPWORDS['en'])}, tk))) AS h_en,
+            len(list_filter(toks, tk -> list_contains({_sql_list(STOPWORDS['es'])}, tk))) AS h_es,
+            len(list_filter(toks, tk -> list_contains({_sql_list(STOPWORDS['fr'])}, tk))) AS h_fr,
+            len(list_filter(toks, tk -> list_contains({_sql_list(STOPWORDS['zh'])}, tk))) AS h_zh
+          FROM t)
+        SELECT doc_id, lang,
+          CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+               WHEN h_zh >= h_fr AND h_zh >= h_es AND h_zh >= h_en AND h_zh >= h_de THEN 'zh'
+               WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+               WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+               WHEN h_en >= h_de THEN 'en'
+               ELSE 'de' END AS lang_pred
+        FROM h ORDER BY doc_id""",
+    "language-ID heuristic: function-word hits, argmax with greatest-code "
+    "tie-break (§2B-16); map-side only",
+)
+def l03(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return with_language_id(docs).select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+@_q(
+    "l04_fingerprint",
+    f"""SELECT doc_id, md5({_NORM}) AS fp_exact,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+                 AS fp_bow
+        FROM documents ORDER BY doc_id""",
+    "document fingerprinting: exact md5 + order-invariant bag-of-words "
+    "md5 (§2B-16)",
+)
+def l04(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return with_fingerprint(docs).select("doc_id", "fp_exact", "fp_bow").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L05–L06: pairwise similarity (oracle-matched)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "l05_ngram_jaccard",
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 3 THEN
+              list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                            i -> array_to_string(toks[i:i+2], ' ')))
+            ELSE [array_to_string(toks, ' ')] END AS s
+          FROM t)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) * 10000) / 10000
+                 AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+        ORDER BY id_a""",
+    "word-3-gram Jaccard similarity on adjacent-id candidate pairs "
+    "(§2B-16) — the exact verification primitive under MinHash-LSH",
+)
+def l05(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return ngram_jaccard_pairs(docs, pairs, "doc_id", n=3).orderBy("id_a")
+
+
+@_q(
+    "l06_embedding_topk",
+    """WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+       scored AS (
+         SELECT qid, vec_id,
+           ROUND(
+             list_reduce(list_transform(list_zip(v, qv), p -> p[1]*p[2]),
+                         (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(v, x -> x*x), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(qv, x -> x*x), (a, b) -> a + b)))
+             * 10000) / 10000 + 0.0 AS score
+         FROM e CROSS JOIN q),
+       ranked AS (
+         SELECT qid, vec_id, score,
+                CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+         FROM scored)
+       SELECT qid, vec_id, score, rank FROM ranked
+       WHERE rank <= 5 ORDER BY qid, rank""",
+    "brute-force cosine top-k similarity search (§2B-16): broadcast query "
+    "side, sequential-double-fold dot product — bit-identical to the "
+    "DuckDB list_reduce form",
+)
+def l06(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return brute_force_topk(emb, queries, k=5).orderBy("qid", "rank")
+
+
+# ---------------------------------------------------------------------------
+# L07–L10: LSH-based (engine-specific hashes → rows-only + property tests)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "l07_minhash_neardup",
+    None,  # xxhash64-based signatures aren't DuckDB-expressible;
+    # recall/precision property-checked in tests/test_llm.py
+    "MinHash-LSH near-duplicate detection (§2B-16): banded signature join "
+    "→ candidate pairs → exact-Jaccard verification; never all-pairs",
+)
+def l07(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return minhash_near_dup_pairs(
+        docs, "doc_id", num_hashes=64, bands=16, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@_q(
+    "l08_simhash_neardup",
+    None,
+    "SimHash near-duplicate detection (§2B-16): 64-bit signature computed "
+    "map-side (nested aggregate, no shuffle), 16-bit-chunk banding, "
+    "bit_count verification",
+)
+def l08(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@_q(
+    "l09_lsh_topk",
+    None,  # seeded-hyperplane buckets; recall vs brute force property-tested
+    "ANN top-k via random-hyperplane LSH with multi-probe (§2B-16): "
+    "bucket equi-join instead of O(N·Q) scoring",
+)
+def l09(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk(emb, queries, k=5, n_planes=8).orderBy("qid", "rank")
+
+
+@_q(
+    "l10_embedding_neardup",
+    None,
+    "embedding-cosine near-duplicate pairs via LSH buckets (§2B-16)",
+)
+def l10(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.9, n_planes=6).orderBy(
+        "id_a", "id_b"
+    )

@@ -1,0 +1,264 @@
+"""LLM-pipeline operators: property tests (recall/precision vs brute
+force, signature invariants, multimodal plumbing) at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcpde_spark.catalog import load_table
+from gcpde_spark.llm.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    with_minhash_signature,
+    with_simhash,
+)
+from gcpde_spark.llm.similarity import brute_force_topk, lsh_topk
+from gcpde_spark.llm.text import with_fingerprint, with_text_stats
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMALL, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings").cache()
+
+
+# -- exact dedup ---------------------------------------------------------------
+
+
+def test_exact_dedup_keeps_min_id_survivor(docs):
+    """Duplicating every doc under a shifted id must leave exactly the
+    originals (plus nothing else) after dedup."""
+    n = docs.count()
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    union = docs.unionByName(shifted)
+    kept = exact_dedup(union, "doc_id")
+    assert kept.count() == n
+    assert kept.agg(F.max("doc_id")).collect()[0][0] < 100000
+
+
+def test_exact_dedup_is_whitespace_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id int, text string",
+    )
+    kept = exact_dedup(df, "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+# -- MinHash -------------------------------------------------------------------
+
+
+def _perturbed_docs(docs, n_docs=40):
+    """Originals + near-duplicates made by dropping every 10th token."""
+    base = docs.where(F.col("doc_id") < n_docs).select("doc_id", "text")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    near = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.filter(toks, lambda t, i: i % 10 != 9)
+        ).alias("text"),
+    )
+    return base.unionByName(near)
+
+
+def test_minhash_signature_shape_and_determinism(docs):
+    sig = with_minhash_signature(docs.limit(5), num_hashes=32)
+    rows = sig.select("minhash").collect()
+    assert all(len(r.minhash) == 32 for r in rows)
+    again = with_minhash_signature(docs.limit(5), num_hashes=32).select("minhash").collect()
+    assert [r.minhash for r in rows] == [r.minhash for r in again]
+
+
+def test_minhash_near_dup_recall_and_precision(docs):
+    corpus = _perturbed_docs(docs)
+    pairs = minhash_near_dup_pairs(
+        corpus, "doc_id", num_hashes=128, bands=32, threshold=0.5
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # expected: each original within Jaccard ≥ 0.5 of its perturbed copy
+    expected_pairs = (
+        corpus.select(F.col("doc_id").alias("id_a"))
+        .where(F.col("id_a") < 10000)
+        .select("id_a", (F.col("id_a") + 10000).alias("id_b"))
+    )
+    truth = ngram_jaccard_pairs(corpus, expected_pairs, "doc_id")
+    expected = {(r.id_a, r.id_b) for r in truth.collect() if r.jaccard >= 0.5}
+    assert expected, "sanity: perturbation should produce high-jaccard pairs"
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.8, f"recall {recall} below 0.8 (128 hashes / 32 bands)"
+    # precision is structural: every emitted pair passed exact verification
+    verified = {(r.id_a, r.id_b) for r in pairs.where(F.col("jaccard") >= 0.5).collect()}
+    assert got == verified
+
+
+# -- SimHash -------------------------------------------------------------------
+
+
+def test_simhash_invariants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "spark shuffles data across the cluster"),  # identical
+            (3, "completely different words about bananas and apples"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r.simhash for r in with_simhash(df).collect()}
+    assert rows[1] == rows[2]
+    assert bin(rows[1] ^ rows[3]).count("1") > 10  # far apart
+
+
+def test_simhash_near_dup_finds_exact_dups(docs):
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    pairs = simhash_near_dup_pairs(corpus, "doc_id", max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    n = docs.count()
+    expected = {(i, i + 10000) for i in range(n)}
+    assert expected <= got  # hamming 0 pairs are always captured
+    assert all(r.hamming <= 3 for r in pairs.collect())
+
+
+# -- similarity ----------------------------------------------------------------
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = brute_force_topk(emb, q, k=5).collect()
+    for qid in range(3):
+        sims = mat @ mat[ids == qid].T
+        order = np.lexsort((ids, -np.round(sims[:, 0], 4)))
+        expected = [int(ids[i]) for i in order[:5]]
+        actual = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.qid == qid]
+        assert actual == expected, f"qid={qid}"
+
+
+def test_lsh_topk_recall_vs_brute_force(emb):
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # n_planes sized to the data: 2^4 buckets over ~500 vectors keeps
+    # candidate lists big enough for useful recall at this tiny scale
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = lsh_topk(emb, q, k=5, n_planes=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"mean recall@5 {mean_recall} too low"
+
+
+def test_embedding_near_dup_finds_planted_duplicate(emb):
+    from gcpde_spark.llm.similarity import embedding_near_dup_pairs
+
+    planted = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(planted)
+    pairs = embedding_near_dup_pairs(corpus, threshold=0.99, n_planes=6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 50000) for i in range(5)} <= got
+
+
+# -- text ----------------------------------------------------------------------
+
+
+def test_text_stats_sane_ranges(docs):
+    stats = with_text_stats(docs.limit(50)).collect()
+    for r in stats:
+        assert r.n_tokens > 0
+        assert 0 <= r.punct_ratio <= 1
+        assert 0 <= r.stopword_ratio <= 1
+        assert 0 <= r.quality_score <= 1
+
+
+def test_fingerprint_order_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha alpha")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in with_fingerprint(df).collect()}
+    assert rows[1].fp_exact != rows[2].fp_exact
+    assert rows[1].fp_bow == rows[2].fp_bow  # bag-of-words invariant
+
+
+# -- multimodal ----------------------------------------------------------------
+
+
+@pytest.fixture()
+def media_dir(tmp_path):
+    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8fakejpegbytes" * 10)
+    (tmp_path / "b.png").write_bytes(b"\x89PNGfake" * 5)
+    (tmp_path / "clip.mp4").write_bytes(b"\x00\x00mp4data" * 100)
+    (tmp_path / "note.txt").write_bytes(b"not media")
+    return str(tmp_path)
+
+
+def test_binary_file_source_and_media_type(spark, media_dir):
+    from gcpde_spark.llm.multimodal import read_binary_files
+
+    df = read_binary_files(spark, media_dir)
+    got = {r.path.rsplit("/", 1)[-1]: r.media_type for r in df.collect()}
+    assert got == {
+        "a.jpg": "image",
+        "b.png": "image",
+        "clip.mp4": "video",
+        "note.txt": "other",
+    }
+    assert dict(df.dtypes)["content"] == "binary"
+
+
+def test_decode_media_stub_schema_and_determinism(spark, media_dir):
+    from gcpde_spark.llm.multimodal import decode_media, read_binary_files
+
+    df = read_binary_files(spark, media_dir)
+    decoded = decode_media(df)
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in decoded.collect()}
+    assert rows["a.jpg"].width is not None and rows["a.jpg"].duration_ms is None
+    assert rows["clip.mp4"].duration_ms is not None and rows["clip.mp4"].width is None
+    again = {r.path.rsplit("/", 1)[-1]: r for r in decode_media(df).collect()}
+    assert rows["a.jpg"].width == again["a.jpg"].width  # deterministic stub
+    with pytest.raises(NotImplementedError):
+        decode_media(df, decode="real")
+
+
+def test_extract_features_shape(spark, media_dir):
+    from gcpde_spark.llm.multimodal import extract_features, read_binary_files
+
+    df = read_binary_files(spark, media_dir, glob="*.jpg")
+    feats = extract_features(df, dim=32).collect()
+    assert len(feats) == 1 and len(feats[0].features) == 32
+
+
+def test_sample_frames_only_videos(spark, media_dir):
+    from gcpde_spark.llm.multimodal import read_binary_files, sample_frames
+
+    df = read_binary_files(spark, media_dir)
+    frames = sample_frames(df, n_frames=4).collect()
+    assert len(frames) == 4
+    assert all(r.media_type == "video" for r in frames)
+    assert [r.frame_idx for r in sorted(frames, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
