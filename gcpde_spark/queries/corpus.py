@@ -838,3 +838,75 @@ def c34(spark: SparkSession, sf: str) -> DataFrame:
 def c35(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return li.agg(F.percentile_approx("l_quantity", 0.5).alias("p50"))
+
+
+# ---------------------------------------------------------------------------
+# C36–C38: array / struct / explode (§2B-12 beyond the JSON path)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "c36_explode_words",
+    """SELECT word, COUNT(*) AS n FROM (
+         SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
+       GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+    "explode ≙ lateral unnest (§2B-12): generator expands rows map-side, "
+    "then one hash-agg shuffle on the word",
+)
+def c36(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(50)
+    )
+
+
+@_q(
+    "c37_collect_list",
+    """SELECT l_orderkey,
+              array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))), ',')
+                AS lines
+       FROM lineitem WHERE l_orderkey <= 50
+       GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "array aggregation ≙ collect_list (§2B-12); sort_array canonicalizes "
+    "the engine-dependent collection order before hashing",
+)
+def c37(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").where(F.col("l_orderkey") <= 50)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("l_linenumber").cast("string"))),
+                ",",
+            ).alias("lines")
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@_q(
+    "c38_struct_map_access",
+    """SELECT event_id, user_id AS u, event_type AS t, user_id AS mk
+       FROM events ORDER BY event_id LIMIT 300""",
+    "struct construction + field access and map + element_at (§2B-12): "
+    "the oracle is the algebraic identity (build-then-project collapses)",
+)
+def c38(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    s = F.struct(F.col("user_id").alias("u"), F.col("event_type").alias("t"))
+    m = F.create_map(F.lit("k"), F.col("user_id"))
+    return (
+        e.select("event_id", s.alias("s"), m.alias("m"))
+        .select(
+            "event_id",
+            F.col("s.u").alias("u"),
+            F.col("s.t").alias("t"),
+            F.element_at("m", F.lit("k")).alias("mk"),
+        )
+        .orderBy("event_id")
+        .limit(300)
+    )

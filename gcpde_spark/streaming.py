@@ -1,0 +1,188 @@
+"""Structured Streaming over the dataset layout (SURVEY.md §2B-15).
+
+The reference's nearest analog is hourly-partitioned append
+(add_records_to_dataset, gcpde/gcs.py:162-218); this module is the
+streaming generalization: the SAME dataset path contract, consumed and
+produced incrementally.
+
+Design: streaming queries REUSE the batch corpus shapes — a tumbling
+window count here is the same ``date_trunc``/``window`` aggregation as
+corpus c32, so batch ≡ stream equality is a testable property
+(tests/test_streaming.py), which is exactly how Structured Streaming is
+meant to be used: one declarative query, two execution modes.
+
+Scale notes: file-source streams list new files per micro-batch
+(``maxFilesPerTrigger`` bounds batch size); watermarks bound state so
+windowed aggregations don't grow without limit; the file sink commits
+atomically via the sink log, giving exactly-once output into the same
+hive-partitioned layout the batch reader consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def read_dataset_stream(
+    spark: SparkSession,
+    base_path: str,
+    dataset: str,
+    schema: StructType,
+    version: str = "1",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over a dataset written by the S2 path contract
+    (hive-partitioned JSONL under ``{base}/{dataset}/version=…``).
+
+    Streams require an explicit schema (no inference job on an unbounded
+    source); partition columns (version/year/month/day) are discovered
+    from the directory layout exactly like the batch reader.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.option("recursiveFileLookup", "false")
+        .json(f"{base_path}/{dataset}/version={version}")
+    )
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    watermark: str | None = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window counts — the streaming form of corpus c32.
+
+    ``watermark`` bounds how late an event may arrive and still be
+    aggregated; it also lets the engine finalize + drop window state, so
+    memory is O(open windows), not O(stream length). Pass ``None`` in
+    batch mode (watermarks are stream-only).
+    """
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.window(ts_col, duration).alias("win")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            *[F.col(c) for c in (group_cols or [])],
+            "n",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sliding-window counts (each event lands in duration/slide windows)."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.window(ts_col, duration, slide).alias("win")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            *[F.col(c) for c in (group_cols or [])],
+            "n",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into one
+    session per group — sessionization as a built-in stateful operator
+    (``F.session_window``), identical semantics in batch and stream.
+    """
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.session_window(ts_col, gap).alias("win")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *[F.col(c) for c in (group_cols or [])],
+            "n",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only for the
+    watermark horizon (an unbounded ``dropDuplicates`` would leak state
+    forever on an infinite stream)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def write_dataset_stream(
+    df: DataFrame,
+    base_path: str,
+    dataset: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    version: str = "1",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming file sink into the S2 dataset layout: per-event
+    (year, month, day) partitions derived from ``ts_col``, JSON lines,
+    exactly-once via the checkpoint + sink log — the streaming equivalent
+    of ``add_records_to_dataset`` (gcpde/gcs.py:162-218)."""
+    out = (
+        df.withColumn("version", F.lit(version))
+        .withColumn("year", F.year(ts_col))
+        .withColumn("month", F.month(ts_col))
+        .withColumn("day", F.dayofmonth(ts_col))
+    )
+    writer = (
+        out.writeStream.format("json")
+        .option("path", f"{base_path}/{dataset}")
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("version", "year", "month", "day")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_stream_to_memory(
+    df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> StreamingQuery:
+    """Drain a (finite) stream into an in-memory table with the
+    availableNow trigger — the batch≡stream test harness primitive."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,150 @@
+"""Streaming layer (§2B-15): batch ≡ stream equality over the dataset
+layout, windowed aggregations, watermark dedup, exactly-once file sink."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from gcpde_spark.catalog import load_table
+from gcpde_spark.datasets import DatasetStore
+from gcpde_spark.streaming import (
+    dedup_within_watermark,
+    read_dataset_stream,
+    run_stream_to_memory,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+    write_dataset_stream,
+)
+from tests.conftest import SF_SMALL
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("ts", TimestampType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def event_dataset(spark, tmp_path):
+    """A dataset in the S2 layout holding a slice of the events table."""
+    store = DatasetStore(spark, str(tmp_path))
+    # second-truncated ts: the JSONL layout serializes millisecond
+    # precision, so sub-ms micros would differ between the batch source
+    # and the stream read back from JSON
+    events = (
+        load_table(spark, SF_SMALL, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+        )
+        .limit(2000)
+    )
+    store.add_dataframe_to_dataset(events, "ev", ts_column="ts")
+    return str(tmp_path), events
+
+
+def _drain(spark, df, name, mode="complete"):
+    q = run_stream_to_memory(df, name, output_mode=mode)
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_tumbling_equals_batch(spark, event_dataset):
+    """The c32 shape: hourly windowed counts computed by the streaming
+    engine over the dataset layout must equal the batch aggregation of
+    the same rows — the batch≡stream property (SURVEY §2B-15)."""
+    base, events = event_dataset
+    stream = read_dataset_stream(spark, base, "ev", EVENT_SCHEMA)
+    agg = tumbling_counts(stream, "ts", "1 hour", group_cols=["event_type"])
+    got = _drain(spark, agg, "t_tumbling")
+    expected = tumbling_counts(events, "ts", "1 hour", watermark=None,
+                               group_cols=["event_type"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_stream_sliding_equals_batch(spark, event_dataset):
+    base, events = event_dataset
+    stream = read_dataset_stream(spark, base, "ev", EVENT_SCHEMA)
+    agg = sliding_counts(stream, "ts", "2 hours", "1 hour")
+    got = _drain(spark, agg, "t_sliding")
+    expected = sliding_counts(events, "ts", "2 hours", "1 hour", watermark=None)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_stream_session_window_equals_batch(spark, event_dataset):
+    base, events = event_dataset
+    per_user = ["user_id"]
+    stream = read_dataset_stream(spark, base, "ev", EVENT_SCHEMA)
+    agg = session_counts(stream, "ts", gap="30 minutes", group_cols=per_user)
+    got = _drain(spark, agg, "t_session")
+    expected = session_counts(events, "ts", gap="30 minutes", watermark=None,
+                              group_cols=per_user)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    # sessions are genuinely merged: fewer sessions than events
+    assert got.count() < events.count()
+
+
+def test_dedup_within_watermark_drops_duplicates(spark, event_dataset):
+    base, events = event_dataset
+    # duplicate every event by writing the same rows to a second dataset dir
+    store = DatasetStore(spark, base)
+    store.add_dataframe_to_dataset(events, "ev2", ts_column="ts")
+    store.add_dataframe_to_dataset(events, "ev2", ts_column="ts")
+    stream = read_dataset_stream(spark, base, "ev2", EVENT_SCHEMA)
+    deduped = dedup_within_watermark(stream, ["event_id"], "ts", "1 hour")
+    got = _drain(spark, deduped.groupBy().count(), "t_dedup")
+    assert got.collect()[0][0] == events.count()
+
+
+def test_streaming_file_sink_writes_dataset_layout(spark, event_dataset, tmp_path_factory):
+    """write_dataset_stream lands hive-partitioned JSON the batch dataset
+    reader consumes — the streaming S2 sink, round-tripped."""
+    base, events = event_dataset
+    out_dir = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    stream = read_dataset_stream(spark, base, "ev", EVENT_SCHEMA)
+    q = write_dataset_stream(stream, out_dir, "ev_out", ckpt, "ts", available_now=True)
+    q.awaitTermination(120)
+    store = DatasetStore(spark, out_dir)
+    out_df = store.get_dataset_df("ev_out")
+    assert out_df.count() == events.count()
+    # partition dirs follow the unpadded directory contract (ignore the
+    # sink's _spark_metadata commit log)
+    dirs = {
+        f.rsplit("/", 1)[0]
+        for f in store.list_files("ev_out", recursive=True)
+        if f.endswith(".json") and "_spark_metadata" not in f
+    }
+    assert dirs and all("/year=" in d and "/month=" in d for d in dirs)
+
+
+def test_restarted_sink_is_exactly_once(spark, event_dataset, tmp_path_factory):
+    """Restarting the sink with the same checkpoint must not duplicate
+    rows (file-sink commit log)."""
+    base, events = event_dataset
+    out_dir = str(tmp_path_factory.mktemp("stream_out2"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt2"))
+    for _ in range(2):  # second run: nothing new to process
+        q = write_dataset_stream(
+            read_dataset_stream(spark, base, "ev", EVENT_SCHEMA),
+            out_dir, "ev_out", ckpt, "ts", available_now=True,
+        )
+        q.awaitTermination(120)
+    out_df = DatasetStore(spark, out_dir).get_dataset_df("ev_out")
+    assert out_df.count() == events.count()
