@@ -10,6 +10,8 @@ to any data size.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,9 +28,30 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
+# Per-session DataFrame cache: a DataFrame is an immutable logical plan,
+# so reusing it across queries is free and skips the per-query
+# file-listing + parquet-footer schema read (a fixed ~50-100 ms driver
+# cost per table per query that dominates small-SF benchmarks and, at
+# cluster scale, spares the driver re-listing object-store prefixes).
+# Keyed weakly by session so a stopped session's plans are collectable.
+_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table from ``{sf_dir}/{name}.parquet``."""
+    try:
+        per_session = _CACHE.setdefault(spark, {})
+    except TypeError:  # session type not weakref-able: skip caching
+        per_session = None
+    if per_session is not None and (sf_dir, name) in per_session:
+        return per_session[(sf_dir, name)]
+    df = _load_table(spark, sf_dir, name)
+    if per_session is not None:
+        per_session[(sf_dir, name)] = df
+    return df
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Defensive for caller-provided sessions (e.g. the driver's) that
         # didn't go through gcpde_spark.session — this SQL conf is

@@ -314,6 +314,30 @@ class DatasetStore:
             files = get_latest_path_files(files)
         return files
 
+    def _partition_dirs(self, dataset: str, version: str) -> list[str]:
+        """Relative day-partition directories of a dataset — a directory
+        walk (3 listStatus levels), never a file listing. At millions of
+        files per dataset the driver touches O(days) directory entries,
+        not O(files)."""
+        fs = self._fs()
+        root = self._jpath(f"{dataset}/version={version}")
+        if not fs.exists(root):
+            return []
+        base_uri = fs.makeQualified(self._jpath("")).toString().rstrip("/")
+        out: list[str] = []
+        for ydir in fs.listStatus(root):
+            if not ydir.isDirectory():
+                continue
+            for mdir in fs.listStatus(ydir.getPath()):
+                if not mdir.isDirectory():
+                    continue
+                for ddir in fs.listStatus(mdir.getPath()):
+                    if ddir.isDirectory():
+                        out.append(
+                            ddir.getPath().toString().replace(base_uri + "/", "", 1)
+                        )
+        return out
+
     def get_dataset_df(
         self,
         dataset: str,
@@ -323,16 +347,24 @@ class DatasetStore:
     ) -> DataFrame:
         """Distributed dataset scan (the 100 TB path for S5).
 
-        Partition pruning happens on the file *listing* (metadata only,
-        ≙ gcpde/gcs.py:499-520); executors then read only the selected
-        JSONL files in parallel.
+        Partition pruning is metadata-only (≙ gcpde/gcs.py:499-520), and
+        the reader receives partition DIRECTORIES, not a driver-built
+        file list: the driver walks 3 directory levels to find (year,
+        month, day) partitions, optionally keeps only the latest, and
+        hands those paths to ``spark.read.json`` — file expansion then
+        happens in Spark's distributed file index, so a dataset with
+        millions of files costs the driver only its day count.
         """
-        files = self._dataset_files(dataset, version, latest_partition_only)
-        if not files:
+        dirs = self._partition_dirs(dataset, version)
+        if latest_partition_only and dirs:
+            # reuse the same max-(version,year,month,day) tuple rule;
+            # directories parse exactly like file paths
+            dirs = get_latest_path_files(dirs)
+        if not dirs:
             raise FileNotFoundError(
                 f"no files for dataset={dataset} version={version} under {self.base_path}"
             )
-        paths = [f"{self.base_path}/{p}" for p in files]
+        paths = [f"{self.base_path}/{p}" for p in dirs]
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)

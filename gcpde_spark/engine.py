@@ -4,10 +4,18 @@ One object wrapping a SparkSession, exposing the reference's three pillars
 plus the relational surface:
 
 - ``engine.sql(q)`` / ``engine.select(q)`` / ``engine.run_command(q)`` —
-  GoogleSQL-passthrough parity (Q1–Q3), served by Catalyst.
+  SQL-passthrough parity (Q1–Q3), served by Catalyst.
+- ``engine.query_paginated`` / ``engine.select_paginated`` — stateless
+  paged results (Q4).
 - ``engine.tables`` — table lifecycle / DML (B1–B14).
 - ``engine.datasets`` — partitioned JSONL datasets (S1–S8).
 - ``engine.sheets`` — worksheet-style small-table I/O (H1–H5).
+- ``engine.register_udf`` / ``engine.register_pandas_udf`` — user code
+  callable from SQL (§2B-12).
+
+The streaming layer (:mod:`gcpde_spark.streaming`) and the LLM-pipeline
+operators (:mod:`gcpde_spark.llm`) are DataFrame-level modules used
+directly with ``engine.spark`` / any DataFrame.
 
 Every record-returning verb has a ``*_df`` sibling that stays distributed.
 """

@@ -7,9 +7,13 @@ Scale design, common to every operator here:
   are exploded to skinny ``(id, band_idx, band_hash)`` rows and candidate
   pairs come from an equi-join on the band key — the only shuffle is on
   band hashes, and the join input is a few dozen bytes per row.
-- **Signatures are computed map-side** with built-in higher-order
-  functions (``transform``/``aggregate``/``xxhash64``): one codegen'd
-  pass over the token array per document, no Python, no shuffle.
+- **Signatures stay in whole-stage codegen**: shingles/tokens explode to
+  skinny ``(id, hash)`` rows and the signature is a batch of codegen'd
+  min/sum aggregates with map-side partial aggregation — one linear
+  shuffle of token hashes. (A higher-order-function formulation looks
+  cheaper — no shuffle — but HOF lambdas run interpreted and Catalyst
+  re-inlines the shingle array into every lambda element: 480 s vs ~2 s
+  on 5 k docs.)
 - **Verification re-joins by id** to fetch shingle sets only for the
   (rare) candidate pairs, instead of carrying arrays through the LSH
   join — at 1000-executor scale the band join stays skinny.
@@ -72,12 +76,19 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Da
 
 
 def with_shingles(
-    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    out_col: str = "shingles",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Add the distinct word-``n``-gram set of the normalized text.
+    """Add the word-``n``-gram set of the normalized text.
 
     Documents shorter than ``n`` tokens contribute their whole token
     sequence as a single shingle so they still participate.
+    ``distinct=False`` skips the O(len²) interpreted ``array_distinct``
+    — correct wherever downstream is duplicate-invariant (MinHash mins,
+    explode→distinct pipelines).
     """
     toks = tokens(text_col)
     ngrams = F.when(
@@ -87,7 +98,44 @@ def with_shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return df.withColumn(out_col, F.array_distinct(ngrams))
+    return df.withColumn(out_col, F.array_distinct(ngrams) if distinct else ngrams)
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """``(_vid, _s)`` word-``n``-gram rows via posexplode + lead window.
+
+    This is the scale path for shingling: the array-building
+    ``transform`` lambda is interpreted AND re-evaluates its inlined
+    token-split per element (interpreted HOFs have no common-subexpr
+    elimination), making it O(text_len²) per document. Here tokens are
+    exploded once (the Generate's child projection evaluates the split
+    exactly once per row) and shingles assemble from ``lead`` over
+    ``(doc, position)`` — one window shuffle, linear work, codegen'd.
+    Documents shorter than ``n`` tokens contribute one whole-text
+    shingle, matching :func:`with_shingles`.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("_vid"), F.posexplode(toks).alias("_pos", "_tok")
+    )
+    if n == 1:
+        return base.select("_vid", F.col("_tok").alias("_s"))
+    w = Window.partitionBy("_vid").orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", k).over(w) for k in range(1, n)]
+    with_lead = base.select(
+        "_vid",
+        F.concat_ws(" ", *parts).alias("_s"),
+        F.lead("_tok", n - 1).over(w).alias("_last"),
+    )
+    full = with_lead.where(F.col("_last").isNotNull()).select("_vid", "_s")
+    short = (
+        df.select(F.col(id_col).alias("_vid"), toks.alias("_t"))
+        .where(F.size("_t") < n)
+        .select("_vid", F.concat_ws(" ", "_t").alias("_s"))
+    )
+    return full.unionByName(short)
 
 
 def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
@@ -101,38 +149,64 @@ def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def _minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_size: int,
+    seed: int,
+) -> DataFrame:
+    """``(id, minhash)`` signatures via explode → codegen'd min-agg.
+
+    Why explode instead of higher-order functions: HOF lambdas are
+    interpreted (outside whole-stage codegen) and Catalyst inlines the
+    shingle-array expression into every outer-lambda element, so a
+    nested-``transform`` formulation recomputes the O(tokens²)
+    ``array_distinct`` + hashing ``num_hashes`` times per row —
+    measured 480 s on 5 k docs at sf0.1. This shape is one generator
+    (map-side), ``num_hashes`` codegen'd min-aggregates with map-side
+    partial aggregation, and one shuffle of (id, shingle-hash) pairs —
+    seconds on the same input, and the shuffle volume is
+    O(total shingles), linear at any scale.
+    """
+    params = _minhash_params(num_hashes, seed)
+    # no distinct: min() is duplicate-invariant
+    exploded = _exploded_shingles(df, id_col, text_col, shingle_size)
+    base = F.pmod(F.xxhash64(F.col("_s")), F.lit(_P))  # fold into [0, P)
+    mins = [
+        F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_P))).alias(f"_h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agg = exploded.groupBy("_vid").agg(*mins)
+    return agg.select(
+        F.col("_vid").alias("_mh_id"),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("minhash"),
+    )
+
+
 def with_minhash_signature(
     df: DataFrame,
     text_col: str = "text",
+    id_col: str | None = None,
     num_hashes: int = 128,
     shingle_size: int = 3,
     seed: int = 42,
     out_col: str = "minhash",
 ) -> DataFrame:
-    """Add a ``num_hashes``-long MinHash signature of the shingle set.
-
-    shingle → xxhash64 base hash once, then the classic permutation
-    family ``min((a*x + b) mod P)`` per signature slot — a single nested
-    ``transform`` over a literal parameter array, all JVM-side.
-    """
-    params = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in _minhash_params(num_hashes, seed)
-        ]
-    )
-    shingled = with_shingles(df, text_col, n=shingle_size, out_col="_sh")
-    # base hash folded into [0, P) (see the _P note above)
-    base = F.transform(
-        F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_P))
-    )
-    sig = F.transform(
-        params,
-        lambda p: F.array_min(
-            F.transform(base, lambda x: F.pmod(p.a * x + p.b, F.lit(_P)))
-        ),
-    )
-    return shingled.withColumn(out_col, sig).drop("_sh")
+    """Add a ``num_hashes``-long MinHash signature of each row's shingle
+    set (classic permutation family ``min((a*x + b) mod P)``), joined
+    back by ``id_col`` (a synthetic id is derived when omitted —
+    requires ``text_col`` rows to be distinct per id)."""
+    if id_col is None:
+        df = df.withColumn("_auto_id", F.monotonically_increasing_id())
+        id_col = "_auto_id"
+    sigs = _minhash_signatures(df, id_col, text_col, num_hashes, shingle_size, seed)
+    out = df.join(
+        sigs.withColumnRenamed("minhash", out_col),
+        df[id_col] == sigs["_mh_id"],
+    ).drop("_mh_id")
+    return out.drop("_auto_id") if id_col == "_auto_id" else out
 
 
 def minhash_near_dup_pairs(
@@ -159,16 +233,14 @@ def minhash_near_dup_pairs(
     Returns ``(id_a, id_b, jaccard)``.
     """
     rows_per_band = num_hashes // bands
-    sig = with_minhash_signature(
-        df.select(F.col(id_col).alias("_id"), text_col),
-        text_col,
-        num_hashes=num_hashes,
-        shingle_size=shingle_size,
-        seed=seed,
-    )
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.hash(F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)),
+    sig = _minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_size, seed
+    ).withColumnRenamed("_mh_id", "_id")
+    band_keys = F.array(
+        *[
+            F.hash(F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band))
+            for b in range(bands)
+        ]
     )
     skinny = sig.select("_id", F.posexplode(band_keys).alias("band_idx", "band_hash"))
     a, b = skinny.alias("a"), skinny.alias("b")
@@ -206,18 +278,38 @@ def _verify_jaccard(
     n: int,
     threshold: float | None,
 ) -> DataFrame:
-    sh = with_shingles(df, text_col, n=n).select(
-        F.col(id_col).alias("_vid"), F.col("shingles")
+    """Exact Jaccard for candidate pairs via explode + count joins.
+
+    |A∩B| is a join-count on (pair, shingle) and |A∪B| = |A|+|B|-|A∩B| —
+    all codegen'd hash joins/aggregates on skinny rows. (The
+    array_intersect/array_union formulation is O(|A|·|B|) interpreted
+    per pair — ~3× slower on the sf0.1 corpus and worse at scale.)
+    """
+    ex = _exploded_shingles(df, id_col, text_col, n).distinct()
+    sizes = ex.groupBy("_vid").agg(F.count(F.lit(1)).alias("_n"))
+    pa = pairs.join(
+        ex.select(F.col("_vid").alias("_ida"), F.col("_s")),
+        F.col("id_a") == F.col("_ida"),
+    ).select("id_a", "id_b", "_s")
+    inter = (
+        pa.join(
+            ex.select(F.col("_vid").alias("_idb"), F.col("_s").alias("_sb")),
+            (F.col("id_b") == F.col("_idb")) & (F.col("_s") == F.col("_sb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
     out = (
-        pairs.join(sh.alias("sa"), F.col("id_a") == F.col("sa._vid"))
-        .join(sh.alias("sb"), F.col("id_b") == F.col("sb._vid"))
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("_inter", F.coalesce(F.col("_inter"), F.lit(0)))
+        .join(sizes.select(F.col("_vid").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_vid").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
         .select(
             "id_a",
             "id_b",
             round4(
-                F.size(F.array_intersect("sa.shingles", "sb.shingles")).cast("double")
-                / F.size(F.array_union("sa.shingles", "sb.shingles"))
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter"))
             ).alias("jaccard"),
         )
     )
@@ -231,35 +323,53 @@ def _verify_jaccard(
 # ---------------------------------------------------------------------------
 
 
-def with_simhash(
-    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
-) -> DataFrame:
-    """Add a 64-bit SimHash of the token multiset.
+def _simhashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, simhash)`` via explode → 64 codegen'd vote-sums → OR-fold.
 
     Classic Charikar construction: each token votes ±1 on every bit of
     its xxhash64; bit *b* of the result is 1 iff the vote sum is ≥ 0.
-    Implemented as one nested ``aggregate`` expression — 64 bit-folds over
-    the token array per row, entirely map-side (no explode, no shuffle,
-    no Python).
+    Shaped as explode + aggregate (not a nested higher-order function)
+    for the same reason as :func:`_minhash_signatures` — HOF lambdas are
+    interpreted and the token array would be recomputed per bit. The 64
+    vote-sums are map-side partial aggregates; bits reassemble with
+    bitwise OR of shifted flags (no addition — the bit-63 term is the
+    sign bit and ANSI mode raises on signed-add overflow).
     """
-    # shiftleft (not acc*2): the bit-63 step would overflow a long, which
-    # ANSI mode turns into an error; shifts wrap by definition.
-    sim = F.expr(
-        """
-        aggregate(
-          sequence(63, 0, -1),
-          CAST(0 AS BIGINT),
-          (acc, b) -> shiftleft(acc, 1) + IF(
-            aggregate(
-              transform(split(trim(regexp_replace(lower({t}), '\\\\s+', ' ')), ' '),
-                        tk -> xxhash64(tk)),
-              0,
-              (a, h) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1)
-            ) >= 0, 1, 0)
+    toks = tokens(text_col)
+    exploded = df.select(F.col(id_col).alias("_sh_id"), F.explode(toks).alias("_t"))
+    h = F.xxhash64(F.col("_t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    agg = exploded.groupBy("_sh_id").agg(*votes)
+    sim = F.lit(0).cast("bigint")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(
+                F.col(f"_b{b}") >= 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+            ).otherwise(F.lit(0).cast("bigint"))
         )
-        """.format(t=text_col)
-    )
-    return df.withColumn(out_col, sim)
+    return agg.select("_sh_id", sim.alias("simhash"))
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", id_col: str | None = None,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Add a 64-bit SimHash of each row's token multiset (see
+    :func:`_simhashes`); joined back by ``id_col`` (synthetic when
+    omitted)."""
+    if id_col is None:
+        df = df.withColumn("_auto_id", F.monotonically_increasing_id())
+        id_col = "_auto_id"
+    sims = _simhashes(df, id_col, text_col)
+    out = df.join(
+        sims.withColumnRenamed("simhash", out_col), df[id_col] == sims["_sh_id"]
+    ).drop("_sh_id")
+    return out.drop("_auto_id") if id_col == "_auto_id" else out
 
 
 def simhash_near_dup_pairs(
@@ -273,11 +383,12 @@ def simhash_near_dup_pairs(
     hash must agree on ≥1 chunk — pigeonhole), verified with
     ``bit_count(a XOR b) ≤ max_hamming``. Returns (id_a, id_b, hamming).
     """
-    sim = with_simhash(df.select(F.col(id_col).alias("_id"), text_col), text_col)
-    # SQL-expr lambda: the Python F.shiftright only takes a literal int
-    # for the shift amount, the SQL builtin takes a column.
-    chunks = F.expr(
-        "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"
+    sim = _simhashes(df, id_col, text_col).withColumnRenamed("_sh_id", "_id")
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ]
     )
     skinny = sim.select(
         "_id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk")

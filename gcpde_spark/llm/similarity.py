@@ -61,14 +61,25 @@ def brute_force_topk(
     ranking is (score DESC, vec_id) so results are totally ordered and
     cross-engine stable.
     """
-    e = embeddings.select(F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("_v"))
+    # norms are computed ONCE per vector/query (not per pair): the per-pair
+    # work drops from three interpreted 64-element folds to one, and the
+    # resulting double is bit-identical to the per-pair form (same fold,
+    # same operands).
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("_v")
+    ).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
     q = queries.select(
         F.col(query_id_col).alias("qid"), _dvec(query_vec_col).alias("_qv")
-    )
+    ).withColumn("_qnorm", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
     scored = e.crossJoin(F.broadcast(q)).select(
         "qid",
         "vec_id",
-        (round4(cosine(F.col("_v"), F.col("_qv"))) + F.lit(0.0)).alias("score"),
+        (
+            round4(
+                _dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qnorm"))
+            )
+            + F.lit(0.0)
+        ).alias("score"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
@@ -132,13 +143,13 @@ def lsh_topk(
     recall vs brute force is property-tested (tests/test_llm.py).
     """
     e = with_lsh_buckets(
-        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
+        embeddings.select(F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("_v")),
         "_v", dim, n_planes, seed,
-    )
+    ).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
     q = with_lsh_buckets(
-        queries.select(F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("_qv")),
+        queries.select(F.col(query_id_col).alias("qid"), _dvec(query_vec_col).alias("_qv")),
         "_qv", dim, n_planes, seed,
-    )
+    ).withColumn("_qnorm", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
     if multiprobe:
         probes = F.array(
             F.col("bucket"),
@@ -147,11 +158,16 @@ def lsh_topk(
                 for i in range(n_planes)
             ],
         )
-        q = q.select("qid", "_qv", F.explode(probes).alias("bucket"))
+        q = q.select("qid", "_qv", "_qnorm", F.explode(probes).alias("bucket"))
     candidates = e.join(q, on="bucket").select(
         "qid",
         "vec_id",
-        (round4(cosine(_dvec("_v"), _dvec("_qv"))) + F.lit(0.0)).alias("score"),
+        (
+            round4(
+                _dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qnorm"))
+            )
+            + F.lit(0.0)
+        ).alias("score"),
     ).dropDuplicates(["qid", "vec_id"])
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
@@ -175,9 +191,9 @@ def embedding_near_dup_pairs(
     ``(id_a, id_b, score)`` with ``id_a < id_b``.
     """
     b = with_lsh_buckets(
-        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        embeddings.select(F.col(id_col).alias("_id"), _dvec(vec_col).alias("_v")),
         "_v", dim, n_planes, seed,
-    )
+    ).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(
@@ -188,7 +204,13 @@ def embedding_near_dup_pairs(
         .select(
             F.col("x._id").alias("id_a"),
             F.col("y._id").alias("id_b"),
-            (round4(cosine(_dvec("x._v"), _dvec("y._v"))) + F.lit(0.0)).alias("score"),
+            (
+                round4(
+                    _dot(F.col("x._v"), F.col("y._v"))
+                    / (F.col("x._norm") * F.col("y._norm"))
+                )
+                + F.lit(0.0)
+            ).alias("score"),
         )
         .where(F.col("score") >= threshold)
     )

@@ -23,6 +23,11 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Coalesce to the advisory partition size instead of maximizing
+    # parallelism: small shuffles collapse to few right-sized tasks
+    # (less scheduling overhead), and at cluster scale reducers stay at
+    # the ~64 MB sweet spot rather than fragmenting.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     # Arrow for any pandas boundary (toPandas, pandas_udf, applyInPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The driver testdata 'events' table stores TIMESTAMP(NANOS) which the
