@@ -174,6 +174,55 @@ def write_dataset_stream(
     return writer.start()
 
 
+def stateful_running_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    idle_timeout_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-key event counter that emits an updated total on every
+    micro-batch and expires idle keys after ``idle_timeout_ms``.
+
+    This is the template for operators Spark lacks natively (per-key
+    accumulators, custom sessionization, online feature aggregation):
+    state is a typed tuple held by the engine per key, batches arrive as
+    Arrow-backed pandas frames, and timeouts bound state size — the
+    GroupState machinery shards by key across executors, so state scales
+    horizontally like any shuffle.
+    """
+    import pandas as pd  # noqa: F401 — used inside the closure
+
+    out_schema = "key bigint, n bigint"
+    state_schema = "n bigint"
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        state.setTimeoutDuration(idle_timeout_ms)
+        import pandas as pd
+
+        yield pd.DataFrame({"key": [key[0]], "n": [total]})
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf="ProcessingTimeTimeout",
+        )
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> StreamingQuery:

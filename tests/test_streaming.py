@@ -134,6 +134,35 @@ def test_streaming_file_sink_writes_dataset_layout(spark, event_dataset, tmp_pat
     assert dirs and all("/year=" in d and "/month=" in d for d in dirs)
 
 
+def test_stateful_running_counts(spark, event_dataset):
+    """applyInPandasWithState: per-user running totals over the whole
+    (finite) stream must equal the batch group-by counts."""
+    from gcpde_spark.streaming import stateful_running_counts
+
+    base, events = event_dataset
+    stream = read_dataset_stream(spark, base, "ev", EVENT_SCHEMA)
+    counts = stateful_running_counts(stream, "user_id", "ts")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # "update" mode may emit a row per micro-batch per key; the LAST
+    # emission per key carries the final running total
+    got = {
+        r.key: r.n
+        for r in spark.table("t_stateful").groupBy("key").agg(F.max("n").alias("n")).collect()
+    }
+    expected = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
+
+
 def test_restarted_sink_is_exactly_once(spark, event_dataset, tmp_path_factory):
     """Restarting the sink with the same checkpoint must not duplicate
     rows (file-sink commit log)."""
