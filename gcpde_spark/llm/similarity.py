@@ -176,6 +176,142 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    train_rows: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: spherical k-means on a
+    deterministic sample, on the driver.
+
+    Scale design: the trainer never sees the full table — ``train_rows``
+    (ORDER BY id LIMIT n, so the sample is reproducible) is a few MB
+    regardless of table size; FAISS trains IVF the same way (sample →
+    driver/GPU k-means → broadcast centroids). Centroids are L2-normalized
+    so nearest-by-cosine reduces to argmax dot product.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select(F.col(id_col).alias("_id"), _dvec(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(train_rows)
+        .collect()
+    )
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    return C.tolist()
+
+
+def _cell_structs(v: Column, centroids: list[list[float]]) -> Column:
+    """Array of ``(-dot(v, c_j), j)`` structs — lexicographic min = nearest
+    centroid by cosine (ties break to the lowest cell id, deterministic)."""
+    return F.array(
+        *[
+            F.struct(
+                (-_dot(v, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
+                F.lit(j).alias("c"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+
+
+def with_ivf_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Add the IVF cell id (nearest centroid by cosine) — one map-side
+    projection of ``n_centroids`` dot products per row, no shuffle."""
+    return df.withColumn(
+        out_col, F.array_min(_cell_structs(_dvec(vec_col), centroids))["c"]
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_rows: int = 2048,
+    seed: int = 13,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF-Flat: partition vectors into
+    ``n_centroids`` Voronoi cells around k-means centroids, score each
+    query only against its ``nprobe`` nearest cells.
+
+    The scale complement to :func:`lsh_topk`: candidate generation is an
+    equi-join on cell id (shuffle keyed by cell, never all-pairs), and the
+    candidate fraction is ~``nprobe / n_centroids`` of N per query —
+    tunable recall/cost, property-tested vs brute force
+    (tests/test_llm.py). At 100 TB: centroids train on a driver-sized
+    sample and broadcast; cell assignment is map-side; pre-partitioning
+    the table by cell (bucketBy) would make repeated searches shuffle-free.
+    Same output shape/ordering contract as :func:`brute_force_topk`.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, train_rows, id_col, vec_col, seed
+        )
+    e = with_ivf_cells(
+        embeddings.select(F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("_v")),
+        centroids,
+        "_v",
+        "cell",
+    ).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), _dvec(query_vec_col).alias("_qv")
+    ).withColumn("_qnorm", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
+    # nprobe nearest cells per query: sort the (-dot, cell) structs and
+    # take the first nprobe — array_sort is lexicographic, same order the
+    # assignment uses.
+    probes = F.transform(
+        F.slice(F.array_sort(_cell_structs(F.col("_qv"), centroids)), 1, nprobe),
+        lambda s: s["c"],
+    )
+    q = q.select("qid", "_qv", "_qnorm", F.explode(probes).alias("cell"))
+    candidates = (
+        e.join(F.broadcast(q), on="cell")
+        .select(
+            "qid",
+            "vec_id",
+            (
+                round4(
+                    _dot(F.col("_v"), F.col("_qv")) / (F.col("_norm") * F.col("_qnorm"))
+                )
+                + F.lit(0.0)
+            ).alias("score"),
+        )
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -261,6 +261,24 @@ def l09(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "l11_ivf_topk",
+    None,  # seeded k-means cells; recall vs brute force property-tested
+    "ANN top-k via IVF-Flat (§2B-16): driver-trained coarse quantizer, "
+    "map-side cell assignment, nprobe-cell candidate join",
+)
+def l11(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).orderBy(
+        "qid", "rank"
+    )
+
+
+@_q(
     "l10_embedding_neardup",
     None,
     "embedding-cosine near-duplicate pairs via LSH buckets (§2B-16)",

@@ -172,6 +172,40 @@ def test_lsh_topk_recall_vs_brute_force(emb):
     assert mean_recall >= 0.5, f"mean recall@5 {mean_recall} too low"
 
 
+def test_ivf_topk_recall_vs_brute_force(emb):
+    from gcpde_spark.llm.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # nprobe/n_centroids = 1/4 of the table scanned per query; spherical
+    # k-means cells capture near-neighbors far better than random slices
+    assert mean_recall >= 0.6, f"mean recall@5 {mean_recall} too low"
+
+
+def test_ivf_topk_is_deterministic(emb):
+    from gcpde_spark.llm.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = [tuple(r) for r in ivf_topk(emb, q, k=5).orderBy("qid", "rank").collect()]
+    b = [tuple(r) for r in ivf_topk(emb, q, k=5).orderBy("qid", "rank").collect()]
+    assert a == b
+
+
 def test_embedding_near_dup_finds_planted_duplicate(emb):
     from gcpde_spark.llm.similarity import embedding_near_dup_pairs
 
