@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from gcpde_spark.llm.text import normalize_text, round4, tokens
+from gcpde_spark.llm.text import normalize_text, round4, spread, tokens
 
 # Universal-hash family (a*x + b) mod P with P = 2^31 - 1 (Mersenne
 # prime) over inputs folded into [0, P). Two constraints pin this choice:
@@ -117,7 +117,7 @@ def _exploded_shingles(
     shingle, matching :func:`with_shingles`.
     """
     toks = tokens(text_col)
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col).alias("_vid"), F.posexplode(toks).alias("_pos", "_tok")
     )
     if n == 1:
@@ -336,7 +336,9 @@ def _simhashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sign bit and ANSI mode raises on signed-add overflow).
     """
     toks = tokens(text_col)
-    exploded = df.select(F.col(id_col).alias("_sh_id"), F.explode(toks).alias("_t"))
+    exploded = spread(df).select(
+        F.col(id_col).alias("_sh_id"), F.explode(toks).alias("_t")
+    )
     h = F.xxhash64(F.col("_t"))
     votes = [
         F.sum(

@@ -157,6 +157,38 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
     return df.mapInPandas(_embed_batch, out_schema)
 
 
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize image rows to ``width``×``height`` with Arrow-batched
+    ``mapInPandas``; non-image rows pass through untouched with null
+    resize metadata.
+
+    The pixel transform is STUBBED (content passes through unchanged and
+    only the typed metadata records the target box — a real PIL
+    ``Image.resize`` is a body-only change to ``_resize_batch``); the
+    Spark-side contract is real: schema gains ``resized_width`` /
+    ``resized_height``, bytes stay in the ``content`` column, and the
+    operation is a single map-side pass with no shuffle.
+    """
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("resized_width", IntegerType(), True),
+            StructField("resized_height", IntegerType(), True),
+        ]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            is_img = pdf["media_type"] == "image"
+            out["resized_width"] = [width if m else None for m in is_img]
+            out["resized_height"] = [height if m else None for m in is_img]
+            yield out
+
+    return df.mapInPandas(_resize_batch, out_schema)
+
+
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Explode each video row into ``n_frames`` evenly-spaced frame rows
     ``(path, media_type, frame_idx, frame_offset_ms)`` — the frame-sample

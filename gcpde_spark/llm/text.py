@@ -25,6 +25,23 @@ STOPWORDS = {
 }
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a low-parallelism input out to every core before CPU-bound
+    per-row work (interpreted HOF lambdas, exploded-token aggregation).
+
+    A small parquet file scans as 1–2 partitions, which would pin the
+    expensive LLM projections to 1–2 cores; at 100 TB the scan already
+    has thousands of splits and this is a no-op (the guard keeps the
+    full-table round-robin shuffle from ever running at scale — it only
+    triggers when the input has FEWER partitions than cores, i.e. when
+    the data is small enough that the shuffle is trivially cheap).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def round4(c: Column) -> Column:
     """Cross-engine-stable 4-decimal rounding for DOUBLE ratios.
 
@@ -60,6 +77,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     cheap quality signals (length, punctuation density, function-word
     density) used to filter web-scale corpora before training.
     """
+    df = spread(df)
     norm = normalize_text(text_col)
     toks = tokens(text_col)
     n_tokens = F.size(toks).cast("bigint")
@@ -93,6 +111,7 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``lang_pred``: the language whose function-word list hits the
     most tokens (ties broken by language code order), or ``und`` when
     nothing hits. Single projection — no shuffle, no UDF."""
+    df = spread(df)
     toks = tokens(text_col)
 
     def _hits(words: list[str]) -> Column:

@@ -288,6 +288,21 @@ def test_extract_features_shape(spark, media_dir):
     assert len(feats) == 1 and len(feats[0].features) == 32
 
 
+def test_resize_images_metadata_and_passthrough(spark, media_dir):
+    from gcpde_spark.llm.multimodal import read_binary_files, resize_images
+
+    df = read_binary_files(spark, media_dir)
+    resized = {
+        r.path.rsplit("/", 1)[-1]: r for r in resize_images(df, 224, 224).collect()
+    }
+    assert resized["a.jpg"].resized_width == 224
+    assert resized["a.jpg"].resized_height == 224
+    assert resized["note.txt"].resized_width is None  # non-image passthrough
+    # content bytes survive the stub untouched
+    orig = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert bytes(resized["a.jpg"].content) == orig["a.jpg"]
+
+
 def test_sample_frames_only_videos(spark, media_dir):
     from gcpde_spark.llm.multimodal import read_binary_files, sample_frames
 
