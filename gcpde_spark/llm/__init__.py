@@ -9,16 +9,18 @@ DataFrame → DataFrame transforms so they scale with partitioning:
 - :mod:`gcpde_spark.llm.dedup`      — exact dedup, MinHash-LSH banded
   near-dup, SimHash, n-gram Jaccard verification.
 - :mod:`gcpde_spark.llm.similarity` — embedding cosine top-k (brute-force
-  baseline + random-hyperplane LSH scale path), embedding near-dup.
+  baseline; random-hyperplane LSH and IVF-Flat scale paths), embedding
+  near-dup.
 - :mod:`gcpde_spark.llm.multimodal` — binary media columns: binaryFile
   source, Arrow-batched decode / feature-extraction plumbing (decode
   itself stubbed — media libs are not in this image).
 
-Design rules: no Python row UDFs in any hot path (everything is built-in
-column expressions / higher-order functions compiled by Catalyst, except
-the explicitly-Arrow multimodal batch ops), no ``collect()`` inside any
-operator, no all-pairs joins (candidate generation is always banded /
-bucketed).
+Design rules: no Python row UDFs anywhere (hot paths are built-in column
+expressions compiled by Catalyst; where a matrix product genuinely beats
+expression trees — LSH/IVF assignment — it runs as one numpy matmul per
+Arrow batch in a vectorized pandas UDF), no ``collect()`` inside any
+operator except the IVF trainer's bounded driver-side sample, no
+all-pairs joins (candidate generation is always banded / bucketed).
 """
 
 from gcpde_spark.llm.dedup import (
@@ -32,7 +34,10 @@ from gcpde_spark.llm.dedup import (
 from gcpde_spark.llm.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
+    train_ivf_centroids,
+    with_ivf_cells,
     with_lsh_buckets,
 )
 from gcpde_spark.llm.text import (
@@ -51,7 +56,10 @@ __all__ = [
     "with_simhash",
     "brute_force_topk",
     "embedding_near_dup_pairs",
+    "ivf_topk",
     "lsh_topk",
+    "train_ivf_centroids",
+    "with_ivf_cells",
     "with_lsh_buckets",
     "normalize_text",
     "with_fingerprint",

@@ -138,6 +138,45 @@ def _exploded_shingles(
     return full.unionByName(short)
 
 
+def _bucket_pairs(skinny: DataFrame, key_cols: list[str], payload: str = "_id") -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs from hash buckets, computing the
+    bucketed input ONCE.
+
+    A self-join on the bucket key would consume the (expensive) signature
+    subplan twice — Catalyst does not reuse the exchange across join
+    sides. Instead: groupBy bucket → collect the member list → expand
+    ``a < b`` pairs inside the array. Bucket member lists are tiny by
+    construction (E[size] = N / #buckets; LSH banding is designed so
+    buckets fit in memory), so the in-array O(size²) expansion is
+    trivial, while the signature stage runs exactly once. Skewed buckets
+    (e.g. a degenerate band hash) are quadratic under EITHER shape; at
+    100 TB cap or salt them upstream.
+
+    ``payload`` may be a struct column carrying per-id extras (e.g. the
+    simhash value) — pairs then expose ``id_a``/``id_b`` structs.
+    """
+    grouped = (
+        skinny.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(payload)).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
+    ids = F.col("_ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda a: F.transform(
+                F.filter(ids, lambda b: b > a),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
 def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the permutation hash family."""
     import random
@@ -243,17 +282,7 @@ def minhash_near_dup_pairs(
         ]
     )
     skinny = sig.select("_id", F.posexplode(band_keys).alias("band_idx", "band_hash"))
-    a, b = skinny.alias("a"), skinny.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
+    candidates = _bucket_pairs(skinny, ["band_idx", "band_hash"])
     return _verify_jaccard(df, candidates, id_col, text_col, shingle_size, threshold)
 
 
@@ -392,24 +421,20 @@ def simhash_near_dup_pairs(
             for c in range(4)
         ]
     )
+    # carry the simhash through the bucket expansion (struct payload) so
+    # verification needs no re-join against the signature table
     skinny = sim.select(
-        "_id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk")
+        F.struct(F.col("_id"), F.col("simhash")).alias("_m"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
     )
-    a, b = skinny.alias("a"), skinny.alias("b")
+    pairs = _bucket_pairs(skinny, ["chunk_idx", "chunk"], payload="_m")
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
+        pairs.select(
+            F.col("id_a._id").alias("id_a"),
+            F.col("id_b._id").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("id_a.simhash").bitwiseXOR(F.col("id_b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
         .where(F.col("hamming") <= max_hamming)
     )

