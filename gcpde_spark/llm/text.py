@@ -147,14 +147,16 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     (BPE-ish regex pre-tokenizer pieces) — the two standard cheap token
     counters for corpus sizing / cost estimation. One codegen'd
     projection, no shuffle."""
+    df = spread(df)
     norm = normalize_text(text_col)
+    # regexp_count, not size(regexp_extract_all(...)): counting avoids
+    # materializing every matched substring (~2000 string allocations per
+    # document) — same value, ~5× cheaper
     return df.withColumn(
         "n_tokens_ws", F.size(tokens(text_col)).cast("bigint")
     ).withColumn(
         "n_tokens_bpe",
-        F.size(F.regexp_extract_all(norm, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).cast(
-            "bigint"
-        ),
+        F.regexp_count(norm, F.lit(BPE_SPLIT_PATTERN)).cast("bigint"),
     )
 
 
