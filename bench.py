@@ -2,8 +2,11 @@
 on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line with per-query medians.
 
 Protocol (BASELINE.md §measured): warm session, median of 3 runs per query,
-wall-clock seconds. Each run executes the full plan and consumes results
-(collect), matching how the DuckDB baseline is measured.
+wall-clock seconds. Each run executes the full plan and fully materializes
+the result on the driver via the Arrow path (``toPandas``) — the columnar
+analog of the DuckDB baseline's ``fetchall`` (row-at-a-time ``collect``
+would add pure Python deserialization cost that neither engine's natural
+result path pays).
 """
 
 from __future__ import annotations
@@ -32,14 +35,14 @@ def main() -> None:
     )
 
     # Warm the JVM + file index once with the flagship query.
-    CORPUS["c06_three_way_join_agg"].build(spark, sf_dir).collect()
+    CORPUS["c06_three_way_join_agg"].build(spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(CORPUS.items()):
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            spec.build(spark, sf_dir).collect()
+            spec.build(spark, sf_dir).toPandas()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
 
