@@ -362,10 +362,69 @@ class TableStore:
     def upsert_table_df(
         self, dataset: str, table: str, source: DataFrame, key_field: str
     ) -> None:
-        """Scale variant: merge a DataFrame into a managed table and swap."""
+        """Scale variant: merge a DataFrame into a managed table and swap.
+
+        Rewrites the whole table — correct for any layout, O(table size)
+        regardless of delta size. For partitioned tables prefer
+        :meth:`upsert_table_df_partitioned`, which rewrites only the
+        partitions the delta touches.
+        """
         target = self.spark.table(f"`{dataset}`.`{table}`")
         merged = merge_dataframes(target, source, [key_field])
         self.replace_table_df(dataset, table, merged)
+
+    def upsert_table_df_partitioned(
+        self, dataset: str, table: str, source: DataFrame, key_field: str
+    ) -> None:
+        """Partition-scoped upsert: MERGE the delta into only the
+        partitions it touches, rewriting those partitions in place via
+        dynamic partition overwrite — a 1-row delta into a date-partitioned
+        100 TB table rewrites one day's files, not the table. Falls back to
+        the full-table path for unpartitioned tables.
+
+        The touched-partition list is collected to the driver (bounded by
+        the delta's distinct partition values, not table size) and becomes
+        a static IN-filter, so the target scan partition-prunes to exactly
+        the touched partitions.
+
+        Contract: a key's partition value must be immutable (true for the
+        usual event-date layouts). A delta that moves a key across
+        partitions would strand the old row in an untouched partition —
+        that workload needs :meth:`upsert_table_df` or a transactional
+        format's MERGE (Delta/Iceberg), where this method becomes a single
+        ``MERGE INTO`` with file-level rewrite.
+        """
+        name = f"`{dataset}`.`{table}`"
+        part_cols = [
+            c.name
+            for c in self.spark.catalog.listColumns(f"{dataset}.{table}")
+            if c.isPartition
+        ]
+        if not part_cols:
+            self.upsert_table_df(dataset, table, source, key_field)
+            return
+        target = self.spark.table(name)
+        touched = [tuple(r) for r in source.select(*part_cols).distinct().collect()]
+        if not touched:
+            return
+        cond = None
+        for vals in touched:
+            eq = None
+            for c, v in zip(part_cols, vals):
+                term = F.col(c) == F.lit(v)
+                eq = term if eq is None else (eq & term)
+            cond = eq if cond is None else (cond | eq)
+        merged = merge_dataframes(target.where(cond), source, [key_field])
+        prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.select(*target.columns).write.mode("overwrite").insertInto(
+                f"`{dataset}`.`{table}`"
+            )
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     # -- Q1/Q2/Q3/Q5: query execution ------------------------------------------
 

@@ -278,3 +278,43 @@ def test_empty_result_pagination(store):
     store.create_table_from_records("ds", "t", [{"id": 1}])
     records, token = store.query_paginated("SELECT id FROM ds.t WHERE id > 99", 10)
     assert records == [] and token is None
+
+
+# -- B13 scale path: partition-scoped upsert ----------------------------------
+
+
+def test_partition_scoped_upsert_rewrites_only_touched_partitions(store, spark):
+    """A delta touching one partition must leave the other partition's
+    files untouched on disk (VERDICT r1: upsert must not rewrite the
+    whole table)."""
+    import glob
+    import os
+
+    store._ensure_database("ds")
+    df = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")],
+        "id long, v string, day string",
+    )
+    df.write.partitionBy("day").format("parquet").saveAsTable("ds.pt")
+    d2_glob = f"{store.warehouse_dir}/ds.db/pt/day=d2/*.parquet"
+    before = {f: os.path.getmtime(f) for f in glob.glob(d2_glob)}
+    assert before
+
+    delta = spark.createDataFrame(
+        [(1, "A", "d1"), (4, "d", "d1")], "id long, v string, day string"
+    )
+    time.sleep(1.1)  # make any rewrite visible in mtimes
+    store.upsert_table_df_partitioned("ds", "pt", delta, "id")
+
+    got = {(r.id, r.v, r.day) for r in spark.table("ds.pt").collect()}
+    assert got == {(1, "A", "d1"), (2, "b", "d1"), (3, "c", "d2"), (4, "d", "d1")}
+    after = {f: os.path.getmtime(f) for f in glob.glob(d2_glob)}
+    assert after == before  # untouched partition: same files, same mtimes
+
+
+def test_partition_scoped_upsert_unpartitioned_falls_back(store, spark):
+    store.create_table_from_records("ds", "t", [{"id": 1, "v": "a"}])
+    delta = spark.createDataFrame([(1, "A"), (2, "b")], "id long, v string")
+    store.upsert_table_df_partitioned("ds", "t", delta, "id")
+    got = {(r.id, r.v) for r in spark.table("ds.t").collect()}
+    assert got == {(1, "A"), (2, "b")}
