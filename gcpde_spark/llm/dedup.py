@@ -102,7 +102,7 @@ def with_shingles(
 
 
 def _exploded_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, fanout: bool = True
 ) -> DataFrame:
     """``(_vid, _s)`` word-``n``-gram rows via posexplode + lead window.
 
@@ -117,7 +117,10 @@ def _exploded_shingles(
     shingle, matching :func:`with_shingles`.
     """
     toks = tokens(text_col)
-    base = spread(df).select(
+    # fanout=False skips the spread() partition probe — right for inputs
+    # that are already join/filter plans (probing .rdd on an unexecuted
+    # AQE join plan forces eager stage materialization) or known-small.
+    base = (spread(df) if fanout else df).select(
         F.col(id_col).alias("_vid"), F.posexplode(toks).alias("_pos", "_tok")
     )
     if n == 1:
@@ -313,7 +316,15 @@ def _verify_jaccard(
     all codegen'd hash joins/aggregates on skinny rows. (The
     array_intersect/array_union formulation is O(|A|·|B|) interpreted
     per pair — ~3× slower on the sf0.1 corpus and worse at scale.)
+
+    ``pairs`` is persisted: it is consumed twice below (a-side join and
+    zero-intersection resurrection), and when it arrives from the LSH
+    pipeline each un-persisted consumption would re-run the whole
+    signature stage. Candidate pairs are by construction a tiny fraction
+    of the corpus — caching them is bytes, recomputing them is the most
+    expensive stage in the query.
     """
+    pairs = pairs.persist()
     ex = _exploded_shingles(df, id_col, text_col, n).distinct()
     sizes = ex.groupBy("_vid").agg(F.count(F.lit(1)).alias("_n"))
     pa = pairs.join(
