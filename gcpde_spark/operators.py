@@ -1,0 +1,127 @@
+"""Relational operators Spark lacks natively, composed from DataFrame
+primitives (SURVEY.md §2B-5 extension notes).
+
+The reference delegates SQL to an engine with no as-of join either; this
+module exists because time-series enrichment (latest quote before a
+trade, last click before a purchase) is a standard need of the 100 TB
+event pipelines this engine targets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    direction: str = "backward",
+    tolerance: str | None = None,
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: for every left row, attach the single right row with
+    the largest ``ts <= left.ts`` (``backward``, inclusive — the match
+    DuckDB's ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``
+    computes) or the smallest ``ts >= left.ts`` (``forward``), per
+    ``by``-group. Unmatched left rows keep NULL right columns.
+
+    Shape: union the two inputs into one keyed stream and carry the right
+    payload across left rows with ``last(..., ignorenulls) OVER
+    (PARTITION BY by ORDER BY ts, side ROWS UNBOUNDED PRECEDING)`` — one
+    shuffle + sort on ``(by, ts)``, all codegen'd, no per-row Python and
+    no range self-join (the naive ``l.ts >= r.ts`` theta join is
+    O(|L|·|R|) per key). At 100 TB this scales like any window: state is
+    one carried row per ``by``-partition, and skewed keys split under
+    AQE like any other sort.
+
+    ``tolerance`` (e.g. ``"1 hour"``) nulls matches farther than the
+    interval from the left timestamp. Right rows should be unique per
+    ``(by, ts)`` — pre-aggregate otherwise, or the tie picked among
+    equal-timestamp right rows is unspecified (DuckDB's ASOF has the
+    same ambiguity).
+
+    Output columns: ``by``, ``ts_col``, the remaining left columns, the
+    right payload columns (suffixed with ``right_suffix`` on name
+    collisions), and ``{ts_col}{right_suffix}`` = the matched right
+    timestamp.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by = list(by)
+    lcols = [c for c in left.columns if c not in by and c != ts_col]
+    rcols = [c for c in right.columns if c not in by and c != ts_col]
+    rout = {c: (c + right_suffix if c in lcols else c) for c in rcols}
+    rts = f"{ts_col}{right_suffix}"
+
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    l_tagged = left.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(rtypes[c]).alias(rout[c]) for c in rcols],
+        F.lit(None).cast(rtypes[ts_col]).alias(rts),
+    )
+    r_tagged = right.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(rout[c]) for c in rcols],
+        F.col(ts_col).alias(rts),
+    )
+    u = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        # at equal ts the right row (side 0) sorts before the left row,
+        # so last() sees it — inclusive match
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+        def fill(c: str) -> F.Column:
+            return F.last(F.col(c), ignorenulls=True).over(w)
+
+    else:
+        # left row (side 1) sorts before the equal-ts right row, and
+        # first() over the following frame sees it — inclusive match
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+
+        def fill(c: str) -> F.Column:
+            return F.first(F.col(c), ignorenulls=True).over(w)
+
+    filled = [fill(rout[c]).alias(rout[c]) for c in rcols] + [fill(rts).alias(rts)]
+    out = (
+        u.select(*by, F.col("_ts").alias(ts_col), "_side", *lcols, *filled)
+        .where(F.col("_side") == 1)
+        .drop("_side")
+    )
+    if tolerance is not None:
+        within = (
+            F.col(rts) >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col(rts) <= F.col(ts_col) + F.expr(f"INTERVAL {tolerance}")
+        )
+        out = out.select(
+            *by,
+            ts_col,
+            *lcols,
+            *[
+                F.when(within, F.col(rout[c])).otherwise(F.lit(None)).alias(rout[c])
+                for c in rcols
+            ],
+            F.when(within, F.col(rts)).otherwise(F.lit(None)).alias(rts),
+        )
+    return out

@@ -910,3 +910,39 @@ def c38(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_id")
         .limit(300)
     )
+
+
+@_q(
+    "c39_asof_join",
+    """WITH p AS (
+         SELECT event_id, user_id, ts, value FROM events
+         WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id, ts, MAX(value) AS click_value FROM events
+         WHERE event_type = 'click' GROUP BY user_id, ts)
+       SELECT p.event_id, p.user_id, p.ts, p.value,
+              c.click_value, c.ts AS ts_r
+       FROM p ASOF LEFT JOIN c
+         ON p.user_id = c.user_id AND p.ts >= c.ts
+       ORDER BY p.event_id""",
+    "as-of join (§2B-5 extension): latest click at or before each "
+    "purchase, per user — union + last(ignore nulls) window instead of a "
+    "per-key range self-join; hash-matched against DuckDB's native ASOF",
+)
+def c39(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.operators import asof_join
+
+    e = load_table(spark, sf, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # unique (user, ts) on the right side: deterministic tie-break that
+    # both engines compute identically (see asof_join docstring)
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof_join(
+        purchases, clicks, ts_col="ts", by=["user_id"], direction="backward"
+    ).orderBy("event_id")

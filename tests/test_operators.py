@@ -1,0 +1,57 @@
+"""asof_join semantics: backward/forward, inclusivity, tolerance,
+unmatched-null — checked on a hand-computable fixture. The at-scale
+equivalence with DuckDB's native ASOF JOIN is corpus entry c39."""
+
+from __future__ import annotations
+
+import datetime
+
+from gcpde_spark.operators import asof_join
+
+T = lambda m: datetime.datetime(2022, 1, 1, 10, m)  # noqa: E731
+
+
+def _fixture(spark):
+    left = spark.createDataFrame(
+        [(1, T(10), "l1"), (1, T(30), "l2"), (2, T(5), "l3")],
+        "k long, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, T(0), "r1"), (1, T(10), "r2"), (1, T(40), "r3"), (3, T(0), "rX")],
+        "k long, ts timestamp, rv string",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_unmatched_null(spark):
+    left, right = _fixture(spark)
+    got = {
+        r.lv: (r.rv, r.ts_r)
+        for r in asof_join(left, right, "ts", ["k"]).collect()
+    }
+    assert got["l1"] == ("r2", T(10))  # equal ts matches (inclusive)
+    assert got["l2"] == ("r2", T(10))  # latest at-or-before, not r3
+    assert got["l3"] == (None, None)  # key 2 has no right rows
+
+
+def test_asof_forward(spark):
+    left, right = _fixture(spark)
+    got = {
+        r.lv: r.rv
+        for r in asof_join(left, right, "ts", ["k"], direction="forward").collect()
+    }
+    assert got["l1"] == "r2"  # equal ts still matches
+    assert got["l2"] == "r3"  # earliest at-or-after
+    assert got["l3"] is None
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right = _fixture(spark)
+    got = {
+        r.lv: r.rv
+        for r in asof_join(
+            left, right, "ts", ["k"], tolerance="5 minutes"
+        ).collect()
+    }
+    assert got["l1"] == "r2"  # 0 min away
+    assert got["l2"] is None  # r2 is 20 min stale
