@@ -15,6 +15,68 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str] = ("user_id",),
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_s: int = -1800,
+    upper_s: int = 0,
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Banded interval join: all (left, right) pairs per ``by``-group with
+    ``left.ts + lower_s <= right.ts <= left.ts + upper_s`` (bounds in
+    seconds, inclusive).
+
+    The naive formulation is a theta join — Spark plans it as a
+    nested-loop per key, O(|L|·|R|) and unusable at scale. Here both
+    sides are bucketed into fixed windows of the interval's width: a
+    right row lands in exactly one bucket, a left row probes the (at
+    most two) buckets its interval overlaps, and the join becomes an
+    EQUI-join on ``(by, bucket)`` followed by the exact range filter —
+    shuffle keyed by (group, time bucket), linear in matches,
+    whole-stage codegen'd, no duplicate pairs to clean up. This is the
+    standard interval-bucketing trick (Flink's interval join and
+    Databricks' range-join hint do the same).
+
+    Output: the left columns plus the matched right columns
+    (collision-suffixed), one row per matching pair. Sub-second bounds
+    are not supported (bucketing runs on epoch seconds).
+    """
+    if upper_s <= lower_s:
+        raise ValueError("upper_s must be greater than lower_s")
+
+    def epoch_s(c):
+        # TIMESTAMP_NTZ has no direct bigint cast; hop through TIMESTAMP
+        # (session timezone is pinned UTC in gcpde_spark.session)
+        return c.cast("timestamp").cast("bigint")
+
+    by = list(by)
+    width = upper_s - lower_s
+    lcols = [c for c in left.columns if c not in by]
+    rcols = [c for c in right.columns if c not in by]
+    rout = {c: (c + right_suffix if c in lcols else c) for c in rcols}
+    rts = rout[right_ts]
+
+    r_b = right.select(
+        *by,
+        *[F.col(c).alias(rout[c]) for c in rcols],
+        F.floor(epoch_s(F.col(right_ts)) / width).alias("_bk"),
+    )
+    start = epoch_s(F.col(left_ts)) + F.lit(lower_s)
+    l_b = left.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("_probe")
+    ).withColumn("_bk", F.floor(start / width) + F.col("_probe"))
+    rsec = epoch_s(F.col(rts))
+    lsec = epoch_s(F.col(left_ts))
+    return (
+        l_b.join(r_b, by + ["_bk"])
+        .where((rsec >= lsec + lower_s) & (rsec <= lsec + upper_s))
+        .drop("_bk", "_probe")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -946,3 +946,35 @@ def c39(spark: SparkSession, sf: str) -> DataFrame:
     return asof_join(
         purchases, clicks, ts_col="ts", by=["user_id"], direction="backward"
     ).orderBy("event_id")
+
+
+@_q(
+    "c40_interval_join",
+    """WITH err AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+       c AS (
+         SELECT user_id, event_id, ts, value FROM events
+         WHERE event_type = 'click')
+       SELECT err.event_id, err.user_id, err.ts,
+              c.event_id AS event_id_r, c.ts AS ts_r, c.value
+       FROM err JOIN c
+         ON err.user_id = c.user_id
+        AND c.ts BETWEEN err.ts - INTERVAL 30 MINUTE AND err.ts
+       ORDER BY err.event_id, event_id_r""",
+    "banded interval join (§2B-5 extension): clicks within 30 min before "
+    "each error, per user — bucketed equi-join + exact filter instead of "
+    "the O(|L|*|R|) per-key nested loop the naive theta join plans",
+)
+def c40(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.operators import interval_join
+
+    e = load_table(spark, sf, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return interval_join(
+        errors, clicks, by=["user_id"], lower_s=-1800, upper_s=0
+    ).orderBy("event_id", "event_id_r")

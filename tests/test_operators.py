@@ -55,3 +55,33 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     }
     assert got["l1"] == "r2"  # 0 min away
     assert got["l2"] is None  # r2 is 20 min stale
+
+
+def test_interval_join_pairs_and_bounds(spark):
+    left = spark.createDataFrame(
+        [(1, T(30), "e1"), (2, T(30), "e2")], "k long, ts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, T(0), "c0"), (1, T(25), "c1"), (1, T(30), "c2"), (1, T(31), "c3")],
+        "k long, ts timestamp, rv string",
+    )
+    from gcpde_spark.operators import interval_join
+
+    got = {
+        (r.lv, r.rv)
+        for r in interval_join(
+            left, right, by=["k"], lower_s=-600, upper_s=0
+        ).collect()
+    }
+    # inclusive bounds: c1 (5 min before) and c2 (equal) match; c0 is too
+    # old, c3 is after, e2's key has no right rows
+    assert got == {("e1", "c1"), ("e1", "c2")}
+
+
+def test_interval_join_rejects_empty_interval(spark):
+    import pytest
+    from gcpde_spark.operators import interval_join
+
+    df = spark.createDataFrame([(1, T(0))], "k long, ts timestamp")
+    with pytest.raises(ValueError):
+        interval_join(df, df, by=["k"], lower_s=0, upper_s=0)
