@@ -13,9 +13,10 @@ plus the relational surface:
 - ``engine.register_udf`` / ``engine.register_pandas_udf`` — user code
   callable from SQL (§2B-12).
 
-The streaming layer (:mod:`gcpde_spark.streaming`) and the LLM-pipeline
-operators (:mod:`gcpde_spark.llm`) are DataFrame-level modules used
-directly with ``engine.spark`` / any DataFrame.
+The streaming layer (:mod:`gcpde_spark.streaming`), the time-series
+operators (:mod:`gcpde_spark.operators` — as-of join, interval join) and
+the LLM-pipeline operators (:mod:`gcpde_spark.llm`) are DataFrame-level
+modules used directly with ``engine.spark`` / any DataFrame.
 
 Every record-returning verb has a ``*_df`` sibling that stays distributed.
 """

@@ -85,3 +85,43 @@ def test_interval_join_rejects_empty_interval(spark):
     df = spark.createDataFrame([(1, T(0))], "k long, ts timestamp")
     with pytest.raises(ValueError):
         interval_join(df, df, by=["k"], lower_s=0, upper_s=0)
+
+
+def test_asof_join_matches_naive_reference_on_random_inputs(spark):
+    """Property: asof_join(backward) equals the quadratic per-row argmax
+    on arbitrary key/timestamp shapes (duplicate left rows, ties, keys
+    on one side only). Right rows are unique per (k, ts) by construction
+    — the operator's documented precondition."""
+    from hypothesis import given, settings, strategies as st
+
+    pair = st.tuples(st.integers(0, 2), st.integers(0, 30))
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        lefts=st.lists(pair, min_size=1, max_size=8),
+        rights=st.sets(pair, max_size=8),
+    )
+    def check(lefts, rights):
+        left = spark.createDataFrame(
+            [(k, T(m), i) for i, (k, m) in enumerate(lefts)],
+            "k long, ts timestamp, lid long",
+        )
+        rights = sorted(rights)
+        if rights:
+            right = spark.createDataFrame(
+                [(k, T(m), i) for i, (k, m) in enumerate(rights)],
+                "k long, ts timestamp, rid long",
+            )
+        else:
+            right = spark.createDataFrame([], "k long, ts timestamp, rid long")
+        got = {
+            r.lid: r.rid for r in asof_join(left, right, "ts", ["k"]).collect()
+        }
+        for i, (k, m) in enumerate(lefts):
+            candidates = [
+                (rm, j) for j, (rk, rm) in enumerate(rights) if rk == k and rm <= m
+            ]
+            expected = max(candidates)[1] if candidates else None
+            assert got[i] == expected, (lefts, rights, i)
+
+    check()
