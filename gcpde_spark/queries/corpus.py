@@ -978,3 +978,73 @@ def c40(spark: SparkSession, sf: str) -> DataFrame:
     return interval_join(
         errors, clicks, by=["user_id"], lower_s=-1800, upper_s=0
     ).orderBy("event_id", "event_id_r")
+
+
+@_q(
+    "c41_window_navigation",
+    """SELECT o_custkey, o_orderkey,
+         CAST(DENSE_RANK() OVER w AS BIGINT) AS dr,
+         CAST(NTILE(4) OVER w AS BIGINT) AS nt,
+         FIRST_VALUE(o_orderkey) OVER w AS fv,
+         LAST_VALUE(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+       FROM orders WHERE o_custkey <= 100
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+       ORDER BY o_custkey, o_orderkey""",
+    "window navigation fns — dense_rank/ntile/first_value/last_value "
+    "(§2B-8); deterministic because o_orderkey is unique per partition",
+)
+def c41(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").where(F.col("o_custkey") <= 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("bigint").alias("dr"),
+        F.ntile(4).over(w).cast("bigint").alias("nt"),
+        F.first("o_orderkey").over(w).alias("fv"),
+        F.last("o_orderkey").over(w_full).alias("lv"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@_q(
+    "c42_limit_offset",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40""",
+    "sort + offset + limit pagination shape (§2B-9); Spark plans a single "
+    "TakeOrderedAndProject of offset+limit rows",
+)
+def c42(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )
+
+
+@_q(
+    "c43_pivot",
+    """SELECT o_orderpriority,
+         CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+         CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+         CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "pivot / conditional aggregation (§2B-6): explicit pivot values keep "
+    "the output schema static (no dry-run distinct scan), count nulls "
+    "coalesced to 0 to match SQL FILTER semantics",
+)
+def c43(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in "FOP"],
+    ).orderBy("o_orderpriority")
