@@ -1048,3 +1048,40 @@ def c43(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderpriority",
         *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in "FOP"],
     ).orderBy("o_orderpriority")
+
+
+@_q(
+    "c44_jsonl_roundtrip",
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS sq
+       FROM lineitem WHERE l_orderkey <= 1000
+       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "JSONL sink + scan round-trip (§2B-1/2): write a projection as JSON "
+    "lines, read back with an explicit schema (no inference job), "
+    "aggregate — the oracle computes the same aggregate from parquet, so "
+    "a lossy serialization would hash-mismatch",
+)
+def c44(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    out = os.path.join(
+        os.environ.get("GCPDE_SPARK_WAREHOUSE", "/tmp/gcpde_spark_warehouse"),
+        "_c44_jsonl",
+    )
+    li = (
+        load_table(spark, sf, "lineitem")
+        .where(F.col("l_orderkey") <= 1000)
+        .select("l_orderkey", "l_returnflag", money("l_quantity").alias("l_quantity"))
+    )
+    li.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "l_orderkey bigint, l_returnflag string, l_quantity decimal(18,2)"
+    ).json(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("l_quantity"), 4).cast("double").alias("sq"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -32,7 +32,7 @@ TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
 ).split()
-STATEFUL = {"c28_ctas_scanback", "c29_merge_upsert"}
+STATEFUL = {"c28_ctas_scanback", "c29_merge_upsert", "c44_jsonl_roundtrip"}
 
 
 def _canon(v):
