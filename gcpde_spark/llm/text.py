@@ -160,6 +160,62 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer et al.,
+    the MOSS algorithm): hash every ``k``-token gram, slide a window of
+    ``w`` gram hashes, keep each window's minimum — a position-robust
+    fingerprint set whose density is guaranteed ≥ 1 fingerprint per
+    ``w + k - 1`` tokens, the standard local substring-matching
+    fingerprint between exact hashing and MinHash.
+
+    Returns distinct ``(id, fingerprint)`` rows; documents with fewer
+    than ``k + w - 1`` tokens produce none (no full window exists).
+
+    Shape: one posexplode + two stacked window functions over the SAME
+    ``(doc, position)`` partitioning — Catalyst plans a single sort, so
+    the whole operator is one shuffle of token rows, linear at any
+    scale. The "hash" is the md5 hex string and the window minimum is
+    lexicographic — both cross-engine-stable, so the operator is
+    oracle-checkable (queries/llm_corpus.py l13).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    base = spread(df).select(
+        F.col(id_col).alias("_vid"), F.posexplode(toks).alias("_pos", "_tok")
+    )
+    w_lead = Window.partitionBy("_vid").orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w_lead) for i in range(1, k)]
+    grams = (
+        base.select(
+            "_vid",
+            "_pos",
+            F.md5(F.concat_ws(" ", *parts)).alias("_h"),
+            F.lead("_tok", k - 1).over(w_lead).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    w_min = Window.partitionBy("_vid").orderBy("_pos").rowsBetween(0, w - 1)
+    w_cnt = Window.partitionBy("_vid")
+    w_rn = Window.partitionBy("_vid").orderBy("_pos")
+    sel = (
+        grams.withColumn("_fp", F.min("_h").over(w_min))
+        .withColumn("_rn", F.row_number().over(w_rn))
+        .withColumn("_m", F.count(F.lit(1)).over(w_cnt))
+        .where(F.col("_rn") <= F.col("_m") - w + 1)  # full windows only
+    )
+    return sel.select(
+        F.col("_vid").alias(id_col), F.col("_fp").alias("fingerprint")
+    ).distinct()
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add two deterministic document fingerprints:
 

@@ -319,3 +319,41 @@ def l10(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.9, n_planes=6).orderBy(
         "id_a", "id_b"
     )
+
+
+@_q(
+    "l13_winnowing",
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+            unnest(generate_series(1, len(toks) - 2)) AS pos,
+            unnest(list_transform(generate_series(1, len(toks) - 2),
+                   i -> md5(array_to_string(toks[i:i+2], ' ')))) AS h
+          FROM t WHERE len(toks) >= 3),
+        win AS (
+          SELECT doc_id, pos,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+            COUNT(*) OVER (PARTITION BY doc_id) AS m,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+          FROM g),
+        sel AS (SELECT DISTINCT doc_id, fp FROM win WHERE rn <= m - 3)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp, MIN(fp) AS min_fp
+       FROM sel GROUP BY doc_id ORDER BY doc_id""",
+    "rolling-hash fingerprinting by winnowing (§2B-16, MOSS): 3-gram md5 "
+    "hashes, lexicographic min over each 4-gram window, distinct "
+    "fingerprint set summarized per doc",
+)
+def l13(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.text import winnowing_fingerprints
+
+    docs = load_table(spark, sf, "documents")
+    fps = winnowing_fingerprints(docs, "doc_id", k=3, w=4)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+            F.min("fingerprint").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )

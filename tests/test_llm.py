@@ -311,3 +311,26 @@ def test_sample_frames_only_videos(spark, media_dir):
     assert len(frames) == 4
     assert all(r.media_type == "video" for r in frames)
     assert [r.frame_idx for r in sorted(frames, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+
+
+def test_winnowing_fingerprints_properties(docs, spark):
+    """Winnowing guarantees: position-shift robustness (a shared long
+    substring yields shared fingerprints) and no fingerprints for
+    too-short documents."""
+    from gcpde_spark.llm.text import winnowing_fingerprints
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, "PREFIX WORDS HERE " + base),  # same content, shifted
+        (3, "tiny doc"),  # < k + w - 1 tokens -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, "doc_id", k=3, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert 3 not in by_doc
+    # the shared substring dominates both docs: most fingerprints overlap
+    inter = by_doc[1] & by_doc[2]
+    assert len(inter) >= len(by_doc[1]) * 0.5
