@@ -223,6 +223,58 @@ def stateful_running_counts(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_s: int = -1800,
+    upper_s: int = 0,
+    watermark: str = "2 hours",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream inner join on key + event-time range: pairs with
+    ``left.ts + lower_s <= right.ts <= left.ts + upper_s`` (seconds,
+    inclusive) — the streaming form of
+    :func:`gcpde_spark.operators.interval_join`.
+
+    Both sides carry a watermark and the join condition bounds event
+    time on BOTH sides, which is exactly what Structured Streaming needs
+    to expire buffered rows: each side's state is limited to
+    ``watermark + interval`` of history instead of the whole stream.
+    In batch mode the same plan degrades to a plain range join, so
+    batch ≡ stream parity is testable (tests/test_streaming.py).
+    """
+    rcols = [c for c in right.columns if c != by]
+    r = right.select(
+        F.col(by),
+        *[
+            F.col(c).alias(c + right_suffix if c in left.columns else c)
+            for c in rcols
+        ],
+    )
+    rts = right_ts + right_suffix if right_ts in left.columns else right_ts
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(rts, watermark)
+    lo = F.expr(f"INTERVAL {abs(lower_s)} SECOND")
+    up = F.expr(f"INTERVAL {abs(upper_s)} SECOND")
+    lo_bound = (
+        F.col(left_ts) + lo if lower_s >= 0 else F.col(left_ts) - lo
+    )
+    up_bound = (
+        F.col(left_ts) + up if upper_s >= 0 else F.col(left_ts) - up
+    )
+    cond = (
+        (left[by] == r[by])
+        & (F.col(rts) >= lo_bound)
+        & (F.col(rts) <= up_bound)
+    )
+    return left.join(r, cond, "inner").drop(r[by])
+
+
 def run_stream_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> StreamingQuery:

@@ -177,3 +177,48 @@ def test_restarted_sink_is_exactly_once(spark, event_dataset, tmp_path_factory):
         q.awaitTermination(120)
     out_df = DatasetStore(spark, out_dir).get_dataset_df("ev_out")
     assert out_df.count() == events.count()
+
+
+def test_stream_interval_join_matches_batch(spark, event_dataset):
+    """Stream-stream event-time range join ≡ the batch interval join on
+    the same data (clicks within 30 min before each error, per user)."""
+    from gcpde_spark.operators import interval_join
+    from gcpde_spark.streaming import stream_interval_join
+
+    base, events = event_dataset
+    stream = read_dataset_stream(spark, base, "ev", EVENT_SCHEMA)
+    errors_s = stream.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks_s = stream.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = stream_interval_join(
+        errors_s, clicks_s, by="user_id", lower_s=-1800, upper_s=0
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.event_id_r)
+        for r in spark.table("t_ssjoin").collect()
+    }
+
+    errors_b = events.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks_b = events.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    expected = {
+        (r.event_id, r.event_id_r)
+        for r in interval_join(
+            errors_b, clicks_b, by=["user_id"], lower_s=-1800, upper_s=0
+        ).collect()
+    }
+    assert got == expected
