@@ -77,6 +77,37 @@ def interval_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skewed keys: the left side's hot
+    keys are split across ``salt`` sub-keys, the right side is replicated
+    once per sub-key, and the join runs on ``(key, salt)`` — a single hot
+    key's rows now land in ``salt`` different reducers instead of one.
+
+    Use when AQE's skew-join splitting isn't available (e.g. a
+    broadcast-ineligible right side joined by a key where one value
+    carries a large share of the rows, on an engine/stage AQE cannot
+    re-plan — streaming joins, or a forced shuffled-hash join). Cost: the
+    right side shuffles ``salt``× its size, so pick the smaller side as
+    ``right`` and the smallest ``salt`` that flattens the skew.
+
+    The left salt is derived from a hash of the whole row (deterministic,
+    uniformly spread); the result is exactly the unsalted join's rows.
+    """
+    on = list(on)
+    salt_l = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l_s = left.withColumn("_salt", salt_l)
+    r_s = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l_s.join(r_s, on + ["_salt"], how).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

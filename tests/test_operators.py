@@ -125,3 +125,43 @@ def test_asof_join_matches_naive_reference_on_random_inputs(spark):
             assert got[i] == expected, (lefts, rights, i)
 
     check()
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change the result set — a skewed left (90% one
+    key) joined to a keyed right equals the unsalted join."""
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.operators import salted_join
+
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("rv")
+    )
+    got = sorted(
+        map(tuple, salted_join(left, right, ["k"], salt=8).collect())
+    )
+    expected = sorted(map(tuple, left.join(right, ["k"]).collect()))
+    assert got == expected
+
+
+def test_salted_join_splits_hot_key_across_partitions(spark):
+    """The hot key's rows must land in more than one shuffle partition
+    after salting (the whole point)."""
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.operators import salted_join
+
+    left = spark.range(2000).select(F.lit(7).alias("k"), F.col("id").alias("lv"))
+    right = spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("rv"))
+    joined = salted_join(left, right, ["k"], salt=8)
+    n_parts = (
+        joined.withColumn("_pid", F.spark_partition_id())
+        .select("_pid")
+        .distinct()
+        .count()
+    )
+    assert n_parts > 1
