@@ -334,3 +334,27 @@ def test_winnowing_fingerprints_properties(docs, spark):
     # the shared substring dominates both docs: most fingerprints overlap
     inter = by_doc[1] & by_doc[2]
     assert len(inter) >= len(by_doc[1]) * 0.5
+
+
+def test_llm_operators_handle_empty_input(spark):
+    """Every dedup/similarity/text operator must return an empty result
+    (not crash) on an empty table — the degenerate partition case every
+    100 TB job hits on some task."""
+    from gcpde_spark.llm.similarity import embedding_near_dup_pairs, ivf_topk
+    from gcpde_spark.llm.text import winnowing_fingerprints, with_token_counts
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(no_docs, "doc_id").count() == 0
+    assert minhash_near_dup_pairs(no_docs, "doc_id").count() == 0
+    assert simhash_near_dup_pairs(no_docs, "doc_id").count() == 0
+    assert with_text_stats(no_docs).count() == 0
+    assert with_token_counts(no_docs).count() == 0
+    assert winnowing_fingerprints(no_docs, "doc_id").count() == 0
+
+    no_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([], "qid long, qvec array<float>")
+    assert brute_force_topk(no_vecs, q).count() == 0
+    assert lsh_topk(no_vecs, q).count() == 0
+    assert embedding_near_dup_pairs(no_vecs).count() == 0
+    # IVF needs explicit centroids when there is nothing to train on
+    assert ivf_topk(no_vecs, q, centroids=[[0.0] * 64] * 4).count() == 0
