@@ -357,3 +357,65 @@ def l13(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_q(
+    "l14_curation_pipeline",
+    f"""WITH d AS (
+          SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY md5({_NORM})
+                                     ORDER BY doc_id) = 1),
+        s AS (
+          SELECT doc_id, norm, toks,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            ROUND(CAST(len(replace(norm, ' ', '')) AS DOUBLE) / len(toks)
+                  * 10000) / 10000 AS avg_token_len,
+            ROUND(CAST(len(norm) -
+                  len(regexp_replace(norm, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                  / len(norm) * 10000) / 10000 AS punct_ratio,
+            ROUND(CAST(len(list_filter(toks,
+                  tk -> list_contains({_sql_list(STOPWORDS['en'])}, tk)))
+                  AS DOUBLE) / len(toks) * 10000) / 10000 AS stopword_ratio
+          FROM d),
+        q AS (
+          SELECT *, ROUND((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3
+                   + least(stopword_ratio * 5.0, 1.0) * 0.3) * 10000) / 10000
+                 AS quality_score
+          FROM s
+          WHERE len(toks) >= 20),
+        g AS (SELECT * FROM q WHERE quality_score >= 0.5),
+        h AS (
+          SELECT *,
+            len(list_filter(toks, tk -> list_contains({_sql_list(STOPWORDS['de'])}, tk))) AS h_de,
+            len(list_filter(toks, tk -> list_contains({_sql_list(STOPWORDS['en'])}, tk))) AS h_en,
+            len(list_filter(toks, tk -> list_contains({_sql_list(STOPWORDS['es'])}, tk))) AS h_es,
+            len(list_filter(toks, tk -> list_contains({_sql_list(STOPWORDS['fr'])}, tk))) AS h_fr,
+            len(list_filter(toks, tk -> list_contains({_sql_list(STOPWORDS['zh'])}, tk))) AS h_zh
+          FROM g),
+        lg AS (
+          SELECT *,
+            CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                 WHEN h_zh >= h_fr AND h_zh >= h_es AND h_zh >= h_en AND h_zh >= h_de THEN 'zh'
+                 WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                 WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                 WHEN h_en >= h_de THEN 'en'
+                 ELSE 'de' END AS lang_pred
+          FROM h)
+       SELECT doc_id, lang_pred, n_tokens,
+              CAST(len(regexp_extract_all(norm,
+                   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS BIGINT)
+                AS n_tokens_bpe,
+              avg_token_len, punct_ratio, stopword_ratio, quality_score
+       FROM lg WHERE lang_pred = 'en' ORDER BY doc_id""",
+    "the composed curation pipeline (§2B-16): exact-dedup -> quality "
+    "gate -> language gate -> token accounting, one declarative plan "
+    "with a single shuffle (the dedup window)",
+)
+def l14(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.pipeline import curate_documents
+
+    docs = load_table(spark, sf, "documents")
+    return curate_documents(
+        docs, min_tokens=20, min_quality=0.5, keep_langs=("en",)
+    ).orderBy("doc_id")

@@ -358,3 +358,22 @@ def test_llm_operators_handle_empty_input(spark):
     assert embedding_near_dup_pairs(no_vecs).count() == 0
     # IVF needs explicit centroids when there is nothing to train on
     assert ivf_topk(no_vecs, q, centroids=[[0.0] * 64] * 4).count() == 0
+
+
+def test_curation_pipeline_gates(spark):
+    from gcpde_spark.llm.pipeline import curate_documents
+
+    long_en = "the quick brown fox jumps over the lazy dog and " * 5
+    rows = [
+        (1, long_en),             # kept
+        (2, long_en),             # exact dup of 1 -> dropped
+        (3, "short text"),        # < min_tokens -> dropped
+        (4, "el la de y que en un una por con " * 6),  # spanish -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_documents(df, min_tokens=20, min_quality=0.1)
+    kept = [r.doc_id for r in out.collect()]
+    assert kept == [1]
+    row = out.collect()[0]
+    assert row.lang_pred == "en" and row.n_tokens >= 20
+    assert row.n_tokens_bpe >= row.n_tokens  # BPE pieces >= whitespace tokens
