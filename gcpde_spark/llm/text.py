@@ -160,6 +160,55 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: ``tf = term_count /
+    doc_tokens``, ``idf = n_docs / doc_freq`` (the linear inverse
+    document frequency — unlike ``log`` idf, every factor is a ratio of
+    integers, so the doubles are bit-identical cross-engine and the
+    operator is oracle-checkable; see queries/llm_corpus.py l15).
+
+    Plan: explode tokens → one hash-agg per (doc, term) → term
+    document-frequency agg joined back on term → per-doc top-k window.
+    Two aggregation shuffles plus the term join, all linear in token
+    count; the doc-count scalar joins as a broadcast literal.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    exploded = spread(df).select(
+        F.col(id_col).alias("_id"), F.explode(toks).alias("term")
+    )
+    tf = exploded.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_cnt"))
+    doclen = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_len"))
+    docfreq = (
+        exploded.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    scored = (
+        tf.join(doclen, "_id")
+        .join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            round4(
+                (F.col("_cnt").cast("double") / F.col("_len"))
+                * (F.col("_n").cast("double") / F.col("_df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str,

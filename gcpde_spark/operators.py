@@ -77,6 +77,41 @@ def interval_join(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    by: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    tie_break: Sequence[str] = (),
+) -> DataFrame:
+    """Assign gap-based session ids: within each ``by``-group, a new
+    session starts when the time since the previous event exceeds
+    ``gap_s`` seconds — the batch form of
+    :func:`gcpde_spark.streaming.session_counts`'s ``session_window``.
+
+    The classic lag + running-sum composition: one window shuffle on
+    ``(by)``, both window functions share the same sort, everything
+    codegen'd. Adds a ``session_id`` column (1-based, ordered by time
+    within the group). ``tie_break`` columns make the ordering total
+    when timestamps repeat within a group.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tie_break]
+    w = Window.partitionBy(*by).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    gap = F.col(ts_col).cast("timestamp").cast("bigint") - prev.cast(
+        "timestamp"
+    ).cast("bigint")
+    is_new = F.when(prev.isNull() | (gap > gap_s), 1).otherwise(0)
+    run = Window.partitionBy(*by).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(
+        "session_id", F.sum(is_new).over(run).cast("bigint")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -1085,3 +1085,42 @@ def c44(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@_q(
+    "c45_sessionize",
+    """WITH s AS (
+         SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       t AS (
+         SELECT user_id, ts, event_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+         FROM s)
+       SELECT user_id, session_id,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              MIN(ts) AS session_start, MAX(ts) AS session_end
+       FROM t GROUP BY user_id, session_id
+       ORDER BY user_id, session_id""",
+    "gap-based sessionization (§2B-8 composition): lag + running sum "
+    "share one window sort; the batch twin of streaming session_window",
+)
+def c45(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.operators import sessionize
+
+    e = load_table(spark, sf, "events").select("user_id", "ts", "event_id")
+    s = sessionize(e, by=["user_id"], ts_col="ts", gap_s=1800, tie_break=["event_id"])
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )

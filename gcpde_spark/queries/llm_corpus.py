@@ -419,3 +419,35 @@ def l14(spark: SparkSession, sf: str) -> DataFrame:
     return curate_documents(
         docs, min_tokens=20, min_quality=0.5, keep_langs=("en",)
     ).orderBy("doc_id")
+
+
+@_q(
+    "l15_tfidf",
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (SELECT doc_id, term, COUNT(*) AS cnt
+               FROM e GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, COUNT(*) AS len FROM e GROUP BY doc_id),
+        df AS (SELECT term, COUNT(*) AS dfc
+               FROM (SELECT DISTINCT doc_id, term FROM e) GROUP BY term),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+        sc AS (
+          SELECT tf.doc_id, tf.term,
+            ROUND((CAST(cnt AS DOUBLE) / len) * (CAST(nd AS DOUBLE) / dfc)
+                  * 10000) / 10000 AS score
+          FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n),
+        rk AS (
+          SELECT doc_id, term, score,
+            CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS BIGINT) AS rank
+          FROM sc)
+       SELECT doc_id, term, score, rank FROM rk
+       WHERE rank <= 5 ORDER BY doc_id, rank""",
+    "TF-IDF top-5 terms per doc (§2B-16): linear idf keeps every factor "
+    "an integer ratio, so scores are bit-identical cross-engine",
+)
+def l15(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.text import tfidf_top_terms
+
+    docs = load_table(spark, sf, "documents")
+    return tfidf_top_terms(docs, "doc_id", k=5).orderBy("doc_id", "rank")

@@ -377,3 +377,21 @@ def test_curation_pipeline_gates(spark):
     row = out.collect()[0]
     assert row.lang_pred == "en" and row.n_tokens >= 20
     assert row.n_tokens_bpe >= row.n_tokens  # BPE pieces >= whitespace tokens
+
+
+def test_tfidf_rare_term_outranks_common_term(spark):
+    from gcpde_spark.llm.text import tfidf_top_terms
+
+    rows = [
+        (1, "common rare"),
+        (2, "common other"),
+        (3, "common filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = {
+        r.doc_id: r.term
+        for r in tfidf_top_terms(df, "doc_id", k=1).collect()
+    }
+    # 'common' appears in every doc (idf = 1, score 0.5); each doc-unique
+    # term has idf = 3 (score 1.5) and must outrank it
+    assert top[1] == "rare" and top[2] == "other" and top[3] == "filler"

@@ -165,3 +165,18 @@ def test_salted_join_splits_hot_key_across_partitions(spark):
         .count()
     )
     assert n_parts > 1
+
+
+def test_sessionize_splits_on_gap(spark):
+    from gcpde_spark.operators import sessionize
+
+    rows = [
+        (1, T(0)), (1, T(10)), (1, T(50)),  # gap 40 min -> new session
+        (2, T(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.user_id, r.ts.minute): r.session_id
+        for r in sessionize(df, gap_s=1800).collect()
+    }
+    assert got == {(1, 0): 1, (1, 10): 1, (1, 50): 2, (2, 0): 1}
