@@ -42,20 +42,28 @@ def curate_documents(
     expressed on columns so predicate pushdown applies when ``df`` is a
     raw scan.
     """
-    w = Window.partitionBy(F.md5(normalize_text(text_col))).orderBy(id_col)
+    # normalize ONCE and feed the normalized column to every downstream
+    # operator: normalization is idempotent (lower/trim/collapse), and
+    # regex projections are too opaque for Catalyst's common-subexpression
+    # elimination to dedup across operators — this single materialized
+    # column replaces ~6 re-normalizations per row (neutral at small SF
+    # where the stopword HOF filters dominate; real at 100 TB)
+    norm_col = "_norm_text"
+    df = df.withColumn(norm_col, normalize_text(text_col))
+    w = Window.partitionBy(F.md5(F.col(norm_col))).orderBy(id_col)
     deduped = (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    scored = with_text_stats(deduped, text_col)
+    scored = with_text_stats(deduped, norm_col)
     gated = scored.where(
         (F.col("n_tokens") >= min_tokens) & (F.col("quality_score") >= min_quality)
     )
-    lang = with_language_id(gated, text_col).where(
+    lang = with_language_id(gated, norm_col).where(
         F.col("lang_pred").isin(list(keep_langs))
     )
-    return with_token_counts(lang, text_col).select(
+    return with_token_counts(lang, norm_col).select(
         id_col,
         "lang_pred",
         "n_tokens",
