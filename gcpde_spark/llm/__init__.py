@@ -33,9 +33,11 @@ from gcpde_spark.llm.dedup import (
 )
 from gcpde_spark.llm.similarity import (
     brute_force_topk,
+    dequantize_embeddings,
     embedding_near_dup_pairs,
     ivf_topk,
     lsh_topk,
+    quantize_embeddings,
     train_ivf_centroids,
     with_ivf_cells,
     with_lsh_buckets,
@@ -55,8 +57,10 @@ __all__ = [
     "with_minhash_signature",
     "with_simhash",
     "brute_force_topk",
+    "dequantize_embeddings",
     "embedding_near_dup_pairs",
     "ivf_topk",
+    "quantize_embeddings",
     "lsh_topk",
     "train_ivf_centroids",
     "with_ivf_cells",

@@ -335,6 +335,56 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Scalar int8 quantization: per-vector ``scale = max|x| / 127``,
+    ``q = round(x / scale)`` — 4× smaller than float32 on disk/shuffle,
+    the standard storage form for 100 TB embedding tables (cosine on
+    dequantized vectors stays within ~1e-3 of exact; property-tested).
+
+    Arrow-batched pandas UDF (one numpy pass per batch); output is
+    ``array<tinyint>`` + a float scale column, a lossless-to-reverse
+    pair for :func:`dequantize_embeddings`.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<q: array<tinyint>, s: float>")
+    def _quant(vs: pd.Series) -> pd.DataFrame:
+        qs, ss = [], []
+        for v in vs:
+            x = np.asarray(v, dtype=np.float64)
+            scale = float(np.max(np.abs(x)) / 127.0) if len(x) else 1.0
+            scale = scale or 1.0  # all-zero vector
+            qs.append(np.round(x / scale).astype(np.int8))
+            ss.append(np.float32(scale))
+        return pd.DataFrame({"q": qs, "s": ss})
+
+    q = _quant(F.col(vec_col))
+    return df.withColumn(out_col, q["q"]).withColumn(scale_col, q["s"])
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``x ≈ q * scale`` — a
+    codegen'd ``transform`` (no Python), so dequantization fuses into
+    whatever projection consumes the vectors."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col),
+            lambda x: (x.cast("double") * F.col(scale_col)).cast("float"),
+        ),
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

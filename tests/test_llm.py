@@ -395,3 +395,25 @@ def test_tfidf_rare_term_outranks_common_term(spark):
     # 'common' appears in every doc (idf = 1, score 0.5); each doc-unique
     # term has idf = 3 (score 1.5) and must outrank it
     assert top[1] == "rare" and top[2] == "other" and top[3] == "filler"
+
+
+def test_quantize_dequantize_roundtrip_preserves_cosine(emb):
+    import numpy as np
+
+    from gcpde_spark.llm.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    sample = emb.where(F.col("vec_id") < 50)
+    rt = dequantize_embeddings(
+        quantize_embeddings(sample), out_col="rt_embedding"
+    )
+    rows = rt.select("vec_id", "embedding", "rt_embedding", "q_embedding").collect()
+    assert len(rows) == 50
+    for r in rows:
+        a = np.asarray(r.embedding, dtype=np.float64)
+        b = np.asarray(r.rt_embedding, dtype=np.float64)
+        assert all(-127 <= q <= 127 for q in r.q_embedding)
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.999, f"vec {r.vec_id}: cosine {cos}"
