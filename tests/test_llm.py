@@ -417,3 +417,30 @@ def test_quantize_dequantize_roundtrip_preserves_cosine(emb):
         assert all(-127 <= q <= 127 for q in r.q_embedding)
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert cos > 0.999, f"vec {r.vec_id}: cosine {cos}"
+
+
+def test_search_over_quantized_embeddings(emb):
+    """The storage->search path: quantize to int8, dequantize in the
+    query, and top-k results stay essentially the exact results."""
+    from gcpde_spark.llm.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    stored = quantize_embeddings(emb).drop("embedding")  # what 100 TB keeps
+    restored = dequantize_embeddings(stored)
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk(emb, q, k=5).collect()
+    quant = brute_force_topk(restored, q, k=5).collect()
+    exact_sets, quant_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    for r in quant:
+        quant_sets.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[qid] & quant_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9
