@@ -1124,3 +1124,32 @@ def c45(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@_q(
+    "c46_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+         CAST(COUNT(*) AS BIGINT) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "explicit GROUPING SETS + grouping() ids (§2B-6) — the general form "
+    "rollup/cube specialize; one Expand + single hash aggregate",
+)
+def c46(spark: SparkSession, sf: str) -> DataFrame:
+    # GROUPING SETS has no DataFrame builder (only rollup/cube) — this is
+    # exactly the SQL-passthrough class the reference certifies, so the
+    # query goes through spark.sql over a registered view
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("c46_lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+             CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM c46_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+                    l_linestatus NULLS FIRST"""
+    )

@@ -180,3 +180,43 @@ def test_sessionize_splits_on_gap(spark):
         for r in sessionize(df, gap_s=1800).collect()
     }
     assert got == {(1, 0): 1, (1, 10): 1, (1, 50): 2, (2, 0): 1}
+
+
+def test_interval_join_matches_naive_reference_on_random_inputs(spark):
+    """Property: the banded interval join equals the quadratic filter on
+    arbitrary shapes (bucket-boundary timestamps included)."""
+    from hypothesis import given, settings, strategies as st
+
+    from gcpde_spark.operators import interval_join
+
+    pair = st.tuples(st.integers(0, 2), st.integers(0, 59))
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        lefts=st.lists(pair, min_size=1, max_size=6),
+        rights=st.lists(pair, min_size=0, max_size=6),
+    )
+    def check(lefts, rights):
+        left = spark.createDataFrame(
+            [(k, T(m), i) for i, (k, m) in enumerate(lefts)],
+            "k long, ts timestamp, lid long",
+        )
+        right = spark.createDataFrame(
+            [(k, T(m), i) for i, (k, m) in enumerate(rights)],
+            "k long, ts timestamp, rid long",
+        ) if rights else spark.createDataFrame([], "k long, ts timestamp, rid long")
+        got = {
+            (r.lid, r.rid)
+            for r in interval_join(
+                left, right, by=["k"], lower_s=-600, upper_s=300
+            ).collect()
+        }
+        expected = {
+            (i, j)
+            for i, (lk, lm) in enumerate(lefts)
+            for j, (rk, rm) in enumerate(rights)
+            if lk == rk and (lm - 10) * 60 <= rm * 60 <= lm * 60 + 300
+        }
+        assert got == expected, (lefts, rights)
+
+    check()
