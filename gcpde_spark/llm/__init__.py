@@ -24,6 +24,8 @@ all-pairs joins (candidate generation is always banded / bucketed).
 """
 
 from gcpde_spark.llm.dedup import (
+    connected_components,
+    dedup_clusters,
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
@@ -50,6 +52,8 @@ from gcpde_spark.llm.text import (
 )
 
 __all__ = [
+    "connected_components",
+    "dedup_clusters",
     "exact_dedup",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",

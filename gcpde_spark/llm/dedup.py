@@ -358,6 +358,96 @@ def _verify_jaccard(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components over near-duplicate ``(id_a, id_b)`` edges:
+    returns ``(id, component)`` with ``component`` = the smallest id
+    reachable from ``id`` — the canonical representative of each
+    duplicate cluster.
+
+    Iterative min-label propagation (the map-reduce CC algorithm): each
+    round every vertex adopts the minimum label among itself and its
+    neighbors; convergence is checked with an aggregate count of changed
+    labels (a driver-side scalar per round, not a data collect). Rounds
+    needed = graph diameter — near-dup clusters are near-cliques, so
+    this converges in 2–3 rounds in practice; ``max_iter`` bounds
+    pathological chains. ``localCheckpoint`` truncates the growing plan
+    lineage each round (the standard treatment for iterative DataFrame
+    algorithms; at cluster scale use ``checkpoint`` on fault-tolerant
+    storage instead).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("component").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("_nmin"), F.col("component")) < F.col("component"))
+                .cast("int")
+                .alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup clustering: MinHash-LSH pairs → connected
+    components → one row per document with its cluster representative
+    (``keep = component == id``). Documents with no near-duplicate keep
+    themselves. This is the operator a curation job actually applies:
+    ``df.join(dedup_clusters(...), id).where("keep")``.
+    """
+    pairs = minhash_near_dup_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_size, threshold, seed
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+        )
+        .withColumn("keep", F.col("component") == F.col(id_col))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

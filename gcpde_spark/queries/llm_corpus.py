@@ -451,3 +451,19 @@ def l15(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return tfidf_top_terms(docs, "doc_id", k=5).orderBy("doc_id", "rank")
+
+
+@_q(
+    "l16_dedup_clusters",
+    None,  # iterative (connected components over LSH pairs) — not
+    # SQL-expressible; planted-cluster properties in tests/test_llm.py
+    "near-dup clustering (§2B-16): MinHash-LSH pairs -> iterative "
+    "min-label connected components -> one canonical doc per cluster",
+)
+def l16(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.dedup import dedup_clusters
+
+    docs = load_table(spark, sf, "documents")
+    return dedup_clusters(docs, "doc_id", num_hashes=64, threshold=0.7).orderBy(
+        "doc_id"
+    )

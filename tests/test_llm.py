@@ -444,3 +444,48 @@ def test_search_over_quantized_embeddings(emb):
         for qid in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_connected_components_chains_and_cliques(spark):
+    from gcpde_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain -> component 1
+         (10, 11), (11, 10),          # clique (both directions)
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_keeps_one_per_duplicate_group(docs):
+    from gcpde_spark.llm.dedup import dedup_clusters
+
+    # two extra exact copies of each of the first 10 docs
+    base = docs.select("doc_id", "text").where(F.col("doc_id") < 30)
+    copies = base.where(F.col("doc_id") < 10)
+    corpus = (
+        base.unionByName(
+            copies.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            copies.select((F.col("doc_id") + 2000).alias("doc_id"), "text")
+        )
+    )
+    clusters = dedup_clusters(corpus, "doc_id", threshold=0.9)
+    rows = clusters.collect()
+    kept = {r.doc_id for r in rows if r.keep}
+    by_id = {r.doc_id: r.component for r in rows}
+    # a planted copy is never the survivor (an original with a smaller id
+    # always exists in its cluster), and each copy resolves to the same
+    # cluster as its original (which may itself merge with a natural
+    # near-dup in the testdata — doc sets contain planted near-dups)
+    assert not any(k >= 1000 for k in kept)
+    for i in range(10):
+        assert by_id[i + 1000] == by_id[i] == by_id[i + 2000]
+    # exactly one keeper per component
+    comp_keeps = {}
+    for r in rows:
+        comp_keeps[r.component] = comp_keeps.get(r.component, 0) + (1 if r.keep else 0)
+    assert all(n == 1 for n in comp_keeps.values())
