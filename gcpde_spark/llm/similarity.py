@@ -399,10 +399,13 @@ def embedding_near_dup_pairs(
     cosine on candidates, keep ``score ≥ threshold``. Returns
     ``(id_a, id_b, score)`` with ``id_a < id_b``.
     """
+    # persist: the self-join consumes the bucket-assignment subplan (a
+    # pandas-UDF matmul over every vector) once per side — caching halves
+    # the assignment work; LRU eviction reclaims it after the query
     b = with_lsh_buckets(
         spread(embeddings).select(F.col(id_col).alias("_id"), _dvec(vec_col).alias("_v")),
         "_v", dim, n_planes, seed,
-    ).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    ).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v")))).persist()
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(
