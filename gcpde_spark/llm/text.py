@@ -36,6 +36,14 @@ def spread(df: DataFrame) -> DataFrame:
     triggers when the input has FEWER partitions than cores, i.e. when
     the data is small enough that the shuffle is trivially cheap).
     """
+    # Probe ONLY bare scans: on a shuffle-derived plan (window, join,
+    # aggregate) the `.rdd` partition probe forces AQE to materialize the
+    # upstream stages EAGERLY at plan-build time — measured ~2 s per
+    # build on the curation pipeline — and those plans already have their
+    # parallelism set by the shuffle anyway.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if any(k in analyzed for k in ("Window", "Join", "Aggregate", "Repartition")):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
