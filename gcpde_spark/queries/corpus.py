@@ -1153,3 +1153,28 @@ def c46(spark: SparkSession, sf: str) -> DataFrame:
            ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
                     l_linestatus NULLS FIRST"""
     )
+
+
+@_q(
+    "c47_histogram",
+    """SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE)
+                AS total
+       FROM orders GROUP BY 1 ORDER BY bucket""",
+    "binned aggregation / histogram (§2B-6,11): arithmetic bucketing "
+    "(identical IEEE divide+floor on both engines); one hash-agg on the "
+    "bucket id",
+)
+def c47(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum("o_totalprice", "total"),
+        )
+        .orderBy("bucket")
+    )
