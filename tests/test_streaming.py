@@ -222,3 +222,35 @@ def test_stream_interval_join_matches_batch(spark, event_dataset):
         ).collect()
     }
     assert got == expected
+
+
+def test_stream_static_enrichment_join(spark, event_dataset):
+    """Stream ⋈ static dimension: each micro-batch joins against the
+    (broadcastable) static side — the standard enrichment shape; results
+    equal the batch join."""
+    base, events = event_dataset
+    stream = read_dataset_stream(spark, base, "ev", EVENT_SCHEMA)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    q = (
+        stream.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.category: r.n for r in spark.table("t_enrich").collect()}
+    expected = {
+        r.category: r.n
+        for r in events.join(dim, "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
