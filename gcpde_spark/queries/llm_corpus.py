@@ -244,7 +244,7 @@ def l06(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
-    "l07_minhash_neardup",
+    "x03_minhash_neardup",
     None,  # xxhash64-based signatures aren't DuckDB-expressible;
     # recall/precision property-checked in tests/test_llm.py
     "MinHash-LSH near-duplicate detection (§2B-16): banded signature join "
@@ -258,7 +258,7 @@ def l07(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
-    "l08_simhash_neardup",
+    "x04_simhash_neardup",
     None,
     "SimHash near-duplicate detection (§2B-16): 64-bit signature computed "
     "map-side (nested aggregate, no shuffle), 16-bit-chunk banding, "
@@ -272,7 +272,7 @@ def l08(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
-    "l09_lsh_topk",
+    "x05_lsh_topk",
     None,  # seeded-hyperplane buckets; recall vs brute force property-tested
     "ANN top-k via random-hyperplane LSH with multi-probe (§2B-16): "
     "bucket equi-join instead of O(N·Q) scoring",
@@ -286,7 +286,7 @@ def l09(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
-    "l11_ivf_topk",
+    "x07_ivf_topk",
     None,  # seeded k-means cells; recall vs brute force property-tested
     "ANN top-k via IVF-Flat (§2B-16): driver-trained coarse quantizer, "
     "map-side cell assignment, nprobe-cell candidate join",
@@ -308,7 +308,7 @@ def l11(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
-    "l10_embedding_neardup",
+    "x06_embedding_neardup",
     None,
     "embedding-cosine near-duplicate pairs via LSH buckets (§2B-16)",
 )
@@ -454,7 +454,7 @@ def l15(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
-    "l16_dedup_clusters",
+    "x08_dedup_clusters",
     None,  # iterative (connected components over LSH pairs) — not
     # SQL-expressible; planted-cluster properties in tests/test_llm.py
     "near-dup clustering (§2B-16): MinHash-LSH pairs -> iterative "

@@ -75,14 +75,14 @@ def test_corpus_query(name, spark, oracle):
 
 
 def test_approx_count_distinct_tolerance(spark, oracle):
-    sdf = CORPUS["c34_approx_distinct"].build(spark, SF_ORACLE)
+    sdf = CORPUS["x01_approx_distinct"].build(spark, SF_ORACLE)
     approx = sdf.collect()[0][0]
     exact = oracle.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
     assert abs(approx - exact) / exact < 0.05
 
 
 def test_percentile_approx_tolerance(spark, oracle):
-    sdf = CORPUS["c35_percentile_approx"].build(spark, SF_ORACLE)
+    sdf = CORPUS["x02_percentile_approx"].build(spark, SF_ORACLE)
     approx = sdf.collect()[0][0]
     exact = oracle.sql(
         "SELECT MEDIAN(l_quantity) FROM lineitem"
