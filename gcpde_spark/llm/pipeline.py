@@ -13,10 +13,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gcpde_spark.llm.text import (
+    BPE_SPLIT_PATTERN,
+    STOPWORDS,
+    _stats_exprs,
     normalize_text,
-    with_language_id,
-    with_text_stats,
-    with_token_counts,
+    stopword_hits,
 )
 
 
@@ -42,32 +43,70 @@ def curate_documents(
     expressed on columns so predicate pushdown applies when ``df`` is a
     raw scan.
     """
-    # normalize ONCE and feed the normalized column to every downstream
-    # operator: normalization is idempotent (lower/trim/collapse), and
-    # regex projections are too opaque for Catalyst's common-subexpression
-    # elimination to dedup across operators — this single materialized
-    # column replaces ~6 re-normalizations per row (neutral at small SF
-    # where the stopword HOF filters dominate; real at 100 TB)
-    norm_col = "_norm_text"
-    df = df.withColumn(norm_col, normalize_text(text_col))
+    # normalize and tokenize ONCE, BELOW the dedup window: the window is
+    # an optimizer barrier, so everything above it references `_norm` /
+    # `_toks` as plain columns. Without the barrier, CollapseProject +
+    # filter pushdown re-inline the normalization regex and the split at
+    # every use site — the optimized plan held 31 copies of `split` and
+    # 46 of `regexp_replace`, and per-build codegen took ~6 s at sf0.1
+    # (execution of the compiled plan was 0.08 s). Materializing the two
+    # shared columns under the window cut the tree to one copy of each.
+    norm_col, toks_col = "_norm_text", "_toks"
+    base = df.select(
+        id_col,
+        normalize_text(text_col).alias(norm_col),
+        F.split(normalize_text(text_col), " ").alias(toks_col),
+    )
     w = Window.partitionBy(F.md5(F.col(norm_col))).orderBy(id_col)
     deduped = (
-        df.withColumn("_rn", F.row_number().over(w))
+        base.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    scored = with_text_stats(deduped, norm_col)
+    norm, toks = F.col(norm_col), F.col(toks_col)
+    stats = _stats_exprs(norm, toks)
+    # One post-window projection computes the stats AND the per-language
+    # hit counts; the two gates below then reference only materialized
+    # columns, so predicate pushdown substitution duplicates a handful
+    # of comparisons instead of the regex passes themselves.
+    scored = deduped.select(
+        id_col,
+        norm.alias(norm_col),
+        stats["n_tokens"].alias("n_tokens"),
+        stats["avg_token_len"].alias("avg_token_len"),
+        stats["punct_ratio"].alias("punct_ratio"),
+        stats["stopword_ratio"].alias("stopword_ratio"),
+        stats["quality_score"].alias("quality_score"),
+        *[
+            stopword_hits(norm, STOPWORDS[lg]).alias(f"_h_{lg}")
+            for lg in sorted(STOPWORDS)
+        ],
+    )
     gated = scored.where(
         (F.col("n_tokens") >= min_tokens) & (F.col("quality_score") >= min_quality)
     )
-    lang = with_language_id(gated, norm_col).where(
+    # argmax via array_max over (hits, lang) structs on the materialized
+    # hit columns — same tie-break contract as lang_pred_expr (max hits,
+    # last lang code in sorted order wins ties).
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(F.col(f"_h_{lg}").alias("hits"), F.lit(lg).alias("lang"))
+                for lg in sorted(STOPWORDS)
+            ]
+        )
+    )
+    pred = F.when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+    lang = gated.withColumn("lang_pred", pred).where(
         F.col("lang_pred").isin(list(keep_langs))
     )
-    return with_token_counts(lang, norm_col).select(
+    return lang.select(
         id_col,
         "lang_pred",
         "n_tokens",
-        "n_tokens_bpe",
+        F.regexp_count(norm, F.lit(BPE_SPLIT_PATTERN))
+        .cast("bigint")
+        .alias("n_tokens_bpe"),
         "avg_token_len",
         "punct_ratio",
         "stopword_ratio",

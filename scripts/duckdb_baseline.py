@@ -1,0 +1,80 @@
+"""DuckDB baseline for the bench gate (BASELINE.md §measured).
+
+Runs every ``oracle_sql()`` entry against the parquet tables at
+``$SPARK_GRAFT_SF_DIR`` (default sf0.1) with ``SET threads TO 32``,
+median of 3 per query, and reports BOTH result paths:
+
+- ``fetchall`` — row-at-a-time Python tuples (what round 1/2 measured);
+- ``df``      — Arrow-backed ``.df()``, the columnar analog of the
+  engine bench's ``toPandas`` (ADVICE r2: both engines must pay an
+  analogous result-path cost for the ratio to be meaningful).
+
+Prints one JSON line: ``{"total_fetchall": s, "total_df": s,
+"queries": {name: {"fetchall": s, "df": s}}, "sf": ...}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    oracles = entry_mod.oracle_sql()
+    timings: dict[str, dict[str, float]] = {}
+    for name in sorted(oracles):
+        sql = oracles[name]
+        per_path: dict[str, float] = {}
+        for path in ("fetchall", "df"):
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                cur = con.execute(sql)
+                if path == "fetchall":
+                    cur.fetchall()
+                else:
+                    cur.df()
+                samples.append(time.perf_counter() - t0)
+            per_path[path] = round(statistics.median(samples), 4)
+        timings[name] = per_path
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "total_fetchall": round(sum(v["fetchall"] for v in timings.values()), 4),
+                "total_df": round(sum(v["df"] for v in timings.values()), 4),
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": RUNS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
