@@ -444,16 +444,25 @@ def dedup_clusters(
     shingle_size: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup clustering: MinHash-LSH pairs → connected
     components → one row per document with its cluster representative
     (``keep = component == id``). Documents with no near-duplicate keep
     themselves. This is the operator a curation job actually applies:
     ``df.join(dedup_clusters(...), id).where("keep")``.
+
+    ``pairs`` (``(id_a, id_b, ...)``) skips the MinHash stage entirely —
+    pass it when the candidate pairs already exist (shared with another
+    dedup operator over the same corpus, or produced by a different
+    generator such as SimHash or embedding LSH); the signature and
+    verification work is the dominant cost, so a job that needs both the
+    pair list and the clustering should compute the pairs once.
     """
-    pairs = minhash_near_dup_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_size, threshold, seed
-    )
+    if pairs is None:
+        pairs = minhash_near_dup_pairs(
+            df, id_col, text_col, num_hashes, bands, shingle_size, threshold, seed
+        )
     comp = connected_components(pairs.select("id_a", "id_b"))
     all_ids = df.select(F.col(id_col).alias("id")).distinct()
     return (

