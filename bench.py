@@ -24,6 +24,10 @@ from gcpde_spark.queries import CORPUS
 from gcpde_spark.session import build_session
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# optional comma-separated name-prefix filter, e.g. "c" for the
+# relational subset or "l,x" for the LLM family (used for the sf1
+# floor-amortization data point in BASELINE.md)
+ONLY = [p for p in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if p]
 
 
 def main() -> None:
@@ -39,6 +43,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(CORPUS.items()):
+        if ONLY and not any(name.startswith(p) for p in ONLY):
+            continue
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()

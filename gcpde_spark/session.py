@@ -23,11 +23,14 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Coalesce to the advisory partition size instead of maximizing
-    # parallelism: small shuffles collapse to few right-sized tasks
-    # (less scheduling overhead), and at cluster scale reducers stay at
-    # the ~64 MB sweet spot rather than fragmenting.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Keep Spark's default parallelismFirst=true for partition
+    # coalescing: with `false`, AQE shrinks any shuffle under the 64 MB
+    # advisory size to 1-2 partitions, serializing every window sort and
+    # merge-join on a box with 32 idle cores (measured at sf1:
+    # sessionize 3.0 s -> 0.8 s, window lag 1.7 s -> 0.4 s after the
+    # revert). At cluster scale the coalesce result is still bounded by
+    # the advisory size and initialPartitionNum, so `true` only raises
+    # the parallelism floor — it does not fragment large shuffles.
     # Arrow for any pandas boundary (toPandas, pandas_udf, applyInPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The driver testdata 'events' table stores TIMESTAMP(NANOS) which the

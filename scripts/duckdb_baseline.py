@@ -44,9 +44,12 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    only = [p for p in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if p]
     oracles = entry_mod.oracle_sql()
     timings: dict[str, dict[str, float]] = {}
     for name in sorted(oracles):
+        if only and not any(name.startswith(p) for p in only):
+            continue
         sql = oracles[name]
         per_path: dict[str, float] = {}
         for path in ("fetchall", "df"):
