@@ -42,6 +42,7 @@ def main() -> None:
     CORPUS["c06_three_way_join_agg"].build(spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, spec in sorted(CORPUS.items()):
         if ONLY and not any(name.startswith(p) for p in ONLY):
             continue
@@ -51,6 +52,21 @@ def main() -> None:
             spec.build(spark, sf_dir).toPandas()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        # warm series: re-execute the SAME prepared DataFrame — isolates
+        # execution throughput from the one-time per-plan cost (Catalyst
+        # + codegen + AQE stage planning), which is fixed per query shape
+        # and amortizes to zero over repeated production runs. Stateful
+        # entries mutate tables, so a re-run is not idempotent-timed —
+        # skip them in the warm series.
+        if name not in ("c28_ctas_scanback", "c29_merge_upsert", "c44_jsonl_roundtrip"):
+            prepared = spec.build(spark, sf_dir)
+            prepared.toPandas()
+            wsamples = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                prepared.toPandas()
+                wsamples.append(time.perf_counter() - t0)
+            warm[name] = round(statistics.median(wsamples), 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -61,6 +77,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": RUNS,
                 "cpus": int(cpus),

@@ -492,22 +492,26 @@ def c18(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     # CUBE(a, b) materializes every grouping set the other two variants
     # need — ROLLUP = {(a,b),(a),()} and the explicit sets {(a),(b),()}
-    # are subsets — so run ONE Expand + hash aggregate over lineitem and
-    # derive rollup/gsets by filtering the (tiny) cube output on its
-    # grouping ids, instead of three independent full-table aggregations.
+    # are subsets — so run ONE Expand + hash aggregate over lineitem,
+    # then emit each cube row once per variant it belongs to by exploding
+    # a variant-tag array derived from the grouping ids. Single branch:
+    # no union (a 3-branch union re-planned the aggregation per branch —
+    # filter pushdown split it into three separately-Expanded scans), no
+    # re-aggregation, one explode over a handful of rows.
     # grouping ids: (0,0)=(a,b), (0,1)=(a), (1,0)=(b), (1,1)=().
-    # persist() is the optimizer barrier that makes the sharing real:
-    # without it, predicate pushdown splits the grouping-id filters into
-    # three separately-Expanded aggregations (observed: 6 scans, 0
-    # reused exchanges) — the cube output is a handful of rows.
-    cube = li.cube("l_returnflag", "l_linestatus").agg(*aggs()).persist()
-    rollup = cube.where(~((F.col("g_rf") == 1) & (F.col("g_ls") == 0)))
-    gsets = cube.where(~((F.col("g_rf") == 0) & (F.col("g_ls") == 0)))
-    tagged = [
-        df.select(F.lit(tag).alias("variant"), "*")
-        for tag, df in (("rollup", rollup), ("cube", cube), ("gsets", gsets))
-    ]
-    out = tagged[0].unionByName(tagged[1]).unionByName(tagged[2])
+    cube = li.cube("l_returnflag", "l_linestatus").agg(*aggs())
+    in_rollup = ~((F.col("g_rf") == 1) & (F.col("g_ls") == 0))
+    in_gsets = ~((F.col("g_rf") == 0) & (F.col("g_ls") == 0))
+    tags = F.concat(
+        F.array(F.lit("cube")),
+        F.when(in_rollup, F.array(F.lit("rollup"))).otherwise(
+            F.array().cast("array<string>")
+        ),
+        F.when(in_gsets, F.array(F.lit("gsets"))).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    out = cube.select(F.explode(tags).alias("variant"), "*")
     return out.orderBy(
         "variant",
         "g_rf",
