@@ -4,11 +4,12 @@
 Media are opaque ``binary`` columns with typed metadata, loaded through
 Spark's ``binaryFile`` source and processed with Arrow-batched
 ``mapInPandas`` — the Spark-side plumbing (schema, partitioning, UDF
-signatures, batch shapes) is real and tested; the codec step itself is
-STUBBED (``decode="fake"`` is a deterministic content-hash-derived
-decode; ``decode="real"`` raises ``NotImplementedError``) because no
-image/audio libraries ship in this environment. Swapping in PIL /
-torchaudio / pyav is a body-only change to ``_decode_batch``.
+signatures, batch shapes) is real and tested. ``decode="real"`` parses
+container headers (PNG/GIF/BMP/JPEG/WAV — published specs, stdlib only)
+for width/height/channels/duration; PIXEL/SAMPLE-level decoding is
+STUBBED (``decode="fake"`` is a deterministic content-hash stand-in)
+because no codec library (PIL/pyav/torchaudio) ships in this
+environment — swapping one in is a body-only change to ``_decode_batch``.
 
 Scale notes: ``binaryFile`` gives one row per file with the content as a
 single cell — fine for images/short audio; for long video, store
@@ -72,6 +73,66 @@ _DECODED_FIELDS = [
 ]
 
 
+def _real_decode(content: bytes, media_type: str) -> dict[str, Any]:
+    """Header-level decode of common container formats using only the
+    published format specs and the stdlib — no codec libraries:
+
+    - PNG: IHDR width/height/bit-depth/color-type (channels per spec)
+    - GIF: logical screen descriptor (RGB)
+    - BMP: BITMAPINFOHEADER width/height/bpp
+    - JPEG: SOF0/1/2 frame header (height, width, components)
+    - WAV: stdlib ``wave`` (channels, frame rate → duration_ms)
+
+    Unrecognized content degrades to all-null metadata rather than
+    failing the batch (a 100 TB corpus always contains junk rows; route
+    them with ``WHERE width IS NULL``). Pixel/sample decoding (and with
+    it resize/feature extraction on real pixels) still requires a codec
+    library and remains stubbed.
+    """
+    out: dict[str, Any] = {
+        "width": None, "height": None, "n_channels": None, "duration_ms": None
+    }
+    b = bytes(content or b"")
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            out["width"] = int.from_bytes(b[16:20], "big")
+            out["height"] = int.from_bytes(b[20:24], "big")
+            color_type = b[25]
+            out["n_channels"] = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        elif b[:6] in (b"GIF87a", b"GIF89a"):
+            out["width"] = int.from_bytes(b[6:8], "little")
+            out["height"] = int.from_bytes(b[8:10], "little")
+            out["n_channels"] = 3
+        elif b[:2] == b"BM" and len(b) >= 32:
+            out["width"] = int.from_bytes(b[18:22], "little", signed=True)
+            out["height"] = abs(int.from_bytes(b[22:26], "little", signed=True))
+            out["n_channels"] = max(1, int.from_bytes(b[28:30], "little") // 8)
+        elif b[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
+            i = 2
+            while i + 9 < len(b) and b[i] == 0xFF:
+                marker, seglen = b[i + 1], int.from_bytes(b[i + 2 : i + 4], "big")
+                if marker in (0xC0, 0xC1, 0xC2):  # baseline/extended/progressive
+                    out["height"] = int.from_bytes(b[i + 5 : i + 7], "big")
+                    out["width"] = int.from_bytes(b[i + 7 : i + 9], "big")
+                    out["n_channels"] = b[i + 9]
+                    break
+                i += 2 + seglen
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(b)) as w:
+                out["n_channels"] = w.getnchannels()
+                rate = w.getframerate()
+                if rate:
+                    out["duration_ms"] = int(w.getnframes() * 1000 / rate)
+    except Exception:
+        return {
+            "width": None, "height": None, "n_channels": None, "duration_ms": None
+        }
+    return out
+
+
 def _fake_decode(content: bytes, media_type: str) -> dict[str, Any]:
     """Deterministic stand-in decode: metadata derived from the content
     hash. STUB — replace with a real codec; kept deterministic so tests
@@ -96,16 +157,17 @@ def decode_media(df: DataFrame, decode: str = "fake") -> DataFrame:
     """Decode binary content to typed metadata columns with
     ``mapInPandas`` (Arrow batches of rows, not per-row calls).
 
-    ``decode="real"`` raises NotImplementedError — media codecs are not
-    available in this environment; the distributed plumbing (schema
-    contract, batch iteration, column passthrough) is exactly what a real
-    codec would use.
+    ``decode="real"`` parses real container headers (PNG/GIF/BMP/JPEG
+    dimensions + channels, WAV channels + duration) from the published
+    format specs — stdlib only, see :func:`_real_decode`; unrecognized
+    bytes yield null metadata. ``decode="fake"`` is the deterministic
+    content-hash stub used by tests/oracles. Both paths share the same
+    schema contract; pixel/sample-level decoding still requires a codec
+    library (PIL/pyav) and would be a body-only swap here.
     """
-    if decode == "real":
-        raise NotImplementedError(
-            "real media decoding requires codec libraries not present in this "
-            "environment; use decode='fake' for the deterministic stub"
-        )
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+    decode_fn = _real_decode if decode == "real" else _fake_decode
     out_schema = StructType(
         [f for f in df.schema.fields if f.name != "content"] + _DECODED_FIELDS
     )
@@ -114,7 +176,7 @@ def decode_media(df: DataFrame, decode: str = "fake") -> DataFrame:
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = [
-                _fake_decode(c, t)
+                decode_fn(c, t)
                 for c, t in zip(pdf["content"], pdf["media_type"])
             ]
             out = pdf[passthrough].copy()

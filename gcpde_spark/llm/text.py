@@ -40,14 +40,49 @@ def spread(df: DataFrame) -> DataFrame:
     # aggregate) the `.rdd` partition probe forces AQE to materialize the
     # upstream stages EAGERLY at plan-build time — measured ~2 s per
     # build on the curation pipeline — and those plans already have their
-    # parallelism set by the shuffle anyway.
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    if any(k in analyzed for k in ("Window", "Join", "Aggregate", "Repartition")):
+    # parallelism set by the shuffle anyway. Detection walks the analyzed
+    # plan's node CLASS NAMES (Window/Join/Aggregate/Repartition…), not
+    # the plan's string form — a column literally named "Join_date" must
+    # not disable the fan-out, and node names are stable across Spark
+    # versions where toString formatting is not.
+    if _has_shuffle_node(df):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+_SHUFFLE_NODES = {
+    "Window",
+    "Join",
+    "Aggregate",
+    "Repartition",
+    "RepartitionByExpression",
+    "Deduplicate",
+    "Sort",
+}
+
+
+def _has_shuffle_node(df: DataFrame) -> bool:
+    """True if the analyzed logical plan contains a node whose class name
+    marks a shuffle-deriving operator. Traverses TreeNode.children() via
+    the JVM gateway; if the gateway shape ever changes (e.g. Spark
+    Connect, where no ``_jdf`` exists), conservatively answer True so
+    ``spread`` becomes a no-op rather than an eager-materialization
+    hazard."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() in _SHUFFLE_NODES:
+                return True
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return False
+    except Exception:
+        return True
 
 
 def round4(c: Column) -> Column:

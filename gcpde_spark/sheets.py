@@ -128,10 +128,86 @@ class InMemorySheetBackend:
         return self._documents[document_id]
 
 
+class GspreadSheetBackend:
+    """Real Google Sheets backend over gspread (auth parity with the
+    reference's scoped service-account client, gcpde/sheets.py:21-56).
+
+    gspread's ``Spreadsheet``/``Worksheet`` objects natively provide the
+    surface :class:`SheetStore` drives (``worksheet``, ``add_worksheet``,
+    ``del_worksheet``, ``clear``, ``resize``, ``update``,
+    ``get_all_records``), so this backend is authentication plus
+    exception translation — :class:`_GspreadDocument` maps gspread's
+    ``WorksheetNotFound`` onto the engine's.
+
+    Import-gated: gspread does not ship in the sandbox, so the import
+    happens at construction and raises :class:`EngineException` with the
+    missing dependency named. Credentials are constructor-injected
+    (a ``google.auth`` credentials object, already scoped) — this module
+    never reads key files or ambient ADC itself. Pass ``client`` to
+    supply a pre-authorized (or fake, in tests) gspread-shaped client.
+    """
+
+    #: OAuth scopes the reference requests (gcpde/sheets.py:24-27).
+    SCOPES = (
+        "https://www.googleapis.com/auth/spreadsheets",
+        "https://www.googleapis.com/auth/drive",
+    )
+
+    def __init__(self, credentials: Any = None, client: Any = None):
+        if client is not None:
+            self._client = client
+        else:
+            try:
+                import gspread
+            except ImportError as exc:  # pragma: no cover — sandbox has no gspread
+                raise EngineException(
+                    "GspreadSheetBackend requires the 'gspread' package; "
+                    "install it or use InMemorySheetBackend"
+                ) from exc
+            if credentials is None:
+                raise EngineException(
+                    "GspreadSheetBackend needs scoped credentials "
+                    f"(scopes: {list(self.SCOPES)}) or an explicit client"
+                )
+            self._client = gspread.authorize(credentials)
+
+    def open_document(self, document_id: str) -> "_GspreadDocument":
+        return _GspreadDocument(self._client.open_by_key(document_id), document_id)
+
+
+class _GspreadDocument:
+    """Adapter translating gspread exceptions to engine exceptions; all
+    other calls pass straight through to the gspread Spreadsheet."""
+
+    def __init__(self, spreadsheet: Any, document_id: str):
+        self._ss = spreadsheet
+        self.document_id = document_id
+
+    def worksheet(self, sheet_name: str) -> Any:
+        try:
+            return self._ss.worksheet(sheet_name)
+        except Exception as exc:
+            if type(exc).__name__ == "WorksheetNotFound":
+                raise WorksheetNotFound(sheet_name) from exc
+            raise
+
+    def worksheets(self) -> list[Any]:
+        return list(self._ss.worksheets())
+
+    def add_worksheet(self, title: str, rows: int, cols: int) -> Any:
+        return self._ss.add_worksheet(title=title, rows=rows, cols=cols)
+
+    def del_worksheet(self, ws: Any) -> None:
+        self._ss.del_worksheet(ws)
+
+
 class SheetStore:
     """H1–H5 over a backend, plus the DataFrame boundary."""
 
-    def __init__(self, spark: SparkSession, backend: InMemorySheetBackend | None = None):
+    def __init__(self, spark: SparkSession, backend: Any = None):
+        # any object with open_document(document_id) -> document exposing
+        # the gspread-shaped surface: InMemorySheetBackend (hermetic) or
+        # GspreadSheetBackend (real Sheets)
         self.spark = spark
         self.backend = backend or InMemorySheetBackend()
 

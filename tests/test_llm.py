@@ -276,8 +276,71 @@ def test_decode_media_stub_schema_and_determinism(spark, media_dir):
     assert rows["clip.mp4"].duration_ms is not None and rows["clip.mp4"].width is None
     again = {r.path.rsplit("/", 1)[-1]: r for r in decode_media(df).collect()}
     assert rows["a.jpg"].width == again["a.jpg"].width  # deterministic stub
-    with pytest.raises(NotImplementedError):
-        decode_media(df, decode="real")
+    with pytest.raises(ValueError):
+        decode_media(df, decode="nope")
+
+
+def _make_png(width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal valid PNG (8-bit, filter 0, zlib-deflated) from the spec —
+    no imaging library involved."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width * channels) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(n_channels: int, rate: int, n_frames: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * n_channels * n_frames)
+    return buf.getvalue()
+
+
+def test_decode_media_real_headers(spark, tmp_path):
+    """decode='real' reads true container metadata (generated PNG/WAV,
+    stdlib-only encoders) and shares the fake path's schema contract."""
+    from gcpde_spark.llm.multimodal import decode_media, read_binary_files
+
+    (tmp_path / "img.png").write_bytes(_make_png(37, 21, channels=3))
+    (tmp_path / "gray.png").write_bytes(_make_png(5, 9, channels=1))
+    (tmp_path / "tone.wav").write_bytes(_make_wav(2, 8000, 4000))  # 500 ms
+    (tmp_path / "junk.png").write_bytes(b"\x89PNGnot-actually-png")
+    df = read_binary_files(spark, str(tmp_path))
+    real = decode_media(df, decode="real")
+    fake = decode_media(df, decode="fake")
+    assert real.schema == fake.schema  # contract: identical shape
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in real.collect()}
+    assert (rows["img.png"].width, rows["img.png"].height) == (37, 21)
+    assert rows["img.png"].n_channels == 3
+    assert (rows["gray.png"].width, rows["gray.png"].height) == (5, 9)
+    assert rows["gray.png"].n_channels == 1
+    assert rows["tone.wav"].n_channels == 2
+    assert rows["tone.wav"].duration_ms == 500
+    # junk degrades to null metadata instead of failing the batch
+    assert rows["junk.png"].width is None and rows["junk.png"].n_channels is None
 
 
 def test_extract_features_shape(spark, media_dir):

@@ -142,3 +142,107 @@ def test_replace_from_df_roundtrip(store, spark):
         {"id": "1", "name": "x"},
         {"id": "2", "name": "y"},
     ]
+
+
+# -- GspreadSheetBackend contract parity ---------------------------------------
+#
+# gspread itself is not installed in the sandbox; the backend is exercised
+# through a gspread-SHAPED fake client (same class names, same method
+# surface, same exception name) so the adapter layer — auth injection,
+# open_by_key, WorksheetNotFound translation — is covered, and the shared
+# H1–H5 surface is asserted identical across both backends.
+
+
+class _FakeGspreadWorksheetNotFound(Exception):
+    pass
+
+
+_FakeGspreadWorksheetNotFound.__name__ = "WorksheetNotFound"
+
+
+class _FakeGspreadSpreadsheet:
+    """Duck-typed gspread.Spreadsheet over an in-memory Document."""
+
+    def __init__(self, document_id):
+        from gcpde_spark.sheets import Document
+
+        self.id = document_id
+        self._doc = Document(document_id)
+
+    def worksheet(self, name):
+        from gcpde_spark.sheets import WorksheetNotFound as EngineWNF
+
+        try:
+            return self._doc.worksheet(name)
+        except EngineWNF as exc:  # fake gspread raises ITS OWN exception type
+            raise _FakeGspreadWorksheetNotFound(name) from exc
+
+    def worksheets(self):
+        return self._doc.worksheets()
+
+    def add_worksheet(self, title, rows, cols):
+        return self._doc.add_worksheet(title, rows, cols)
+
+    def del_worksheet(self, ws):
+        self._doc.del_worksheet(ws)
+
+
+class _FakeGspreadClient:
+    def __init__(self):
+        self._docs = {}
+
+    def open_by_key(self, document_id):
+        if document_id not in self._docs:
+            self._docs[document_id] = _FakeGspreadSpreadsheet(document_id)
+        return self._docs[document_id]
+
+
+@pytest.fixture()
+def gspread_store(spark):
+    from gcpde_spark.sheets import GspreadSheetBackend
+
+    return SheetStore(spark, GspreadSheetBackend(client=_FakeGspreadClient()))
+
+
+def test_gspread_backend_requires_credentials_or_client():
+    from gcpde_spark.errors import EngineException
+    from gcpde_spark.sheets import GspreadSheetBackend
+
+    with pytest.raises(EngineException):
+        GspreadSheetBackend()  # no credentials, no client, (no gspread)
+
+
+def test_gspread_backend_h1_h5_parity(store, gspread_store):
+    """The same H1–H5 call sequence produces identical observable state
+    through InMemorySheetBackend and GspreadSheetBackend."""
+    for s in (store, gspread_store):
+        s.replace_or_create_from_records(
+            "doc", "dim", [{"k": 1, "label": "one"}, {"k": 2, "label": ""}], ["k", "label"]
+        )
+        s.replace_or_create_from_records("doc", "aux", [{"a": "x"}], ["a"])
+    # H1 read + coercion contract
+    assert store.read_sheet("doc", "dim") == gspread_store.read_sheet("doc", "dim")
+    # H2 multi-read
+    assert store.read_sheets("doc") == gspread_store.read_sheets("doc")
+    # H3 replace on the existing sheet
+    for s in (store, gspread_store):
+        s.replace_from_records("doc", "dim", [{"k": 9, "label": "nine"}], ["k", "label"])
+    assert store.read_sheet("doc", "dim") == gspread_store.read_sheet("doc", "dim")
+    # H5 list + delete, including the not-found translation
+    assert [w.title for w in store.list_worksheets("doc")] == [
+        w.title for w in gspread_store.list_worksheets("doc")
+    ]
+    for s in (store, gspread_store):
+        s.delete_worksheet("doc", "aux")
+        with pytest.raises(WorksheetNotFound):
+            s.delete_worksheet("doc", "aux")
+    assert [w.title for w in gspread_store.list_worksheets("doc")] == ["dim"]
+
+
+def test_gspread_backend_read_df_boundary(gspread_store):
+    gspread_store.replace_or_create_from_records(
+        "doc", "d", [{"k": 1, "v": "a"}, {"k": 2, "v": ""}], ["k", "v"]
+    )
+    df = gspread_store.read_sheet_df("doc", "d")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "string"]
+    assert {(r.k, r.v) for r in df.collect()} == {("1", "a"), ("2", None)}
