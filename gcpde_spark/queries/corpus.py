@@ -801,13 +801,19 @@ def c32(spark: SparkSession, sf: str) -> DataFrame:
     "JSON field access (§2B-12): Spark get_json_object ≙ DuckDB json_extract_string",
 )
 def c33(spark: SparkSession, sf: str) -> DataFrame:
+    # JSON extraction DEFERRED past the top-k: projecting it before the
+    # sort-limit put get_json_object below TakeOrderedAndProject, parsing
+    # every row's props to keep 500 (measured 5x slower at sf0.1; at real
+    # scale it is parse-everything vs parse-500). The sort key is a base
+    # column, so take first, parse after.
     e = load_table(spark, sf, "events")
     return (
-        e.select(
-            "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
-        )
+        e.select("event_id", "props")
         .orderBy("event_id")
         .limit(500)
+        .select(
+            "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+        )
     )
 
 
@@ -985,12 +991,16 @@ def c40(spark: SparkSession, sf: str) -> DataFrame:
          FIRST_VALUE(o_orderkey) OVER w AS fv,
          LAST_VALUE(o_orderkey) OVER (
            PARTITION BY o_custkey ORDER BY o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+         CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pr,
+         CAST(CUME_DIST() OVER w AS DOUBLE) AS cd
        FROM orders WHERE o_custkey <= 100
        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
        ORDER BY o_custkey, o_orderkey""",
-    "window navigation fns — dense_rank/ntile/first_value/last_value "
-    "(§2B-8); deterministic because o_orderkey is unique per partition",
+    "window navigation fns — dense_rank/ntile/first_value/last_value/"
+    "percent_rank/cume_dist (§2B-8); deterministic because o_orderkey is "
+    "unique per partition, and the ratio fns are exact integer divisions "
+    "both engines perform identically in IEEE doubles",
 )
 def c41(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders").where(F.col("o_custkey") <= 100)
@@ -1003,6 +1013,8 @@ def c41(spark: SparkSession, sf: str) -> DataFrame:
         F.ntile(4).over(w).cast("bigint").alias("nt"),
         F.first("o_orderkey").over(w).alias("fv"),
         F.last("o_orderkey").over(w_full).alias("lv"),
+        F.percent_rank().over(w).cast("double").alias("pr"),
+        F.cume_dist().over(w).cast("double").alias("cd"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -1024,15 +1036,21 @@ def c42(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
-    "c43_pivot",
-    """SELECT o_orderpriority,
-         CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
-         CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
-         CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
-       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-    "pivot / conditional aggregation (§2B-6): explicit pivot values keep "
-    "the output schema static (no dry-run distinct scan), count nulls "
-    "coalesced to 0 to match SQL FILTER semantics",
+    "c43_pivot_unpivot",
+    """WITH p AS (
+         SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+         FROM orders GROUP BY o_orderpriority)
+       SELECT o_orderpriority, status, n
+       FROM p UNPIVOT (n FOR status IN (F, O, P))
+       ORDER BY o_orderpriority, status""",
+    "pivot / conditional aggregation + UNPIVOT melt back to long form "
+    "(§2B-6): explicit pivot values keep the output schema static (no "
+    "dry-run distinct scan); counts coalesce to 0, so the unpivot emits "
+    "zero cells a plain GROUP BY would omit — certifying the round-trip, "
+    "not just the aggregation",
 )
 def c43(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
@@ -1041,10 +1059,16 @@ def c43(spark: SparkSession, sf: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
     )
-    return p.select(
+    wide = p.select(
         "o_orderpriority",
         *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in "FOP"],
-    ).orderBy("o_orderpriority")
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="status",
+        valueColumnName="n",
+    ).orderBy("o_orderpriority", "status")
 
 
 @_q(
