@@ -20,7 +20,7 @@ hive-partitioned layout the batch reader consumes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
@@ -168,6 +168,57 @@ def write_dataset_stream(
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy("version", "year", "month", "day")
         .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def upsert_stream_to_table(
+    df: DataFrame,
+    dataset: str,
+    table: str,
+    key_field: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """CDC-style streaming upsert: merge each micro-batch into a managed
+    table by key via ``foreachBatch`` — the streaming composition of the
+    B13 upsert operator (latest batch row wins per key, then batch merges
+    into the table; a partitioned target rewrites only touched
+    partitions, see ``TableStore.upsert_table_df``).
+
+    Exactly-once effect: the checkpoint makes batch replay possible after
+    a crash, and the merge is idempotent per batch (same batch ⇒ same
+    keys ⇒ same final rows), so a replayed batch converges instead of
+    duplicating — the standard foreachBatch-upsert contract for sinks
+    without transactional batch-id tracking.
+
+    Within one micro-batch, rows sharing a key are reduced to the
+    last-by-``ts`` row first (a batch is unordered; the merge's
+    duplicate-key guard would otherwise raise — same rule the reference
+    applies by insert order).
+    """
+    from gcpde_spark.tables import TableStore
+
+    def _merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        w = Window.partitionBy(key_field).orderBy(F.desc("ts"))
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        store = TableStore(spark)
+        if not store.check_table(dataset, table):
+            store.replace_table_df(dataset, table, latest)  # create-fresh path
+        else:
+            store.upsert_table_df(dataset, table, latest, key_field)
+
+    writer = (
+        df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -520,7 +520,17 @@ class TableStore:
         return self._action_with_timeout(lambda: df.toPandas(), timeout)
 
     def table_df(self, dataset: str, table: str) -> DataFrame:
-        return self.spark.table(f"`{dataset}`.`{table}`")
+        name = f"`{dataset}`.`{table}`"
+        # The swap-based mutation paths (replace/upsert) atomically replace
+        # the files under the table location; any session that resolved the
+        # relation earlier — including a foreachBatch-CLONED session inside
+        # a streaming upsert — still holds a cached file listing pointing
+        # at the deleted files and fails with FILE_NOT_EXIST. Relation
+        # caches are per-session, so the mutator can't invalidate readers;
+        # refresh here (metadata-only, data is not re-read) so a read
+        # always sees the post-swap state.
+        self.spark.catalog.refreshTable(name)
+        return self.spark.table(name)
 
     # -- Q4: pagination ----------------------------------------------------------
 

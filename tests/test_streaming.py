@@ -254,3 +254,57 @@ def test_stream_static_enrichment_join(spark, event_dataset):
         .collect()
     }
     assert got == expected
+
+
+def test_upsert_stream_to_table_converges_last_write_wins(
+    spark, event_dataset, tmp_path_factory
+):
+    """CDC composition: a keyed stream foreachBatch-upserts into a managed
+    table; the table converges to one row per key with the latest-ts
+    values, and a second wave updates in place instead of appending."""
+    from gcpde_spark.streaming import read_dataset_stream, upsert_stream_to_table
+    from gcpde_spark.tables import TableStore
+
+    base, events = event_dataset
+    ckpt = str(tmp_path_factory.mktemp("upsert_ckpt"))
+    store = TableStore(spark)
+    store.delete_table("stream_ds", "user_latest")
+
+    stream = read_dataset_stream(spark, base, "ev", EVENT_SCHEMA)
+    q = upsert_stream_to_table(
+        stream, "stream_ds", "user_latest", "user_id", ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = store.table_df("stream_ds", "user_latest").collect()
+    # one row per key...
+    assert len(got) == len({r.user_id for r in got})
+    # ...holding that key's latest-ts event
+    expected_ts = {
+        r.user_id: r.mx
+        for r in events.groupBy("user_id").agg(F.max("ts").alias("mx")).collect()
+    }
+    for r in got:
+        assert r.ts == expected_ts[r.user_id]
+
+    # second wave: bump one user's latest event forward in time
+    target_user = got[0].user_id
+    new_ts = max(r.ts for r in got) + dt.timedelta(days=1)
+    ds = DatasetStore(spark, base)
+    wave2 = spark.createDataFrame(
+        [(10_000_000, target_user, "late_update", new_ts)], EVENT_SCHEMA
+    )
+    ds.add_dataframe_to_dataset(wave2, "ev", ts_column="ts")
+    q2 = upsert_stream_to_table(
+        read_dataset_stream(spark, base, "ev", EVENT_SCHEMA),
+        "stream_ds",
+        "user_latest",
+        "user_id",
+        ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    after = {r.user_id: r for r in store.table_df("stream_ds", "user_latest").collect()}
+    assert len(after) == len(got)  # update-in-place, no appended duplicate
+    assert after[target_user].event_id == 10_000_000
+    assert after[target_user].ts == new_ts
