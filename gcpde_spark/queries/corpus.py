@@ -424,10 +424,14 @@ def c16(spark: SparkSession, sf: str) -> DataFrame:
          CAST(ROUND(SUM({_MONEY_SQL.format('l_extendedprice')})
               OVER (PARTITION BY l_orderkey
                     ORDER BY l_linenumber, {_MONEY_SQL.format('l_extendedprice')}
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS DOUBLE) AS run
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS DOUBLE) AS run,
+         CAST(COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rng
        FROM lineitem WHERE l_orderkey <= 100
        ORDER BY l_orderkey, l_linenumber, run""",
-    "window frame running aggregate (§2B-8)",
+    "window frames, ROWS running aggregate + RANGE value-offset frame "
+    "(§2B-8); the RANGE frame is deterministic under duplicate "
+    "l_linenumber values because peers share one frame",
 )
 def c17(spark: SparkSession, sf: str) -> DataFrame:
     # lineitem has duplicate (l_orderkey, l_linenumber) pairs, so the
@@ -440,10 +444,16 @@ def c17(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("l_linenumber", money("l_extendedprice"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    w_rng = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rangeBetween(-2, W.currentRow)
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.round(F.sum(money("l_extendedprice")).over(w), 4).cast("double").alias("run"),
+        F.count(F.lit(1)).over(w_rng).cast("bigint").alias("rng"),
     ).orderBy("l_orderkey", "l_linenumber", "run")
 
 
@@ -649,11 +659,14 @@ def c24(spark: SparkSession, sf: str) -> DataFrame:
               CAST(MOD(l_partkey, 7) AS BIGINT) AS m7,
               CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
               CAST(CEIL(l_quantity) AS BIGINT) AS cq,
-              COALESCE(NULLIF(l_returnflag, 'N'), 'OTHER') AS rf
-       FROM lineitem ORDER BY l_orderkey, l_linenumber, disc, t, m7, fq, cq, rf
+              COALESCE(NULLIF(l_returnflag, 'N'), 'OTHER') AS rf,
+              TRY_CAST(CONCAT(CAST(l_partkey AS VARCHAR),
+                   CASE WHEN l_returnflag = 'R' THEN 'x' ELSE '' END) AS BIGINT) AS tc
+       FROM lineitem ORDER BY l_orderkey, l_linenumber, disc, t, m7, fq, cq, rf, tc
        LIMIT 200""",
-    "math / CASE / CAST / COALESCE / NULLIF (§2B-11); decimal product is "
-    "exact so ROUND ties are impossible",
+    "math / CASE / CAST / COALESCE / NULLIF / TRY_CAST (§2B-11); decimal "
+    "product is exact so ROUND ties are impossible; TRY_CAST certifies "
+    "the ANSI-safe cast class (malformed input → NULL, not error)",
 )
 def c26(spark: SparkSession, sf: str) -> DataFrame:
     # ORDER BY covers every output column: lineitem has duplicate
@@ -673,8 +686,16 @@ def c26(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(
                 F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("OTHER")
             ).alias("rf"),
+            F.concat(
+                F.col("l_partkey").cast("string"),
+                F.when(F.col("l_returnflag") == "R", "x").otherwise(""),
+            )
+            .try_cast("bigint")
+            .alias("tc"),
         )
-        .orderBy("l_orderkey", "l_linenumber", "disc", "t", "m7", "fq", "cq", "rf")
+        .orderBy(
+            "l_orderkey", "l_linenumber", "disc", "t", "m7", "fq", "cq", "rf", "tc"
+        )
         .limit(200)
     )
 
