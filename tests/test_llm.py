@@ -230,6 +230,39 @@ def test_text_stats_sane_ranges(docs):
         assert 0 <= r.quality_score <= 1
 
 
+def test_stopword_hits_matches_token_semantics(spark):
+    """The regexp_count-based stopword counter must equal the reference
+    semantics — count of whitespace tokens (of the NORMALIZED text) equal
+    to a list word, repeats included — on adversarial inputs: substring
+    words (a/and), punctuation-glued tokens ('the,'), repeated and
+    adjacent hits, empty and whitespace-only text, multi-byte tokens."""
+    from gcpde_spark.llm.text import STOPWORDS, normalize_text, stopword_hits
+
+    cases = [
+        "the a of and to in is it for on",         # every word once
+        "a a a",                                    # adjacent repeats
+        "and android banda a",                      # substring traps
+        "the, the. (the) the",                      # punctuation glue: only bare 'the'
+        "THE  A\t\tOF",                             # case + whitespace collapse
+        "", "   ", "xyzzy plugh",                   # empty / no hits
+        "的 了 hello 的",                            # multi-byte tokens
+        "on on on the on",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i int, t string")
+    for lang in ("en", "zh"):
+        words = STOPWORDS[lang]
+        got = {
+            r.i: r.h
+            for r in df.select(
+                "i", stopword_hits(normalize_text("t"), words).alias("h")
+            ).collect()
+        }
+        for i, t in enumerate(cases):
+            norm = " ".join(t.lower().split())
+            expected = sum(1 for tok in norm.split(" ") if tok in words)
+            assert got[i] == expected, (lang, t, got[i], expected)
+
+
 def test_fingerprint_order_invariance(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma beta alpha alpha")],
