@@ -148,7 +148,12 @@ def _exploded_shingles(
     return full.unionByName(short)
 
 
-def _bucket_pairs(skinny: DataFrame, key_cols: list[str], payload: str = "_id") -> DataFrame:
+def _bucket_pairs(
+    skinny: DataFrame,
+    key_cols: list[str],
+    payload: str = "_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Candidate ``(id_a, id_b)`` pairs from hash buckets, computing the
     bucketed input ONCE.
 
@@ -158,9 +163,16 @@ def _bucket_pairs(skinny: DataFrame, key_cols: list[str], payload: str = "_id") 
     ``a < b`` pairs inside the array. Bucket member lists are tiny by
     construction (E[size] = N / #buckets; LSH banding is designed so
     buckets fit in memory), so the in-array O(size²) expansion is
-    trivial, while the signature stage runs exactly once. Skewed buckets
-    (e.g. a degenerate band hash) are quadratic under EITHER shape; at
-    100 TB cap or salt them upstream.
+    trivial, while the signature stage runs exactly once.
+
+    ``max_bucket_size`` is the degenerate-bucket guard: a bucket with m
+    members emits m(m-1)/2 pairs, so one boilerplate band value shared by
+    100k docs would emit 5e9 pairs — quadratic under ANY pairing shape.
+    When set, buckets larger than the cap are dropped whole (the standard
+    LSH practice: such buckets are near-degenerate signatures — empty
+    strings, templates — whose members almost all collide in OTHER bands
+    too, so recall loss is confined to the degenerate cohort and the
+    explicit parameter makes the trade visible instead of an OOM).
 
     ``payload`` may be a struct column carrying per-id extras (e.g. the
     simhash value) — pairs then expose ``id_a``/``id_b`` structs.
@@ -170,6 +182,8 @@ def _bucket_pairs(skinny: DataFrame, key_cols: list[str], payload: str = "_id") 
         .agg(F.array_sort(F.collect_list(payload)).alias("_ids"))
         .where(F.size("_ids") >= 2)
     )
+    if max_bucket_size is not None:
+        grouped = grouped.where(F.size("_ids") <= max_bucket_size)
     ids = F.col("_ids")
     pairs = F.flatten(
         F.transform(
@@ -273,6 +287,7 @@ def minhash_near_dup_pairs(
     shingle_size: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by banded MinHash-LSH, verified exactly.
 
@@ -298,7 +313,9 @@ def minhash_near_dup_pairs(
         ]
     )
     skinny = sig.select("_id", F.posexplode(band_keys).alias("band_idx", "band_hash"))
-    candidates = _bucket_pairs(skinny, ["band_idx", "band_hash"])
+    candidates = _bucket_pairs(
+        skinny, ["band_idx", "band_hash"], max_bucket_size=max_bucket_size
+    )
     return _verify_jaccard(df, candidates, id_col, text_col, shingle_size, threshold)
 
 
@@ -542,6 +559,7 @@ def simhash_near_dup_pairs(
     id_col: str,
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: the 64-bit hash is split into
     ``max_hamming + 1`` disjoint chunks, so any pair within the Hamming
@@ -577,7 +595,9 @@ def simhash_near_dup_pairs(
         F.struct(F.col("_id"), F.col("simhash")).alias("_m"),
         F.posexplode(chunks).alias("chunk_idx", "chunk"),
     )
-    pairs = _bucket_pairs(skinny, ["chunk_idx", "chunk"], payload="_m")
+    pairs = _bucket_pairs(
+        skinny, ["chunk_idx", "chunk"], payload="_m", max_bucket_size=max_bucket_size
+    )
     return (
         pairs.select(
             F.col("id_a._id").alias("id_a"),

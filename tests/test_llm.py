@@ -230,6 +230,31 @@ def test_text_stats_sane_ranges(docs):
         assert 0 <= r.quality_score <= 1
 
 
+def test_bucket_cap_drops_degenerate_cohort_keeps_normal_pairs(spark):
+    """max_bucket_size guards the quadratic blowup: a boilerplate cohort
+    whose members all share every band bucket is dropped whole, while an
+    ordinary near-dup pair outside the cohort is still found."""
+    from gcpde_spark.llm.dedup import minhash_near_dup_pairs
+
+    boiler = [(i, "lorem ipsum dolor sit amet " * 5) for i in range(30)]
+    near = [
+        (100, "the quick brown fox jumps over the lazy dog again and again today"),
+        (101, "the quick brown fox jumps over the lazy dog again and again now"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    capped = minhash_near_dup_pairs(
+        df, "doc_id", num_hashes=64, bands=16, threshold=0.5, max_bucket_size=10
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got            # normal pair survives
+    assert all(a >= 100 for a, _ in got)  # degenerate cohort emitted nothing
+    # without the cap the cohort floods the pair list
+    uncapped = minhash_near_dup_pairs(
+        df, "doc_id", num_hashes=64, bands=16, threshold=0.5
+    )
+    assert uncapped.count() == len(got) + 30 * 29 // 2
+
+
 def test_stopword_hits_matches_token_semantics(spark):
     """The regexp_count-based stopword counter must equal the reference
     semantics — count of whitespace tokens (of the NORMALIZED text) equal
