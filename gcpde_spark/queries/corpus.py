@@ -601,9 +601,12 @@ def c21(spark: SparkSession, sf: str) -> DataFrame:
     """SELECT p_partkey, UPPER(p_brand) AS b, SUBSTRING(p_name, 1, 5) AS pfx,
               CAST(LENGTH(p_type) AS BIGINT) AS lt, REPLACE(p_type, ' ', '_') AS tt,
               TRIM(CONCAT(' ', p_brand, ' ')) AS tb,
-              REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS cons
+              REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS cons,
+              CAST(INSTR(p_name, 'a') AS BIGINT) AS ip,
+              SPLIT_PART(p_type, ' ', 1) AS sp
        FROM part ORDER BY p_partkey LIMIT 100""",
-    "string scalar functions + regular expressions (§2B-11)",
+    "string scalar functions + regular expressions (§2B-11): case ops, "
+    "substring/instr/split_part, trim/replace/concat, regexp_replace",
 )
 def c22(spark: SparkSession, sf: str) -> DataFrame:
     p = load_table(spark, sf, "part")
@@ -615,6 +618,8 @@ def c22(spark: SparkSession, sf: str) -> DataFrame:
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("tt"),
         F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("tb"),
         F.regexp_replace("p_name", "[aeiou]", "").alias("cons"),
+        F.instr("p_name", "a").cast("bigint").alias("ip"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("sp"),
     ).orderBy("p_partkey").limit(100)
 
 
@@ -627,8 +632,10 @@ def c22(spark: SparkSession, sf: str) -> DataFrame:
               CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
               CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS mo,
               CAST(DATE_TRUNC('DAY', o_orderdate) + INTERVAL 1 DAY AS DATE) AS nxt,
+              LAST_DAY(o_orderdate) AS ld,
+              CAST(DATE_DIFF('day', o_orderdate, DATE '1998-12-01') AS BIGINT) AS dd,
               COUNT(*) AS n
-       FROM orders GROUP BY 1, 2, 3, 4 ORDER BY y, m, mo, nxt""",
+       FROM orders GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY y, m, mo, nxt""",
     "date EXTRACT + date_trunc + interval arithmetic (§2B-11) — the "
     "partition-convention analog of S2/S6",
 )
@@ -640,6 +647,10 @@ def c24(spark: SparkSession, sf: str) -> DataFrame:
             F.month("o_orderdate").cast("bigint").alias("m"),
             F.date_trunc("MONTH", "o_orderdate").cast("date").alias("mo"),
             F.date_add(F.date_trunc("DAY", "o_orderdate").cast("date"), 1).alias("nxt"),
+            F.last_day("o_orderdate").alias("ld"),
+            F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate"))
+            .cast("bigint")
+            .alias("dd"),
         )
         .agg(F.count("*").alias("n"))
         .orderBy("y", "m", "mo", "nxt")

@@ -64,3 +64,18 @@ def test_whole_stage_codegen_covers_scan_and_agg(spark):
     # both the scan-side partial agg and the final agg must be inside one
     agg_lines = [ln for ln in final.splitlines() if "HashAggregate" in ln]
     assert agg_lines and all("*(" in ln for ln in agg_lines)
+
+
+def test_curation_pipeline_plan_stays_compact(spark):
+    """Regression guard for the round-3 compile-blowup fix: without the
+    materialized-columns-below-the-window structure, CollapseProject +
+    filter pushdown re-inline the normalization regex and token split at
+    every use site (observed: 31 split / 46 regexp_replace copies, ~6 s
+    per-build codegen for 0.08 s of execution). The optimized plan must
+    keep one split and a bounded handful of regex nodes."""
+    import re
+
+    plan = _plan(spark, "l14_curation_pipeline")
+    assert len(re.findall(r"split\(", plan)) <= 2, "token split re-inlined"
+    assert len(re.findall(r"regexp_replace", plan)) <= 8, "normalization re-inlined"
+    assert "lambdafunction" not in plan, "interpreted HOF in the hot path"
