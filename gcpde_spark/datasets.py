@@ -266,6 +266,80 @@ class DatasetStore:
             )
         out.write.mode("append").partitionBy("version", "year", "month", "day").json(base)
 
+    def compact_dataset(
+        self,
+        dataset: str,
+        version: str = "1",
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+    ) -> dict[str, tuple[int, int]]:
+        """Compact the small-file debris of a streamed/appended dataset:
+        each day partition whose JSONL files could pack into fewer
+        ``target_file_bytes``-sized files is rewritten coalesced and
+        swapped in via rename-aside. Returns
+        ``{partition_dir: (files_before, files_after)}`` for the
+        partitions actually rewritten.
+
+        Byte-preserving by construction: files are read as TEXT lines and
+        written back verbatim — no JSON schema inference, so no type
+        drift, field reordering, or null-column loss can occur, and the
+        rewrite is safe for data whose schema the engine has never seen.
+        The work is distributed (a read + repartition + write per
+        partition); the driver only lists directories and file sizes.
+
+        At lake scale this is the maintenance job that keeps ``S5'``
+        reads from degrading: a day that accumulated thousands of
+        per-micro-batch files becomes a handful of right-sized ones, so
+        scans open O(data / 128 MB) files instead of O(append count).
+        """
+        import math
+
+        fs = self._fs()
+        stats: dict[str, tuple[int, int]] = {}
+        for part_dir in self._partition_dirs(dataset, version):
+            jdir = self._jpath(part_dir)
+            files = [
+                (st.getPath(), int(st.getLen()))
+                for st in fs.listStatus(jdir)
+                if st.isFile() and not st.getPath().getName().startswith((".", "_"))
+            ]
+            if len(files) < min_files:
+                continue
+            total = sum(sz for _, sz in files)
+            n_out = max(1, math.ceil(total / target_file_bytes))
+            if n_out >= len(files):
+                continue  # already at/below the target layout
+            paths = [p.toString() for p, _ in files]
+            staged_rel = f"{part_dir}.__compact_tmp"
+            trash_rel = f"{part_dir}.__compact_old"
+            (
+                self.spark.read.text(paths)
+                .repartition(n_out)
+                .write.mode("overwrite")
+                .text(f"{self.base_path}/{staged_rel}")
+            )
+            jstaged, jtrash = self._jpath(staged_rel), self._jpath(trash_rel)
+            # drop committer markers (_SUCCESS) from the staged dir — the
+            # partition layout contract has data files only
+            for st in fs.listStatus(jstaged):
+                if st.getPath().getName().startswith(("_", ".")):
+                    fs.delete(st.getPath(), False)
+            fs.delete(jtrash, True)
+            if not fs.rename(jdir, jtrash):  # pragma: no cover — FS races
+                fs.delete(jstaged, True)
+                raise IOError(f"compact: could not move {part_dir} aside")
+            if not fs.rename(jstaged, jdir):  # pragma: no cover
+                fs.rename(jtrash, jdir)  # roll back
+                raise IOError(f"compact: could not swap in {staged_rel}")
+            fs.delete(jtrash, True)
+            after = sum(
+                1
+                for st in fs.listStatus(jdir)
+                if st.isFile() and not st.getPath().getName().startswith((".", "_"))
+            )
+            stats[part_dir] = (len(files), after)
+        return stats
+
     # -- S3: download_files ------------------------------------------------------
 
     def download_files(self, file_paths: list[str]) -> list[DownloadedFile]:

@@ -167,3 +167,32 @@ def test_add_dataframe_to_dataset_partitioned(store, spark):
     out = store.get_dataset_df("ev", latest_partition_only=True)
     recs = [json.loads(r) for r in out.toJSON().collect()]
     assert [r["id"] for r in recs] == ["b"]
+
+
+def test_compact_dataset_reduces_files_preserves_records(store, spark):
+    """Compaction packs a partition's small-file debris into few files,
+    byte-preserving every record, and leaves healthy partitions alone."""
+    for i in range(6):  # 6 tiny hourly appends -> 6 files in day=1
+        pi = DateTimePartitions(year=2022, month=1, day=1, hour=i)
+        store.add_records_to_dataset([f'{{"id": "{i}", "v": {i}}}'], "cds",
+                                     datetime_partition=pi)
+    p2 = DateTimePartitions(year=2022, month=1, day=2, hour=0)
+    store.add_records_to_dataset(['{"id": "x", "v": 99}'], "cds",
+                                 datetime_partition=p2)
+    before = sorted(store.get_dataset("cds"), key=lambda r: r["id"])
+    n_before = len(store.list_files("cds/version=1/year=2022/month=1/day=1"))
+    assert n_before >= 6
+
+    stats = store.compact_dataset("cds")
+    assert stats == {"cds/version=1/year=2022/month=1/day=1": (n_before, 1)}
+    n_after = len(store.list_files("cds/version=1/year=2022/month=1/day=1"))
+    assert n_after == 1
+    # single-file day=2 partition untouched
+    assert len(store.list_files("cds/version=1/year=2022/month=1/day=2")) == 1
+    after = sorted(store.get_dataset("cds"), key=lambda r: r["id"])
+    assert after == before
+    # distributed read path agrees too
+    df = store.get_dataset_df("cds")
+    assert df.count() == 7
+    # idempotent: a second compaction finds nothing to do
+    assert store.compact_dataset("cds") == {}
