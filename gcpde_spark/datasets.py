@@ -418,6 +418,7 @@ class DatasetStore:
         version: str = "1",
         latest_partition_only: bool = False,
         schema: StructType | None = None,
+        since: "dt.date | None" = None,
     ) -> DataFrame:
         """Distributed dataset scan (the 100 TB path for S5).
 
@@ -428,8 +429,24 @@ class DatasetStore:
         hands those paths to ``spark.read.json`` — file expansion then
         happens in Spark's distributed file index, so a dataset with
         millions of files costs the driver only its day count.
+
+        ``since`` prunes to day partitions ≥ the given date — the
+        incremental-consumption pattern (process yesterday's appends,
+        backfill from a checkpoint date) at directory-listing cost; it
+        composes with ``latest_partition_only`` (latest wins).
         """
         dirs = self._partition_dirs(dataset, version)
+        if since is not None:
+
+            def _day(p: str) -> dt.date:
+                parts = dict(
+                    seg.split("=", 1) for seg in p.split("/") if "=" in seg
+                )
+                return dt.date(
+                    int(parts["year"]), int(parts["month"]), int(parts["day"])
+                )
+
+            dirs = [p for p in dirs if _day(p) >= since]
         if latest_partition_only and dirs:
             # reuse the same max-(version,year,month,day) tuple rule;
             # directories parse exactly like file paths

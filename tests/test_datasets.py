@@ -196,3 +196,23 @@ def test_compact_dataset_reduces_files_preserves_records(store, spark):
     assert df.count() == 7
     # idempotent: a second compaction finds nothing to do
     assert store.compact_dataset("cds") == {}
+
+
+def test_get_dataset_df_since_prunes_partitions(store, spark):
+    """`since` is directory-level pruning: only partitions >= the date
+    are handed to the reader."""
+    for day in (1, 2, 3):
+        pd_ = DateTimePartitions(year=2022, month=1, day=day, hour=0)
+        store.add_records_to_dataset(
+            [f'{{"id": "d{day}"}}'], "inc", datetime_partition=pd_
+        )
+    df = store.get_dataset_df("inc", since=dt.date(2022, 1, 2))
+    ids = sorted(r.id for r in df.collect())
+    assert ids == ["d2", "d3"]
+    # composes with latest_partition_only (latest wins)
+    latest = store.get_dataset_df(
+        "inc", since=dt.date(2022, 1, 1), latest_partition_only=True
+    )
+    assert [r.id for r in latest.collect()] == ["d3"]
+    with pytest.raises(FileNotFoundError):
+        store.get_dataset_df("inc", since=dt.date(2023, 1, 1))
