@@ -268,7 +268,16 @@ class TableStore:
         df = records_to_dataframe(self.spark, records, schema)
         self.replace_table_df(dataset, table, df)
 
-    def replace_table_df(self, dataset: str, table: str, df: DataFrame) -> None:
+    def replace_table_df(
+        self,
+        dataset: str,
+        table: str,
+        df: DataFrame,
+        cluster_by: list[str] | None = None,
+        cluster_files: int | None = None,
+    ) -> None:
+        if cluster_by:
+            df = self._clustered(df, cluster_by, cluster_files)
         self._ensure_database(dataset)
         if not self.check_table(dataset, table):
             # Nothing to protect — skip the stage-and-swap choreography.
@@ -278,6 +287,34 @@ class TableStore:
         tmp = f"{table}__tmp_{uuid.uuid4().hex[:8]}"
         df.write.format("parquet").saveAsTable(f"`{dataset}`.`{tmp}`")
         self._swap(dataset, tmp, table)
+
+    @staticmethod
+    def _clustered(
+        df: DataFrame, cols: list[str], n_files: int | None = None
+    ) -> DataFrame:
+        """Range-partition + sort the data by ``cols`` before writing, so
+        parquet row-group min/max statistics become narrow, disjoint
+        ranges and a filtered scan SKIPS the row groups (and whole files)
+        whose range excludes the predicate — the poor man's clustered
+        index, and the main read-amplification lever a non-transactional
+        parquet layout has. At 100 TB, a point/range query on the cluster
+        column touches O(matching row groups), not the table.
+
+        ``repartitionByRange`` samples the column to build balanced
+        ranges (one extra pass at write time); ``sortWithinPartitions``
+        orders rows inside each output file so min/max are tight at the
+        row-group grain too. ``n_files`` pins the output file count —
+        an EXPLICIT partition count, which AQE respects (without it, AQE
+        coalesces a small write to one file, which is right for size but
+        forfeits the file-level pruning this exists for; size the count
+        to ~target data / 128 MB).
+        """
+        parted = (
+            df.repartitionByRange(n_files, *cols)
+            if n_files
+            else df.repartitionByRange(*cols)
+        )
+        return parted.sortWithinPartitions(*cols)
 
     def _swap(self, dataset: str, tmp: str, table: str) -> None:
         """Swap a staged table into place (the reference's tmp-table

@@ -400,3 +400,41 @@ def test_paged_scratch_ttl_sweep(store, monkeypatch):
     # the abandoned cursor (TTL 0 -> expired) was swept; the new one's
     # scratch was deleted on its own final page
     assert os.listdir(scratch) == []
+
+
+def test_replace_table_df_cluster_by_gives_disjoint_file_ranges(spark, store):
+    """cluster_by range-partitions + sorts the write so each parquet
+    file's min/max for the cluster column covers a narrow slice of the
+    domain — the data-skipping property a filtered scan relies on."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    # un-clustered writes interleave k across files; clustered must not
+    store.replace_table_df(
+        "clus_ds", "t", df.repartition(8), cluster_by=["k"], cluster_files=4
+    )
+    loc = next(
+        r.data_type
+        for r in spark.sql("DESCRIBE FORMATTED `clus_ds`.`t`").collect()
+        if r.col_name == "Location"
+    ).replace("file:", "")
+    files = sorted(glob.glob(f"{loc}/part-*.parquet"))
+    assert len(files) >= 2
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ci = [md.row_group(i).column(0) for i in range(md.num_row_groups)]
+        assert all(c.path_in_schema == "k" for c in ci)
+        lo = min(c.statistics.min for c in ci)
+        hi = max(c.statistics.max for c in ci)
+        spans.append((lo, hi))
+    spans.sort()
+    # each file covers a narrow, essentially disjoint slice of [0, 100k)
+    assert max(hi - lo for lo, hi in spans) < 100_000 / max(2, len(spans) - 1)
+    for (_, prev_hi), (nxt_lo, _) in zip(spans, spans[1:]):
+        assert nxt_lo >= prev_hi  # range partitioning: no interleaving
