@@ -20,7 +20,7 @@ shrinks the shuffle, what AQE is expected to do at scale.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
