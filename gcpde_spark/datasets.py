@@ -34,11 +34,14 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import time
 from dataclasses import dataclass
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+from gcpde_spark.retry import DOWNLOAD_BUDGET, UPLOAD_BUDGET, with_retries
 
 
 def get_utc_now() -> dt.datetime:
@@ -157,22 +160,48 @@ class DatasetStore:
         self._fs_cached = fs
         return fs
 
+    # Transient-failure envelope ≙ the reference's published budgets
+    # (gcpde/gcs.py:221-235 download, gcpde/bq.py:367-375 upload); both
+    # wrapped ops are idempotent (read; whole-file overwrite), so a
+    # retried attempt converges instead of duplicating. ``_sleep`` is
+    # injectable for tests.
+    _sleep = staticmethod(time.sleep)
+
+    def _retryable(self) -> tuple[type[BaseException], ...]:
+        from py4j.protocol import Py4JJavaError
+
+        return (IOError, OSError, Py4JJavaError)
+
     def _write_bytes(self, rel_path: str, data: bytes) -> None:
-        fs = self._fs()
-        out = fs.create(self._jpath(rel_path), True)
-        try:
-            out.write(data)
-        finally:
-            out.close()
+        def _once() -> None:
+            fs = self._fs()
+            out = fs.create(self._jpath(rel_path), True)
+            try:
+                out.write(data)
+            finally:
+                out.close()
+
+        attempts, floor, cap = UPLOAD_BUDGET
+        with_retries(
+            _once, attempts, floor, cap,
+            retry_on=self._retryable(), sleep=self._sleep,
+        )
 
     def _read_bytes(self, rel_path: str) -> bytes:
-        fs = self._fs()
-        stream = fs.open(self._jpath(rel_path))
-        try:
-            ioutils = self.spark._jvm.org.apache.commons.io.IOUtils
-            return bytes(ioutils.toByteArray(stream))
-        finally:
-            stream.close()
+        def _once() -> bytes:
+            fs = self._fs()
+            stream = fs.open(self._jpath(rel_path))
+            try:
+                ioutils = self.spark._jvm.org.apache.commons.io.IOUtils
+                return bytes(ioutils.toByteArray(stream))
+            finally:
+                stream.close()
+
+        attempts, floor, cap = DOWNLOAD_BUDGET
+        return with_retries(
+            _once, attempts, floor, cap,
+            retry_on=self._retryable(), sleep=self._sleep,
+        )
 
     def _walk(self, rel_prefix: str, recursive: bool) -> list[tuple[str, int]]:
         """List files under a prefix → [(rel_path, mtime_ms)]."""

@@ -216,3 +216,37 @@ def test_get_dataset_df_since_prunes_partitions(store, spark):
     assert [r.id for r in latest.collect()] == ["d3"]
     with pytest.raises(FileNotFoundError):
         store.get_dataset_df("inc", since=dt.date(2023, 1, 1))
+
+
+def test_download_retries_transient_failures_with_backoff(store, monkeypatch):
+    """Read I/O retries with the reference's download budget (7 attempts,
+    backoff doubling from 1 s capped at 5 s) and converges; a permanent
+    failure exhausts the budget and raises."""
+    store.add_records_to_dataset(['{"id": "1"}'], "rds", datetime_partition=P)
+    real_fs = store._fs()
+
+    class FlakyFS:
+        def __init__(self, fails):
+            self.fails = fails
+
+        def open(self, path):
+            if self.fails > 0:
+                self.fails -= 1
+                raise IOError("transient")
+            return real_fs.open(path)
+
+        def __getattr__(self, name):
+            return getattr(real_fs, name)
+
+    sleeps: list[float] = []
+    monkeypatch.setattr(store, "_sleep", sleeps.append)
+    store._fs_cached = FlakyFS(fails=3)
+    assert store.get_dataset("rds") == [{"id": "1"}]
+    assert sleeps == [1.0, 2.0, 4.0]
+
+    sleeps.clear()
+    store._fs_cached = FlakyFS(fails=99)  # permanent
+    with pytest.raises(IOError):
+        store.get_dataset("rds")
+    assert sleeps == [1.0, 2.0, 4.0, 5.0, 5.0, 5.0]  # 7 attempts, cap 5 s
+    store._fs_cached = real_fs
