@@ -342,6 +342,45 @@ def winnowing_fingerprints(
     ).distinct()
 
 
+# PII patterns for corpus scrubbing — deliberately high-recall shapes
+# (an email-LIKE string is worth redacting even when it fails RFC 5322).
+# Order matters: URLs first so an address inside a URL redacts as URL.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("URL", r"(?i)\bhttps?://[^\s]+"),
+    ("EMAIL", r"(?i)\b[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}\b"),
+    ("IP", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    # 7+ digit runs with optional +country and -/./space/() separators
+    ("PHONE", r"(?<![\w.])\+?\d[\d()\-. ]{5,}\d(?![\w.])"),
+]
+
+
+def with_redacted_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    kinds: tuple[str, ...] = ("URL", "EMAIL", "IP", "PHONE"),
+) -> DataFrame:
+    """Replace PII-shaped spans with typed placeholders (``<EMAIL>``,
+    ``<URL>``, ``<IP>``, ``<PHONE>``) — the standard scrub step before
+    training-corpus release. One chained ``regexp_replace`` projection:
+    codegen'd, no shuffle, no UDF, linear in text size at any scale.
+
+    Deliberately pattern-based (not a trained NER model): high recall on
+    the machine-recognizable classes, zero dependencies; plug an NER
+    model via the multimodal ``mapInPandas`` pattern for entity classes
+    regexes can't express. ``out_col=None`` redacts in place.
+    """
+    wanted = {k: p for k, p in PII_PATTERNS if k in kinds}
+    missing = set(kinds) - set(wanted)
+    if missing:
+        raise ValueError(f"unknown PII kinds: {sorted(missing)}")
+    col = F.col(text_col)
+    for kind, pattern in PII_PATTERNS:  # keep declaration order (URL first)
+        if kind in wanted:
+            col = F.regexp_replace(col, pattern, f"<{kind}>")
+    return df.withColumn(out_col or text_col, col)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add two deterministic document fingerprints:
 

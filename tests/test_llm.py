@@ -288,6 +288,32 @@ def test_stopword_hits_matches_token_semantics(spark):
             assert got[i] == expected, (lang, t, got[i], expected)
 
 
+def test_redact_pii_replaces_typed_spans(spark):
+    from gcpde_spark.llm.text import with_redacted_pii
+
+    rows = [
+        (1, "mail me at a.user+x@example.co.uk or visit https://ex.com/p?q=1#f"),
+        (2, "server 10.0.255.7 answered; call +1 (555) 123-4567 today"),
+        (3, "no pii here, just 42 and v1.2.3"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.text for r in with_redacted_pii(df).collect()}
+    assert got[1] == "mail me at <EMAIL> or visit <URL>"
+    assert got[2] == "server <IP> answered; call <PHONE> today"
+    assert got[3] == rows[2][1]  # untouched, version numbers survive
+    assert got[4] is None  # NULL passes through
+    # out_col keeps the original; kinds filters classes
+    both = with_redacted_pii(df, out_col="clean", kinds=("EMAIL",)).collect()
+    r1 = next(r for r in both if r.doc_id == 1)
+    assert "a.user+x@example.co.uk" in r1.text and "<EMAIL>" in r1.clean
+    assert "https://ex.com" in r1.clean  # URL kind not requested
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        with_redacted_pii(df, kinds=("SSN",))
+
+
 def test_fingerprint_order_invariance(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma beta alpha alpha")],
