@@ -27,7 +27,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.build for name, spec in CORPUS.items()}
+    # The driver verifies the FIRST 50 entries in insertion order. Emit every
+    # oracle-backed entry first (50 of them — each gets a full hash check),
+    # then the oracle-less approximate x-entries (rows-only check), so no
+    # hash-verifiable operator falls outside the window.
+    ordered = sorted(CORPUS.items(), key=lambda kv: kv[1].oracle is None)
+    return {name: spec.build for name, spec in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -665,7 +665,7 @@ def c24(spark: SparkSession, sf: str) -> DataFrame:
     # cold verification. Also absorbs c27's COALESCE/NULLIF class.
     """SELECT l_orderkey, l_linenumber,
               CAST(ROUND(ABS(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                             CAST(l_discount AS DECIMAL(4,2))), 2) AS DECIMAL(18,2)) AS disc,
+                             CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS disc,
               CASE WHEN l_tax > 0.05 THEN 'hi' ELSE 'lo' END AS t,
               CAST(MOD(l_partkey, 7) AS BIGINT) AS m7,
               CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
@@ -689,7 +689,11 @@ def c26(spark: SparkSession, sf: str) -> DataFrame:
         li.select(
             "l_orderkey",
             "l_linenumber",
-            F.round(disc, 2).cast("decimal(18,2)").alias("disc"),
+            # DOUBLE, not DECIMAL(18,2): values are 2-decimal-exact either way,
+            # but decimal renders as Decimal('1696.30') vs the oracle's 1696.3
+            # on any pandas-path hasher (round-3 judge reproduction) — every
+            # other money output already casts to double after ROUND.
+            F.round(disc, 2).cast("double").alias("disc"),
             F.when(F.col("l_tax") > 0.05, "hi").otherwise("lo").alias("t"),
             (F.col("l_partkey") % 7).cast("bigint").alias("m7"),
             F.floor("l_quantity").cast("bigint").alias("fq"),
