@@ -70,21 +70,30 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_total_median_s",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "warm_total": round(sum(warm.values()), 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs": RUNS,
-                "cpus": int(cpus),
-            }
-        )
+    payload = {
+        "metric": "corpus_total_median_s",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 4),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs": RUNS,
+        "cpus": int(cpus),
+    }
+    # Full payload (cold + warm series, 4-decimal) goes to a file: the
+    # driver records only a bounded TAIL of stdout, and round 3 lost most
+    # of the cold map to that cap (ADVICE r03). Stdout stays ONE compact
+    # line — cold series at 3 decimals, warm summarized by its total —
+    # sized to survive the tail capture intact.
+    Path(__file__).resolve().parent.joinpath("BENCH_FULL.json").write_text(
+        json.dumps(payload) + "\n"
     )
+    compact = dict(payload)
+    del compact["queries_warm"]
+    compact["queries"] = {k: round(v, 3) for k, v in timings.items()}
+    compact["full"] = "BENCH_FULL.json"
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

@@ -6,10 +6,13 @@ Spark's ``binaryFile`` source and processed with Arrow-batched
 ``mapInPandas`` — the Spark-side plumbing (schema, partitioning, UDF
 signatures, batch shapes) is real and tested. ``decode="real"`` parses
 container headers (PNG/GIF/BMP/JPEG/WAV — published specs, stdlib only)
-for width/height/channels/duration; PIXEL/SAMPLE-level decoding is
-STUBBED (``decode="fake"`` is a deterministic content-hash stand-in)
-because no codec library (PIL/pyav/torchaudio) ships in this
-environment — swapping one in is a body-only change to ``_decode_batch``.
+for width/height/channels/duration, and :func:`resize_images` REALLY
+resamples uncompressed 24/32-bpp BMP pixels (``resize_applied`` marks
+which rows got real pixel work). Pixel/sample decoding for compressed
+codecs (PNG/JPEG/MP3/H.264) is STUBBED (``decode="fake"`` is a
+deterministic content-hash stand-in) because no codec library
+(PIL/pyav/torchaudio) ships in this environment — swapping one in is a
+body-only change to ``_decode_batch``/``_resize_batch``.
 
 Scale notes: ``binaryFile`` gives one row per file with the content as a
 single cell — fine for images/short audio; for long video, store
@@ -219,23 +222,75 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
     return df.mapInPandas(_embed_batch, out_schema)
 
 
+def _bmp_resize(b: bytes, tw: int, th: int) -> bytes | None:
+    """Real nearest-neighbor resize of an uncompressed 24/32-bpp BMP,
+    using only the published BMP spec (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, BI_RGB, 4-byte-padded rows) and numpy. Returns the
+    re-encoded BMP, or None when the content is not a BMP this decoder
+    covers (other bpp, RLE compression, exotic DIB headers)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(b[10:14], "little")
+    dib_size = int.from_bytes(b[14:18], "little")
+    if dib_size < 40:  # BITMAPCOREHEADER et al. — out of scope
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h_raw = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    h, top_down = abs(h_raw), h_raw < 0
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) // 4 * 4
+    if data_off + stride * h > len(b):
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+    px = rows.reshape(h, stride)[:, : w * nbytes].reshape(h, w, nbytes)
+    if not top_down:  # resample in image (top-down) coordinates
+        px = px[::-1]
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    resized = px[ys][:, xs]  # nearest neighbor
+    out_stride = (tw * nbytes + 3) // 4 * 4
+    padded = np.zeros((th, out_stride), dtype=np.uint8)
+    # encode bottom-up, the positive-height layout the header declares
+    padded[:, : tw * nbytes] = resized[::-1].reshape(th, tw * nbytes)
+    pixel_bytes = padded.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, tw, th, 1, bpp, 0, len(pixel_bytes), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_bytes), 0, 0, 14 + 40)
+    return header + info + pixel_bytes
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize image rows to ``width``×``height`` with Arrow-batched
     ``mapInPandas``; non-image rows pass through untouched with null
     resize metadata.
 
-    The pixel transform is STUBBED (content passes through unchanged and
-    only the typed metadata records the target box — a real PIL
-    ``Image.resize`` is a body-only change to ``_resize_batch``); the
-    Spark-side contract is real: schema gains ``resized_width`` /
-    ``resized_height``, bytes stay in the ``content`` column, and the
-    operation is a single map-side pass with no shuffle.
+    Pixel semantics are explicit per row via ``resize_applied``:
+    uncompressed 24/32-bpp BMPs are REALLY resampled (nearest-neighbor,
+    :func:`_bmp_resize` — stdlib+numpy, no codec library) and their
+    ``content`` bytes replaced; every other image format has no stdlib
+    pixel codec in this environment, so bytes pass through UNCHANGED with
+    ``resize_applied = false`` — only the metadata records the target
+    box. Plugging in PIL for those formats is a body-only change to
+    ``_resize_batch``. The Spark-side contract is a single map-side pass
+    with no shuffle.
     """
+    from pyspark.sql.types import BooleanType
+
     out_schema = StructType(
         list(df.schema.fields)
         + [
             StructField("resized_width", IntegerType(), True),
             StructField("resized_height", IntegerType(), True),
+            StructField("resize_applied", BooleanType(), True),
         ]
     )
     cols = [f.name for f in df.schema.fields]
@@ -243,9 +298,20 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[cols].copy()
-            is_img = pdf["media_type"] == "image"
-            out["resized_width"] = [width if m else None for m in is_img]
-            out["resized_height"] = [height if m else None for m in is_img]
+            rw, rh, applied, contents = [], [], [], []
+            for content, mtype in zip(pdf["content"], pdf["media_type"]):
+                if mtype != "image":
+                    rw.append(None), rh.append(None), applied.append(None)
+                    contents.append(content)
+                    continue
+                resized = _bmp_resize(bytes(content or b""), width, height)
+                rw.append(width), rh.append(height)
+                applied.append(resized is not None)
+                contents.append(resized if resized is not None else content)
+            out["content"] = contents
+            out["resized_width"] = rw
+            out["resized_height"] = rh
+            out["resize_applied"] = applied
             yield out
 
     return df.mapInPandas(_resize_batch, out_schema)
@@ -253,10 +319,13 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Explode each video row into ``n_frames`` evenly-spaced frame rows
-    ``(path, media_type, frame_idx, frame_offset_ms)`` — the frame-sample
-    plumbing of a video pipeline, with decode stubbed like
-    :func:`decode_media` (a real implementation yields frame images from
-    the same batch iterator)."""
+    ``(path, media_type, frame_idx, frame_offset_ms)``.
+
+    This is frame-sample PLUMBING only — the output schema deliberately
+    carries no pixel payload (there is no stdlib video codec), so it
+    cannot be mistaken for real frame extraction: rows are (offset, idx)
+    plans a real decoder (pyav) would fill by yielding a ``frame:
+    binary`` column from the same batch iterator."""
     base = decode_media(df)
     out_schema = StructType(
         [

@@ -393,34 +393,45 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 13,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: bucketed self-join (vectors
-    this correlated collide in LSH buckets with high probability), exact
-    cosine on candidates, keep ``score ≥ threshold``. Returns
-    ``(id_a, id_b, score)`` with ``id_a < id_b``.
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    generation, exact cosine on candidates, keep ``score ≥ threshold``.
+    Returns ``(id_a, id_b, score)`` with ``id_a < id_b``.
+
+    Scale contract: a bucket with m members emits m(m-1)/2 candidate
+    pairs, so candidate volume is Σ m_i² — quadratic in the largest
+    bucket, NOT in N. ``max_bucket_size`` drops buckets above the cap
+    whole (zero-vector / constant-embedding cohorts that no hyperplane
+    can split); size ``n_planes`` so E[bucket] = N / 2^n_planes stays
+    well under the cap — at 100 TB (~1e9 vectors) use n_planes ≥ 24.
     """
-    # persist: the self-join consumes the bucket-assignment subplan (a
-    # pandas-UDF matmul over every vector) once per side — caching halves
-    # the assignment work; LRU eviction reclaims it after the query
+    from gcpde_spark.llm.dedup import _bucket_pairs
+
+    # persist: bucket assignment (a pandas-UDF matmul over every vector)
+    # is consumed by candidate generation once and by the two verify
+    # re-joins; caching runs it exactly once, LRU eviction reclaims it
     b = with_lsh_buckets(
         spread(embeddings).select(F.col(id_col).alias("_id"), _dvec(vec_col).alias("_v")),
         "_v", dim, n_planes, seed,
     ).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v")))).persist()
-    x, y = b.alias("x"), b.alias("y")
+    pairs = _bucket_pairs(
+        b.select("bucket", "_id"), ["bucket"], max_bucket_size=max_bucket_size
+    )
+    x = b.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+    )
+    y = b.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x._id") < F.col("y._id")),
-        )
+        pairs.join(x, "id_a")
+        .join(y, "id_b")
         .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
+            "id_a",
+            "id_b",
             (
-                round4(
-                    _dot(F.col("x._v"), F.col("y._v"))
-                    / (F.col("x._norm") * F.col("y._norm"))
-                )
+                round4(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
                 + F.lit(0.0)
             ).alias("score"),
         )

@@ -26,6 +26,7 @@ into a worksheet.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -142,16 +143,51 @@ class GspreadSheetBackend:
     Import-gated: gspread does not ship in the sandbox, so the import
     happens at construction and raises :class:`EngineException` with the
     missing dependency named. Credentials are constructor-injected
-    (a ``google.auth`` credentials object, already scoped) — this module
-    never reads key files or ambient ADC itself. Pass ``client`` to
-    supply a pre-authorized (or fake, in tests) gspread-shaped client.
+    (a ``google.auth`` credentials object) — this module never reads key
+    files or ambient ADC itself. Scope handling has reference parity
+    (gcpde/sheets.py:30-52): scopable credentials missing the Sheets
+    scopes get them injected via ``with_scopes``; unscopable ones pass
+    through with a warning. Pass ``client`` to supply a pre-authorized
+    (or fake, in tests) gspread-shaped client.
     """
 
-    #: OAuth scopes the reference requests (gcpde/sheets.py:24-27).
+    #: OAuth scopes the reference requests (gcpde/sheets.py:14-18).
     SCOPES = (
+        "https://spreadsheets.google.com/feeds",
         "https://www.googleapis.com/auth/spreadsheets",
         "https://www.googleapis.com/auth/drive",
     )
+    #: either of these satisfies the "already scoped for Sheets" check
+    #: (gcpde/sheets.py:33-38).
+    _SUFFICIENT_SCOPES = frozenset(
+        {
+            "https://www.googleapis.com/auth/spreadsheets",
+            "https://spreadsheets.google.com/feeds",
+        }
+    )
+
+    @classmethod
+    def _resolve_credentials(cls, credentials: Any) -> Any:
+        """≙ the reference's needs_scopes branch (gcpde/sheets.py:30-52).
+
+        Scopable credentials (duck-typed on ``with_scopes``, the
+        ``google.auth.credentials.Scoped`` surface) that lack a Sheets
+        scope are re-scoped; unscopable credentials are passed through
+        with a warning naming the required scope.
+        """
+        scopable = callable(getattr(credentials, "with_scopes", None))
+        if scopable:
+            have = set(getattr(credentials, "scopes", None) or ())
+            if have & cls._SUFFICIENT_SCOPES:
+                return credentials
+            return credentials.with_scopes(list(cls.SCOPES))
+        warnings.warn(
+            "Credentials do not support scoping. Ensure they were obtained "
+            "with the required Google Sheets scopes: "
+            "https://www.googleapis.com/auth/spreadsheets",
+            stacklevel=3,
+        )
+        return credentials
 
     def __init__(self, credentials: Any = None, client: Any = None):
         if client is not None:
@@ -166,10 +202,10 @@ class GspreadSheetBackend:
                 ) from exc
             if credentials is None:
                 raise EngineException(
-                    "GspreadSheetBackend needs scoped credentials "
+                    "GspreadSheetBackend needs credentials "
                     f"(scopes: {list(self.SCOPES)}) or an explicit client"
                 )
-            self._client = gspread.authorize(credentials)
+            self._client = gspread.authorize(self._resolve_credentials(credentials))
 
     def open_document(self, document_id: str) -> "_GspreadDocument":
         return _GspreadDocument(self._client.open_by_key(document_id), document_id)

@@ -40,8 +40,9 @@ from __future__ import annotations
 
 import os
 import threading
+import time
 import uuid
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,6 +55,7 @@ from gcpde_spark.errors import (
     TableNotFoundError,
 )
 from gcpde_spark.records import records_to_dataframe, rows_to_records
+from gcpde_spark.retry import CREATE_BUDGET, with_retries
 from gcpde_spark.schema import infer_schema
 
 FIVE_MINUTES = 300  # default query timeout, ≙ gcpde/bq.py:21
@@ -134,6 +136,8 @@ class TableStore:
     def __init__(self, spark: SparkSession, warehouse_dir: str | None = None):
         self.spark = spark
         self.warehouse_dir = warehouse_dir or DEFAULT_WAREHOUSE
+        # injectable so fault-injection tests count attempts without waiting
+        self._retry_sleep: Callable[[float], None] = time.sleep
 
     # -- helpers -----------------------------------------------------------
 
@@ -179,10 +183,27 @@ class TableStore:
             raise ValueError("provide exactly one of schema / schema_from_records")
         if schema is None:
             schema = infer_schema(schema_from_records or [])
-        if self.check_table(dataset, table):
-            raise TableAlreadyExistsError(f"{dataset}.{table} already exists")
-        name = self._qualify(dataset, table)
-        self.spark.sql(f"CREATE TABLE {name} ({_ddl(schema)}) USING parquet")
+
+        def _attempt() -> None:
+            # Conflict is retried ×3 with exponential backoff, matching the
+            # reference's tenacity envelope (gcpde/bq.py:319-327): a stale
+            # catalog entry from a concurrent replace/swap clears on retry;
+            # a table that genuinely exists keeps raising and the error
+            # propagates after the budget is spent.
+            if self.check_table(dataset, table):
+                raise TableAlreadyExistsError(f"{dataset}.{table} already exists")
+            name = self._qualify(dataset, table)
+            self.spark.sql(f"CREATE TABLE {name} ({_ddl(schema)}) USING parquet")
+
+        attempts, min_sleep, max_sleep = CREATE_BUDGET
+        with_retries(
+            _attempt,
+            attempts,
+            min_sleep,
+            max_sleep,
+            retry_on=(TableAlreadyExistsError,),
+            sleep=self._retry_sleep,
+        )
 
     def delete_table(self, dataset: str, table: str) -> None:
         """DROP TABLE IF EXISTS — module semantics no-op when absent

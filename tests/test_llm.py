@@ -218,6 +218,29 @@ def test_embedding_near_dup_finds_planted_duplicate(emb):
     assert {(i, i + 50000) for i in range(5)} <= got
 
 
+def test_embedding_near_dup_bucket_cap_guards_degenerate_bucket(spark):
+    """10k identical vectors all land in ONE bucket; without a cap that is
+    ~5e7 candidate pairs. The cap drops the degenerate bucket whole while a
+    planted normal near-dup pair outside it is still found."""
+    import random
+
+    from gcpde_spark.llm.similarity import embedding_near_dup_pairs
+
+    rnd = random.Random(7)
+    const = [(i, [1.0] * 8) for i in range(10_000)]
+    v = [rnd.gauss(0, 1) for _ in range(8)]
+    near = [(20_000, v), (20_001, [x * 1.0000001 for x in v])]
+    df = spark.createDataFrame(
+        const + near, "vec_id long, embedding array<double>"
+    )
+    pairs = embedding_near_dup_pairs(
+        df, threshold=0.99, dim=8, n_planes=4, max_bucket_size=100
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (20_000, 20_001) in got
+    assert all(a >= 20_000 for a, _ in got)  # degenerate cohort emitted nothing
+
+
 # -- text ----------------------------------------------------------------------
 
 
@@ -445,9 +468,65 @@ def test_resize_images_metadata_and_passthrough(spark, media_dir):
     assert resized["a.jpg"].resized_width == 224
     assert resized["a.jpg"].resized_height == 224
     assert resized["note.txt"].resized_width is None  # non-image passthrough
-    # content bytes survive the stub untouched
+    assert resized["note.txt"].resize_applied is None
+    # no stdlib codec for JPEG: bytes pass through, explicitly flagged
+    assert resized["a.jpg"].resize_applied is False
     orig = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
     assert bytes(resized["a.jpg"].content) == orig["a.jpg"]
+
+
+def _make_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal uncompressed 24-bpp BMP from the spec (rows bottom-up,
+    4-byte padded) — no imaging library involved."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) // 4 * 4
+    body = b""
+    for row in reversed(pixels):  # bottom-up
+        line = b"".join(bytes((bl, g, r)) for (r, g, bl) in row)
+        body += line + bytes(stride - len(line))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + info + body
+
+
+def _read_bmp_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(h):
+        line = b[off + y * stride : off + y * stride + w * 3]
+        rows.append([(line[x * 3 + 2], line[x * 3 + 1], line[x * 3]) for x in range(w)])
+    return list(reversed(rows))  # back to top-down
+
+
+def test_resize_images_real_bmp_pixels(spark, tmp_path):
+    """BMP rows are REALLY resampled: a 2x2 color-block image upscaled to
+    4x4 must show each source pixel as a 2x2 block (nearest neighbor),
+    and the output must be a well-formed BMP at the target geometry."""
+    from gcpde_spark.llm.multimodal import read_binary_files, resize_images
+
+    red, green, blue, white = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)
+    (tmp_path / "tiny.bmp").write_bytes(_make_bmp([[red, green], [blue, white]]))
+    df = read_binary_files(spark, str(tmp_path))
+    row = resize_images(df, 4, 4).collect()[0]
+    assert row.resize_applied is True
+    assert (row.resized_width, row.resized_height) == (4, 4)
+    px = _read_bmp_pixels(bytes(row.content))
+    assert len(px) == 4 and len(px[0]) == 4
+    expect = [
+        [red, red, green, green],
+        [red, red, green, green],
+        [blue, blue, white, white],
+        [blue, blue, white, white],
+    ]
+    assert px == expect
+    # downscale back: picks one representative pixel per block
+    row2 = resize_images(df, 1, 1).collect()[0]
+    assert row2.resize_applied is True
+    assert _read_bmp_pixels(bytes(row2.content)) == [[red]]
 
 
 def test_sample_frames_only_videos(spark, media_dir):

@@ -246,3 +246,52 @@ def test_gspread_backend_read_df_boundary(gspread_store):
     df = gspread_store.read_sheet_df("doc", "d")
     assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "string"]
     assert {(r.k, r.v) for r in df.collect()} == {("1", "a"), ("2", None)}
+
+
+# -- H6: credential scope-injection (≙ gcpde/sheets.py:30-52) -----------------
+
+
+class _FakeScopedCreds:
+    """google.auth Scoped surface: .scopes + .with_scopes(list)."""
+
+    def __init__(self, scopes=None):
+        self.scopes = scopes
+
+    def with_scopes(self, scopes):
+        return _FakeScopedCreds(list(scopes))
+
+
+class _FakeUnscopableCreds:
+    pass
+
+
+def test_h6_unscoped_credentials_get_sheets_scopes_injected():
+    from gcpde_spark.sheets import GspreadSheetBackend as B
+
+    out = B._resolve_credentials(_FakeScopedCreds(scopes=None))
+    assert out.scopes == list(B.SCOPES)
+    # scoped for something else entirely → re-scoped too
+    out = B._resolve_credentials(
+        _FakeScopedCreds(scopes=["https://www.googleapis.com/auth/bigquery"])
+    )
+    assert out.scopes == list(B.SCOPES)
+
+
+def test_h6_already_scoped_credentials_pass_through():
+    from gcpde_spark.sheets import GspreadSheetBackend as B
+
+    for have in B._SUFFICIENT_SCOPES:
+        creds = _FakeScopedCreds(scopes=[have])
+        assert B._resolve_credentials(creds) is creds
+
+
+def test_h6_unscopable_credentials_warn_and_pass_through():
+    import warnings as w
+
+    from gcpde_spark.sheets import GspreadSheetBackend as B
+
+    creds = _FakeUnscopableCreds()
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        assert B._resolve_credentials(creds) is creds
+    assert any("required Google Sheets scopes" in str(c.message) for c in caught)

@@ -23,7 +23,9 @@ def store(spark, tmp_path):
     # test's tmp_path must go.
     for db in ("ds", "qx"):
         spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
-    return TableStore(spark, warehouse_dir=str(tmp_path / "wh"))
+    s = TableStore(spark, warehouse_dir=str(tmp_path / "wh"))
+    s._retry_sleep = lambda _s: None  # don't wait out the Conflict backoff
+    return s
 
 
 RECORDS = [
@@ -56,6 +58,41 @@ def test_create_existing_raises(store):
     store.create_table("ds", "t", schema_from_records=RECORDS)
     with pytest.raises(TableAlreadyExistsError):
         store.create_table("ds", "t", schema_from_records=RECORDS)
+
+
+def test_create_conflict_retried_three_times(store):
+    """≙ the reference's tenacity envelope — retry=Conflict,
+    stop_after_attempt(3), wait_exponential(min=1) (gcpde/bq.py:319-327).
+    A persistent Conflict is attempted exactly 3× with 2 backoff sleeps,
+    then propagates."""
+    store.create_table("ds", "t", schema_from_records=RECORDS)
+    checks, sleeps = [], []
+    real_check = store.check_table
+    store.check_table = lambda d, t: checks.append(1) or real_check(d, t)
+    store._retry_sleep = lambda s: sleeps.append(s)
+    with pytest.raises(TableAlreadyExistsError):
+        store.create_table("ds", "t", schema_from_records=RECORDS)
+    assert len(checks) == 3
+    assert sleeps == [1.0, 2.0]
+
+
+def test_create_transient_conflict_recovers(store):
+    """A Conflict that clears (concurrent replace finishing its swap)
+    succeeds on a later attempt inside the budget."""
+    calls = {"n": 0}
+    real_check = store.check_table
+
+    def flaky_check(d, t):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return True  # stale catalog entry on the first attempt
+        return real_check(d, t)
+
+    store.check_table = flaky_check
+    store.create_table("ds", "t2", schema_from_records=RECORDS)
+    store.check_table = real_check
+    assert store.check_table("ds", "t2")
+    assert calls["n"] == 2
 
 
 def test_get_schema_missing_table_raises(store):
