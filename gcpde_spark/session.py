@@ -73,6 +73,14 @@ def build_session(
     # workers (Arrow UDFs fork python processes).
     if master.startswith("local") and "spark.driver.memory" not in (extra_confs or {}):
         confs["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    if master.startswith("local") and "spark.driver.extraJavaOptions" not in (
+        extra_confs or {}
+    ):
+        # Throughput collector for the single-JVM local mode: the bench
+        # workload is a batch of short queries where G1's pause-target
+        # bookkeeping costs ~7% wall-clock (measured round 4). Cluster
+        # deployments set their own executor GC flags.
+        confs["spark.driver.extraJavaOptions"] = "-XX:+UseParallelGC"
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():
