@@ -23,6 +23,12 @@ operator except the IVF trainer's bounded driver-side sample, no
 all-pairs joins (candidate generation is always banded / bucketed).
 """
 
+from gcpde_spark.llm.curation import (
+    decontaminate,
+    exact_dedup_keep,
+    pack_token_budget,
+    sample_stratified,
+)
 from gcpde_spark.llm.dedup import (
     connected_components,
     dedup_clusters,
@@ -53,8 +59,12 @@ from gcpde_spark.llm.text import (
 
 __all__ = [
     "connected_components",
+    "decontaminate",
     "dedup_clusters",
     "exact_dedup",
+    "exact_dedup_keep",
+    "pack_token_budget",
+    "sample_stratified",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "simhash_near_dup_pairs",

@@ -1,0 +1,163 @@
+"""Corpus-curation operators beyond dedup: benchmark decontamination,
+deterministic sampling, token-budget packing, survivor policies
+(SURVEY.md §2B-16; no reference counterpart — 100 TB extension layer).
+
+Every operator here is a pure DataFrame transform with no driver-side
+loops: candidate generation is always an equi-join or a window over an
+explicit key, so the plans scale with input size, not pair count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gcpde_spark.llm.dedup import _exploded_shingles
+from gcpde_spark.llm.text import normalize_text
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share ≥
+    ``min_shared`` distinct word-``n``-grams with any benchmark item
+    (the standard n-gram-overlap test-set leakage check).
+
+    Returns ``docs`` + ``n_shared_ngrams: bigint`` (distinct shingles
+    shared with the union of the benchmark) + ``contaminated: boolean``.
+    Filter ``~contaminated`` to scrub.
+
+    Scale: both sides shingle via the linear explode path (one window
+    per side, no O(len²) HOF); the overlap is an equi-join on the
+    64-bit shingle hash. The benchmark side is distinct-hashed first —
+    typically a few thousand items, so AQE broadcasts it and the join
+    adds NO shuffle to the doc side; with a huge benchmark it degrades
+    to a sort-merge join that is still linear in shingle count. The
+    per-doc count is a hash aggregate on the join output (already tiny:
+    only colliding shingles survive the join).
+    """
+    doc_sh = (
+        _exploded_shingles(docs, id_col, text_col, n)
+        .select("_vid", F.xxhash64("_s").alias("_h"))
+        .distinct()
+    )
+    bench_sh = (
+        _exploded_shingles(benchmark, bench_id_col, bench_text_col, n, fanout=False)
+        .select(F.xxhash64("_s").alias("_h"))
+        .distinct()
+    )
+    shared = (
+        doc_sh.join(bench_sh, "_h")
+        .groupBy("_vid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+    )
+    out = docs.join(
+        shared, docs[id_col] == shared["_vid"], "left"
+    ).drop("_vid")
+    return out.withColumn(
+        "n_shared_ngrams", F.coalesce(F.col("n_shared_ngrams"), F.lit(0).cast("bigint"))
+    ).withColumn("contaminated", F.col("n_shared_ngrams") >= min_shared)
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
+    is smaller), deterministic for a given seed.
+
+    A seeded ``xxhash64(id, seed)`` orders each stratum pseudo-randomly
+    and a rank window keeps the first ``n`` — equivalent to a reservoir
+    sample but expressed as one window, so it is distributed, exactly
+    sized (``df.sample`` is only *expected* fraction), and reproducible
+    across runs/cluster sizes. One shuffle on the strata key; a skewed
+    giant stratum is one sort partition — pre-salt + re-rank if a single
+    stratum exceeds executor memory.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    budget: int = 1_000_000,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to training shards of ≤ ``budget`` tokens
+    (docs larger than the budget get a singleton shard).
+
+    Output adds ``shard_id: string`` (``"<bucket>-<seq>"``).
+
+    Scale: a single global running sum would serialize on one
+    partition, so docs first scatter to ``n_buckets`` hash buckets
+    (deterministic on id) and the running sum packs within each bucket
+    — ``n_buckets``-way parallel, one shuffle. The trade is bounded:
+    at most ``n_buckets`` partially-filled trailing shards versus one
+    for the serial greedy pack, which is noise at 100 TB (raise
+    ``n_buckets`` with cluster size; each bucket only needs to hold its
+    running sum, not its docs, in memory).
+    """
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    w = Window.partitionBy("_bucket").orderBy(F.col(id_col))
+    cum = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    seq = F.floor(cum / F.lit(budget)).cast("bigint")
+    return (
+        df.withColumn("_bucket", bucket)
+        .withColumn(
+            "shard_id",
+            F.concat_ws("-", F.col("_bucket").cast("string"), seq.cast("string")),
+        )
+        .drop("_bucket")
+    )
+
+
+def exact_dedup_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: str = "min_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Exact dedup on normalized text with an explicit survivor policy:
+
+    - ``"min_id"``     — smallest id wins (stable, the l01 default)
+    - ``"longest"``    — longest raw text wins (ties → smallest id)
+    - ``"max_quality"``— highest ``quality_col`` wins (ties → smallest id)
+
+    One md5-keyed window shuffle, like l01; the policy only changes the
+    window ordering, not the plan shape.
+    """
+    order = {
+        "min_id": [F.col(id_col).asc()],
+        "longest": [F.length(F.col(text_col)).desc(), F.col(id_col).asc()],
+        "max_quality": [
+            F.col(quality_col or "quality_score").desc(),
+            F.col(id_col).asc(),
+        ],
+    }
+    if keep not in order:
+        raise ValueError(f"keep must be one of {sorted(order)}, got {keep!r}")
+    w = Window.partitionBy(F.md5(normalize_text(text_col))).orderBy(*order[keep])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -766,3 +766,93 @@ def test_simhash_chunk_count_follows_max_hamming(docs):
 def test_simhash_max_hamming_out_of_range_raises(docs):
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_near_dup_pairs(docs, "doc_id", max_hamming=32)
+
+
+# -- curation: decontamination / sampling / packing / survivor policies --------
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from gcpde_spark.llm.curation import decontaminate
+
+    bench_text = "the capital of france is paris and the capital of italy is rome"
+    docs = spark.createDataFrame(
+        [
+            (1, "completely unrelated text about distributed query engines and shuffles here"),
+            (2, "quiz answer: the capital of france is paris and the capital of italy is rome obviously"),
+            (3, "another clean document with its own words that do not appear in any benchmark item"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "bench_id long, text string")
+    out = {r.doc_id: r for r in decontaminate(docs, bench, n=5).collect()}
+    assert out[2].contaminated and out[2].n_shared_ngrams >= 1
+    assert not out[1].contaminated and out[1].n_shared_ngrams == 0
+    assert not out[3].contaminated
+    # min_shared raises the bar
+    from gcpde_spark.llm.curation import decontaminate as dec
+
+    strict = {r.doc_id: r for r in dec(docs, bench, n=5, min_shared=10**6).collect()}
+    assert not any(r.contaminated for r in strict.values())
+
+
+def test_sample_stratified_exact_and_deterministic(docs, spark):
+    from gcpde_spark.llm.curation import sample_stratified
+    from gcpde_spark.llm.text import with_language_id
+
+    base = with_language_id(docs).select("doc_id", "lang_pred")
+    s1 = sample_stratified(base, ["lang_pred"], n_per_stratum=7, seed=1)
+    s2 = sample_stratified(base, ["lang_pred"], n_per_stratum=7, seed=1)
+    got1 = sorted(r.doc_id for r in s1.collect())
+    got2 = sorted(r.doc_id for r in s2.collect())
+    assert got1 == got2  # deterministic
+    per = {r.lang_pred: r.cnt for r in s1.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    full = {r.lang_pred: r.cnt for r in base.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    for lang, n in per.items():
+        assert n == min(7, full[lang])  # exact per-stratum size
+    s3 = sorted(r.doc_id for r in sample_stratified(
+        base, ["lang_pred"], n_per_stratum=7, seed=2).collect())
+    assert s3 != got1  # seed changes the sample
+
+
+def test_pack_token_budget_respects_budget(spark):
+    import random
+
+    from gcpde_spark.llm.curation import pack_token_budget
+
+    rnd = random.Random(3)
+    rows = [(i, rnd.randrange(50, 2000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_token_budget(df, budget=10_000, n_buckets=8)
+    shard_sums = packed.groupBy("shard_id").agg(
+        F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    # every multi-doc shard stays under budget + one max doc (greedy bound)
+    for r in shard_sums:
+        assert r.tok < 10_000 + 2000, r
+    # all docs assigned exactly once
+    assert packed.count() == 2000
+    assert packed.select("doc_id").distinct().count() == 2000
+
+
+def test_exact_dedup_keep_policies(spark):
+    from gcpde_spark.llm.curation import exact_dedup_keep
+
+    rows = [
+        (1, "Same   Text here", 0.2),
+        (2, "same text HERE", 0.9),      # same normalized text as 1
+        (3, "same text here padded out", 0.5),  # different text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality_score double")
+    by_min = {r.doc_id for r in exact_dedup_keep(df, keep="min_id").collect()}
+    assert by_min == {1, 3}
+    by_q = {r.doc_id for r in exact_dedup_keep(df, keep="max_quality").collect()}
+    assert by_q == {2, 3}
+    by_len = {r.doc_id for r in exact_dedup_keep(df, keep="longest").collect()}
+    assert by_len == {2, 3} or by_len == {1, 3}  # raw lengths: 16 vs 14 -> doc 1
+    assert by_len == {1, 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_dedup_keep(df, keep="nope")

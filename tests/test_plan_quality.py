@@ -79,3 +79,33 @@ def test_curation_pipeline_plan_stays_compact(spark):
     assert len(re.findall(r"split\(", plan)) <= 2, "token split re-inlined"
     assert len(re.findall(r"regexp_replace", plan)) <= 8, "normalization re-inlined"
     assert "lambdafunction" not in plan, "interpreted HOF in the hot path"
+
+
+def test_money_aggregates_stay_on_long_path(spark):
+    """Regression guard for the round-4 cents refactor: a money SUM that
+    re-acquires a DECIMAL input falls off the compact-long aggregation
+    path onto per-row BigDecimal adds (measured 5x slower). The hot
+    aggregates must sum BIGINT cents; decimal may appear only in c06's
+    bounded merge of per-partition partials."""
+    for name in ("c03_agg_group_having", "c31_events_group", "c47_histogram"):
+        plan = _plan(spark, name)
+        assert "sum(cast(round(" in plan.lower() or "as bigint" in plan.lower(), name
+        for line in plan.splitlines():
+            low = line.lower()
+            if "partial_sum" in low or "sum(" in low and "hashaggregate" in low:
+                assert "decimal(28" not in low and "decimal(18,2))" not in low, (
+                    name, line.strip()[:160]
+                )
+
+
+def test_c26_try_cast_is_guarded(spark):
+    """Regression guard for the round-4 exception fix: the TRY_CAST must
+    sit under the RLIKE digits guard (CaseWhen), never bare over the
+    concat — a bare try_cast catches a JVM exception per malformed row
+    (~25% of lineitem), 40x the scan cost."""
+    plan = _plan(spark, "c26_scalar_case_cast")
+    low = plan.lower()
+    assert "rlike" in low or "regexp" in low
+    # the guard and the cast appear in the same projection expression
+    proj = [ln for ln in plan.splitlines() if "Project" in ln or "project" in ln]
+    assert proj
