@@ -236,18 +236,25 @@ def train_ivf_centroids(
     return C.tolist()
 
 
-def _cell_structs(v: Column, centroids: list[list[float]]) -> Column:
+def _cell_structs(vec_name: str, centroids: list[list[float]]) -> Column:
     """Array of ``(-dot(v, c_j), j)`` structs — lexicographic min = nearest
-    centroid by cosine (ties break to the lowest cell id, deterministic)."""
-    return F.array(
-        *[
-            F.struct(
-                (-_dot(v, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
-                F.lit(j).alias("c"),
-            )
-            for j, c in enumerate(centroids)
-        ]
-    )
+    centroid by cosine (ties break to the lowest cell id, deterministic).
+
+    One parsed expr string: the Column-object form was n_centroids × dim
+    ``F.lit`` py4j round-trips (~1 s of driver latency per build at
+    16×64 — measured round 4); the literals are embedded via
+    ``CAST('repr' AS DOUBLE)``, which round-trips the exact double and
+    constant-folds before execution.
+    """
+    parts = []
+    for j, c in enumerate(centroids):
+        arr = ",".join(f"cast('{float(x)!r}' as double)" for x in c)
+        dot = (
+            f"aggregate(zip_with({vec_name}, array({arr}), (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        parts.append(f"named_struct('d', -({dot}), 'c', {j})")
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def with_ivf_cells(
@@ -310,7 +317,7 @@ def ivf_topk(
     # take the first nprobe — array_sort is lexicographic, same order the
     # assignment uses.
     probes = F.transform(
-        F.slice(F.array_sort(_cell_structs(F.col("_qv"), centroids)), 1, nprobe),
+        F.slice(F.array_sort(_cell_structs("_qv", centroids)), 1, nprobe),
         lambda s: s["c"],
     )
     q = q.select("qid", "_qv", "_qnorm", F.explode(probes).alias("cell"))
