@@ -52,6 +52,7 @@ from gcpde_spark.llm.similarity import (
 )
 from gcpde_spark.llm.text import (
     normalize_text,
+    repetition_stats,
     with_fingerprint,
     with_language_id,
     with_text_stats,
@@ -80,6 +81,7 @@ __all__ = [
     "with_ivf_cells",
     "with_lsh_buckets",
     "normalize_text",
+    "repetition_stats",
     "with_fingerprint",
     "with_language_id",
     "with_text_stats",

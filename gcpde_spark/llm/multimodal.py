@@ -4,15 +4,22 @@
 Media are opaque ``binary`` columns with typed metadata, loaded through
 Spark's ``binaryFile`` source and processed with Arrow-batched
 ``mapInPandas`` — the Spark-side plumbing (schema, partitioning, UDF
-signatures, batch shapes) is real and tested. ``decode="real"`` parses
-container headers (PNG/GIF/BMP/JPEG/WAV — published specs, stdlib only)
-for width/height/channels/duration, and :func:`resize_images` REALLY
-resamples uncompressed 24/32-bpp BMP pixels (``resize_applied`` marks
-which rows got real pixel work). Pixel/sample decoding for compressed
-codecs (PNG/JPEG/MP3/H.264) is STUBBED (``decode="fake"`` is a
-deterministic content-hash stand-in) because no codec library
-(PIL/pyav/torchaudio) ships in this environment — swapping one in is a
-body-only change to ``_decode_batch``/``_resize_batch``.
+signatures, batch shapes) is real and tested. Real stdlib-only codec
+coverage (published specs, no imaging/audio library):
+
+- header decode (``decode="real"``): PNG/GIF/BMP/JPEG dimensions +
+  channels, WAV + animated-GIF durations
+- pixel decode + resize: uncompressed 24/32-bpp BMP and 8-bit
+  non-interlaced PNG (full unfilter incl. Paeth, palette expansion,
+  ``zlib``) — ``resize_applied`` marks which rows got real pixel work
+- sample decode + features (``features="real"``): 8/16-bit PCM WAV →
+  RMS/zero-crossings/FFT bands; BMP/PNG → pixel stats/histogram
+- frame inventory: animated-GIF per-frame delays/offsets (GCE parse)
+
+Everything outside that coverage (JPEG/GIF-LZW pixels, MP3, H.264) is
+STUBBED with deterministic content-hash stand-ins, each flagged per row
+(``resize_applied`` / ``features_real``) — swapping in PIL/pyav is a
+body-only change to the batch functions.
 
 Scale notes: ``binaryFile`` gives one row per file with the content as a
 single cell — fine for images/short audio; for long video, store
@@ -106,6 +113,9 @@ def _real_decode(content: bytes, media_type: str) -> dict[str, Any]:
             out["width"] = int.from_bytes(b[6:8], "little")
             out["height"] = int.from_bytes(b[8:10], "little")
             out["n_channels"] = 3
+            delays = _gif_frame_delays(b)
+            if len(delays) > 1:  # animated: duration = summed frame delays
+                out["duration_ms"] = sum(delays)
         elif b[:2] == b"BM" and len(b) >= 32:
             out["width"] = int.from_bytes(b[18:22], "little", signed=True)
             out["height"] = abs(int.from_bytes(b[22:26], "little", signed=True))
@@ -134,6 +144,132 @@ def _real_decode(content: bytes, media_type: str) -> dict[str, Any]:
             "width": None, "height": None, "n_channels": None, "duration_ms": None
         }
     return out
+
+
+def _gif_frame_delays(b: bytes) -> list[int]:
+    """Per-frame display delays (ms) of a GIF, from the published GIF89a
+    spec: walk the block stream; each Graphic Control Extension
+    (``0x21 0xF9``) carries the 1/100-s delay for the image descriptor
+    (``0x2C``) that follows. Pixel data (LZW) is skipped, not decoded.
+    Returns one entry per frame; ``[]`` for non-GIF/corrupt content."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return []
+    packed = b[10]
+    pos = 13
+    if packed & 0x80:  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(b) and b[p]:
+            p += 1 + b[p]
+        return p + 1  # past the 0x00 terminator
+
+    delays, pending = [], 0
+    try:
+        while pos < len(b):
+            tag = b[pos]
+            if tag == 0x3B:  # trailer
+                break
+            if tag == 0x21:  # extension block
+                if b[pos + 1] == 0xF9 and pos + 6 <= len(b):
+                    pending = int.from_bytes(b[pos + 4 : pos + 6], "little") * 10
+                pos = skip_subblocks(pos + 2)
+            elif tag == 0x2C:  # image descriptor
+                ipacked = b[pos + 9]
+                pos += 10
+                if ipacked & 0x80:  # local color table
+                    pos += 3 * (2 << (ipacked & 0x07))
+                pos = skip_subblocks(pos + 1)  # LZW min code size + data
+                delays.append(pending)
+                pending = 0
+            else:
+                break
+    except IndexError:
+        return []
+    return delays
+
+
+def _wav_samples(b: bytes) -> "tuple[Any, int] | tuple[None, None]":
+    """PCM samples of a WAV as float32 in [-1, 1], mono-mixed, plus the
+    sample rate — stdlib ``wave`` + numpy. (None, None) for sample widths
+    outside 8/16-bit PCM."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            nch, rate, sw = w.getnchannels(), w.getframerate(), w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except Exception:
+        return None, None
+    if sw == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        return None, None
+    if nch > 1:
+        arr = arr[: len(arr) // nch * nch].reshape(-1, nch).mean(axis=1)
+    return arr, rate
+
+
+def _real_features(content: bytes, media_type: str, dim: int) -> "list[float] | None":
+    """Real content features for stdlib-decodable media, zero-padded to
+    ``dim``:
+
+    - images (BMP/PNG pixel decode): per-channel mean+std (4+4 slots),
+      16-bin grayscale histogram, log-scaled width/height
+    - audio (8/16-bit PCM WAV): RMS, peak, zero-crossing rate, 8
+      log-spaced FFT band energy fractions, log duration
+
+    None when no stdlib codec covers the content (JPEG/GIF pixels,
+    compressed audio, video) — callers fall back to the hash stub and
+    flag the row."""
+    import numpy as np
+
+    b = bytes(content or b"")
+    if media_type == "image":
+        px = _png_decode(b)
+        if px is None:
+            px = _bmp_decode(b)
+        if px is None:
+            return None
+        h, w = px.shape[:2]
+        fpx = px.astype(np.float32)
+        means = [0.0] * 4
+        stds = [0.0] * 4
+        for c in range(min(px.shape[2], 4)):
+            means[c] = float(fpx[:, :, c].mean()) / 255.0
+            stds[c] = float(fpx[:, :, c].std()) / 255.0
+        gray = fpx.mean(axis=2)
+        hist = np.histogram(gray, bins=16, range=(0.0, 256.0))[0]
+        hist = (hist / gray.size).tolist()
+        vec = [*means, *stds, *hist, np.log1p(w) / 10.0, np.log1p(h) / 10.0]
+    elif media_type == "audio":
+        samples, rate = _wav_samples(b)
+        if samples is None or not len(samples) or not rate:
+            return None
+        rms = float(np.sqrt(np.mean(samples**2)))
+        peak = float(np.abs(samples).max())
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+        head = samples[:65536]
+        power = np.abs(np.fft.rfft(head)) ** 2
+        total = float(power.sum()) or 1.0
+        edges = np.unique(
+            np.geomspace(1, len(power) - 1, num=9).astype(int)
+        )  # log-spaced bands
+        bands = [
+            float(power[lo:hi].sum()) / total
+            for lo, hi in zip(edges[:-1], edges[1:])
+        ]
+        bands += [0.0] * (8 - len(bands))
+        vec = [rms, peak, zcr, *bands, np.log1p(len(samples) / rate)]
+    else:
+        return None
+    vec = [float(v) for v in vec[:dim]]
+    return vec + [0.0] * (dim - len(vec))
 
 
 def _fake_decode(content: bytes, media_type: str) -> dict[str, Any]:
@@ -190,46 +326,217 @@ def decode_media(df: DataFrame, decode: str = "fake") -> DataFrame:
     return df.mapInPandas(_decode_batch, out_schema)
 
 
-def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
-    """Add a ``features: array<float>`` pseudo-embedding per media row.
+def extract_features(
+    df: DataFrame, dim: int = 64, features: str = "fake"
+) -> DataFrame:
+    """Add a ``features: array<float>`` embedding per media row
+    (Arrow-batched ``mapInPandas``).
 
-    Arrow-batched ``mapInPandas``; the feature values are a deterministic
-    content-hash expansion (STUB for a real vision/audio encoder — the
-    batch shape, schema, and partition behavior match what an ONNX/torch
-    encoder plugged into ``_embed_batch`` would see).
+    ``features="real"`` computes true content statistics for everything
+    the stdlib codecs cover — image pixel stats/histogram for BMP + PNG
+    (:func:`_real_features`), PCM RMS/zero-crossings/FFT band energies
+    for WAV — and adds a ``features_real`` boolean column; rows outside
+    codec coverage (JPEG pixels, MP3, video) fall back to the hash stub
+    with ``features_real = false``. ``features="fake"`` (default) is the
+    deterministic content-hash expansion — a STUB for a learned
+    vision/audio encoder, kept because downstream ANN tests/oracles need
+    stable values; an ONNX/torch encoder is a body-only swap in
+    ``_embed_batch``.
     """
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField("features", ArrayType(FloatType()), True)]
-    )
+    if features not in ("fake", "real"):
+        raise ValueError(f"features must be 'fake' or 'real', got {features!r}")
+    from pyspark.sql.types import BooleanType
+
+    extra = [StructField("features", ArrayType(FloatType()), True)]
+    if features == "real":
+        extra.append(StructField("features_real", BooleanType(), True))
+    out_schema = StructType(list(df.schema.fields) + extra)
     cols = [f.name for f in df.schema.fields]
+
+    def _hash_expand(raw: bytes) -> list[float]:
+        vals: list[float] = []
+        counter = 0
+        while len(vals) < dim:
+            h = hashlib.sha256(raw + counter.to_bytes(4, "big")).digest()
+            vals.extend(b / 255.0 - 0.5 for b in h)
+            counter += 1
+        return vals[:dim]
 
     def _embed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for content in pdf["content"]:
+            feats, real_flags = [], []
+            for content, mtype in zip(pdf["content"], pdf["media_type"]):
                 raw = bytes(content or b"")
-                vals: list[float] = []
-                counter = 0
-                while len(vals) < dim:
-                    h = hashlib.sha256(raw + counter.to_bytes(4, "big")).digest()
-                    vals.extend(b / 255.0 - 0.5 for b in h)
-                    counter += 1
-                feats.append(vals[:dim])
+                vec = (
+                    _real_features(raw, mtype, dim) if features == "real" else None
+                )
+                real_flags.append(vec is not None)
+                feats.append(vec if vec is not None else _hash_expand(raw))
             out = pdf[cols].copy()
             out["features"] = feats
+            if features == "real":
+                out["features_real"] = real_flags
             yield out
 
     return df.mapInPandas(_embed_batch, out_schema)
 
 
-def _bmp_resize(b: bytes, tw: int, th: int) -> bytes | None:
-    """Real nearest-neighbor resize of an uncompressed 24/32-bpp BMP,
-    using only the published BMP spec (BITMAPFILEHEADER +
-    BITMAPINFOHEADER, BI_RGB, 4-byte-padded rows) and numpy. Returns the
-    re-encoded BMP, or None when the content is not a BMP this decoder
-    covers (other bpp, RLE compression, exotic DIB headers)."""
-    import struct
+def _png_decode(b: bytes) -> "Any | None":
+    """Real PNG pixel decode from the published spec (RFC 2083) using only
+    ``zlib`` + numpy: chunk walk, IDAT inflate, per-scanline unfilter
+    (all five filter types), palette expansion. Returns an
+    ``(h, w, channels)`` uint8 array, or None for variants outside scope
+    (bit depth != 8, interlaced) — callers degrade to passthrough."""
+    import zlib
 
+    import numpy as np
+
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, plte = 8, [], None
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, interlace = data[8], data[9], data[12]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(-1 if color is None else color)
+    if not w or not h or depth != 8 or interlace != 0 or channels is None:
+        return None
+    if color == 3 and plte is None:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (1 + stride):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel (8-bit samples)
+    for y in range(h):
+        off = y * (1 + stride)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        if ftype == 0:
+            recon = line.copy()
+        elif ftype == 1:  # Sub: prefix sum per byte lane, mod 256
+            recon = np.empty(stride, dtype=np.uint8)
+            for lane in range(bpp):
+                recon[lane::bpp] = np.add.accumulate(line[lane::bpp], dtype=np.uint8)
+        elif ftype == 2:  # Up
+            recon = line + prev
+        elif ftype in (3, 4):  # Average / Paeth: left-dependency, scan bytes
+            recon = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(recon[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                if ftype == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = int(prev[x - bpp]) if x >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else up if pb <= pc else ul
+                recon[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = recon
+        prev = recon
+    if color == 3:
+        return plte[out.reshape(h, w)]
+    return out.reshape(h, w, channels)
+
+
+def _png_encode(arr: "Any", filter_type: int = 0) -> bytes:
+    """Encode an ``(h, w, channels)`` uint8 array as an 8-bit
+    non-interlaced PNG (``zlib`` + spec only). ``filter_type`` applies
+    one filter to every scanline — 0 for production re-encodes; 1-4 exist
+    so tests can exercise each decoder unfilter path with real data."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, channels = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    flat = arr.reshape(h, w * channels)
+    bpp = channels
+    left = np.zeros_like(flat)
+    left[:, bpp:] = flat[:, :-bpp]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    ul = np.zeros_like(flat)
+    ul[1:, bpp:] = flat[:-1, :-bpp]
+    if filter_type == 0:
+        filt = flat
+    elif filter_type == 1:
+        filt = flat - left
+    elif filter_type == 2:
+        filt = flat - up
+    elif filter_type == 3:
+        filt = flat - ((left.astype(np.uint16) + up) >> 1).astype(np.uint8)
+    elif filter_type == 4:
+        p = left.astype(np.int16) + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+        ).astype(np.uint8)
+        filt = flat - pred
+    else:
+        raise ValueError(f"filter_type must be 0-4, got {filter_type}")
+    raw = b"".join(
+        bytes([filter_type]) + filt[y].tobytes() for y in range(h)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_resize(b: bytes, tw: int, th: int) -> bytes | None:
+    """Real nearest-neighbor PNG resize: decode → resample → re-encode
+    (filter 0). None when :func:`_png_decode` can't cover the variant."""
+    import numpy as np
+
+    px = _png_decode(b)
+    if px is None:
+        return None
+    h, w = px.shape[:2]
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return _png_encode(px[ys][:, xs])
+
+
+def _bmp_decode(b: bytes) -> "Any | None":
+    """Pixel decode of an uncompressed 24/32-bpp BMP from the published
+    spec (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB, 4-byte-padded
+    rows): ``(h, w, channels)`` uint8 array in top-down BGR(A) order, or
+    None for variants out of scope (other bpp, RLE, exotic DIB)."""
     import numpy as np
 
     if len(b) < 54 or b[:2] != b"BM":
@@ -251,21 +558,41 @@ def _bmp_resize(b: bytes, tw: int, th: int) -> bytes | None:
         return None
     rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
     px = rows.reshape(h, stride)[:, : w * nbytes].reshape(h, w, nbytes)
-    if not top_down:  # resample in image (top-down) coordinates
-        px = px[::-1]
-    ys = (np.arange(th) * h) // th
-    xs = (np.arange(tw) * w) // tw
-    resized = px[ys][:, xs]  # nearest neighbor
+    return px if top_down else px[::-1]
+
+
+def _bmp_encode(px: "Any") -> bytes:
+    """Encode a top-down BGR(A) uint8 array as an uncompressed BMP
+    (bottom-up rows, the positive-height layout the header declares)."""
+    import struct
+
+    import numpy as np
+
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    th, tw, nbytes = px.shape
     out_stride = (tw * nbytes + 3) // 4 * 4
     padded = np.zeros((th, out_stride), dtype=np.uint8)
-    # encode bottom-up, the positive-height layout the header declares
-    padded[:, : tw * nbytes] = resized[::-1].reshape(th, tw * nbytes)
+    padded[:, : tw * nbytes] = px[::-1].reshape(th, tw * nbytes)
     pixel_bytes = padded.tobytes()
     info = struct.pack(
-        "<IiiHHIIiiII", 40, tw, th, 1, bpp, 0, len(pixel_bytes), 2835, 2835, 0, 0
+        "<IiiHHIIiiII", 40, tw, th, 1, nbytes * 8, 0, len(pixel_bytes), 2835, 2835, 0, 0
     )
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_bytes), 0, 0, 14 + 40)
     return header + info + pixel_bytes
+
+
+def _bmp_resize(b: bytes, tw: int, th: int) -> bytes | None:
+    """Real nearest-neighbor resize of an uncompressed 24/32-bpp BMP —
+    decode → resample in top-down coordinates → re-encode."""
+    import numpy as np
+
+    px = _bmp_decode(b)
+    if px is None:
+        return None
+    h, w = px.shape[:2]
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return _bmp_encode(px[ys][:, xs])
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
@@ -274,12 +601,13 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     resize metadata.
 
     Pixel semantics are explicit per row via ``resize_applied``:
-    uncompressed 24/32-bpp BMPs are REALLY resampled (nearest-neighbor,
-    :func:`_bmp_resize` — stdlib+numpy, no codec library) and their
-    ``content`` bytes replaced; every other image format has no stdlib
-    pixel codec in this environment, so bytes pass through UNCHANGED with
-    ``resize_applied = false`` — only the metadata records the target
-    box. Plugging in PIL for those formats is a body-only change to
+    uncompressed 24/32-bpp BMPs (:func:`_bmp_resize`) and 8-bit
+    non-interlaced PNGs (:func:`_png_resize` — full spec decode, all five
+    scanline filters, palette expansion; ``zlib``+numpy only) are REALLY
+    resampled (nearest-neighbor) and their ``content`` bytes replaced;
+    formats with no stdlib codec (JPEG/GIF-LZW) pass through UNCHANGED
+    with ``resize_applied = false`` — only the metadata records the
+    target box. Plugging in PIL for those is a body-only change to
     ``_resize_batch``. The Spark-side contract is a single map-side pass
     with no shuffle.
     """
@@ -304,7 +632,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                     rw.append(None), rh.append(None), applied.append(None)
                     contents.append(content)
                     continue
-                resized = _bmp_resize(bytes(content or b""), width, height)
+                raw = bytes(content or b"")
+                resized = _bmp_resize(raw, width, height) or _png_resize(
+                    raw, width, height
+                )
                 rw.append(width), rh.append(height)
                 applied.append(resized is not None)
                 contents.append(resized if resized is not None else content)
@@ -318,15 +649,19 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Explode each video row into ``n_frames`` evenly-spaced frame rows
-    ``(path, media_type, frame_idx, frame_offset_ms)``.
+    """Explode each video / animated-GIF row into up to ``n_frames``
+    evenly-spaced frame rows ``(path, media_type, frame_idx,
+    frame_offset_ms)``.
 
-    This is frame-sample PLUMBING only — the output schema deliberately
-    carries no pixel payload (there is no stdlib video codec), so it
-    cannot be mistaken for real frame extraction: rows are (offset, idx)
-    plans a real decoder (pyav) would fill by yielding a ``frame:
-    binary`` column from the same batch iterator."""
-    base = decode_media(df)
+    For animated GIFs the frame inventory is REAL: per-frame Graphic
+    Control Extension delays are parsed from the container
+    (:func:`_gif_frame_delays`), ``frame_idx`` is the actual frame number
+    and ``frame_offset_ms`` its true cumulative display offset. For video
+    containers there is no stdlib codec, so offsets come from the
+    deterministic stub duration and the schema deliberately carries no
+    pixel payload — rows are (offset, idx) plans a real decoder (pyav)
+    would fill by yielding a ``frame: binary`` column from the same batch
+    iterator."""
     out_schema = StructType(
         [
             StructField("path", StringType(), True),
@@ -340,16 +675,39 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                dur = r["duration_ms"] or 0
-                for i in range(n_frames):
-                    rows.append(
-                        {
-                            "path": r["path"],
-                            "media_type": r["media_type"],
-                            "frame_idx": i,
-                            "frame_offset_ms": int(dur * i / n_frames),
-                        }
-                    )
+                raw = bytes(r["content"] or b"")
+                delays = (
+                    _gif_frame_delays(raw) if r["media_type"] == "image" else []
+                )
+                if len(delays) > 1:  # animated GIF: real frame inventory
+                    offsets = [sum(delays[:i]) for i in range(len(delays))]
+                    n = min(n_frames, len(delays))
+                    for j in range(n):
+                        idx = j * len(delays) // n
+                        rows.append(
+                            {
+                                "path": r["path"],
+                                "media_type": r["media_type"],
+                                "frame_idx": idx,
+                                "frame_offset_ms": offsets[idx],
+                            }
+                        )
+                elif r["media_type"] == "video":
+                    dur = _fake_decode(raw, "video")["duration_ms"] or 0
+                    for i in range(n_frames):
+                        rows.append(
+                            {
+                                "path": r["path"],
+                                "media_type": r["media_type"],
+                                "frame_idx": i,
+                                "frame_offset_ms": int(dur * i / n_frames),
+                            }
+                        )
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
-    return base.where(F.col("media_type") == "video").mapInPandas(_frames, out_schema)
+    animated_gif = (F.col("media_type") == "image") & (
+        F.substring("content", 1, 3) == F.lit(b"GIF")
+    )
+    return df.where(
+        (F.col("media_type") == "video") | animated_gif
+    ).mapInPandas(_frames, out_schema)

@@ -396,3 +396,68 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = normalize_text(text_col)
     bow = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))
     return df.withColumn("fp_exact", F.md5(norm)).withColumn("fp_bow", F.md5(bow))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+) -> DataFrame:
+    """Add the Gopher-style repetition quality signals used to drop
+    template/spam documents from training corpora:
+
+    - ``dup_word_fraction``: 1 − distinct words / total words — computed
+      per row with ``array_distinct`` (codegen, no shuffle).
+    - ``top_ngram_fraction``: occurrences of the single most frequent
+      word ``ngram``-gram over all ``ngram``-gram occurrences.
+    - ``dup_ngram_fraction``: fraction of ``ngram``-gram occurrences
+      whose gram occurs more than once in the document.
+
+    Scale: the n-gram counts are one explode → two keyed aggregations on
+    ``(id, gram)`` then ``id`` — both shuffle on well-distributed keys,
+    map-side partial aggregation applies, and nothing is quadratic in
+    document length (no per-row pairwise HOFs). Docs shorter than
+    ``ngram`` words get 0.0 fractions via the left join + coalesce.
+    """
+    df = spread(df)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    dup_word = F.when(
+        n_words > 0,
+        1.0 - F.size(F.array_distinct(toks)) / n_words.cast("double"),
+    ).otherwise(0.0)
+
+    # n-gram array per doc: slice the token array at each start offset
+    # (guard: sequence(0, -1) would count DOWN, so short docs need an
+    # explicit empty array, not a degenerate sequence)
+    grams = F.when(
+        n_words >= ngram,
+        F.transform(
+            F.sequence(F.lit(0), n_words - ngram),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("_total_grams"),
+        F.max("cnt").alias("_top_gram"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("_dup_gram"),
+    )
+    out = (
+        df.withColumn("dup_word_fraction", dup_word)
+        .join(per_doc, id_col, "left")
+        .withColumn(
+            "top_ngram_fraction",
+            F.coalesce(F.col("_top_gram") / F.col("_total_grams"), F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_ngram_fraction",
+            F.coalesce(F.col("_dup_gram") / F.col("_total_grams"), F.lit(0.0)),
+        )
+    )
+    return out.drop("_total_grams", "_top_gram", "_dup_gram")

@@ -539,6 +539,218 @@ def test_sample_frames_only_videos(spark, media_dir):
     assert [r.frame_idx for r in sorted(frames, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
 
 
+def test_png_codec_roundtrip_all_filters():
+    """The PNG decoder really unfilters: an image encoded with each of
+    the five scanline filter types (incl. Paeth) decodes back to the
+    identical pixel array, for gray/RGB/RGBA layouts."""
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import _png_decode, _png_encode
+
+    rng = np.random.default_rng(7)
+    for channels in (1, 3, 4):
+        px = rng.integers(0, 256, size=(11, 7, channels), dtype=np.uint8)
+        for ftype in range(5):
+            out = _png_decode(_png_encode(px, filter_type=ftype))
+            assert out is not None, (channels, ftype)
+            assert np.array_equal(out, px), (channels, ftype)
+
+
+def test_png_decode_palette():
+    """Color-type-3 (indexed) PNGs expand through the PLTE table."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import _png_decode
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx = [[0, 1], [2, 0]]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(c) for c in palette)
+    raw = b"".join(b"\x00" + bytes(row) for row in idx)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = _png_decode(png)
+    expect = np.array([[palette[i] for i in row] for row in idx], dtype=np.uint8)
+    assert np.array_equal(out, expect)
+
+
+def test_resize_images_real_png_pixels(spark, tmp_path):
+    """PNG rows are REALLY resampled, same contract as the BMP path."""
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import (
+        _png_decode,
+        _png_encode,
+        read_binary_files,
+        resize_images,
+    )
+
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    (tmp_path / "tiny.png").write_bytes(_png_encode(px))
+    df = read_binary_files(spark, str(tmp_path))
+    row = resize_images(df, 4, 4).collect()[0]
+    assert row.resize_applied is True
+    out = _png_decode(bytes(row.content))
+    assert out.shape == (4, 4, 3)
+    for y in range(4):
+        for x in range(4):
+            assert tuple(out[y][x]) == tuple(px[y // 2][x // 2])
+
+
+def _make_gif(delays_cs: list[int], w: int = 3, h: int = 2) -> bytes:
+    """Minimal animated GIF89a: global 2-color table, one GCE + image
+    descriptor per frame (LZW data is a dummy sub-block — the engine
+    parses structure, not pixels)."""
+    out = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80, 0, 0])  # packed: GCT present, 2 entries
+    out += b"\x00\x00\x00\xff\xff\xff"  # global color table
+    for d in delays_cs:
+        out += bytes([0x21, 0xF9, 0x04, 0x00]) + d.to_bytes(2, "little")
+        out += bytes([0x00, 0x00])  # transparent idx + terminator
+        out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little")
+        out += h.to_bytes(2, "little") + b"\x00"  # no local color table
+        out += bytes([0x02, 0x01, 0x00, 0x00])  # LZW min + 1-byte block + end
+    return out + b"\x3b"
+
+
+def test_gif_frame_inventory_and_duration(spark, tmp_path):
+    """Animated GIFs get a REAL frame inventory: true frame count,
+    per-frame cumulative offsets from the parsed GCE delays, and a
+    summed duration in decode_media(real)."""
+    from gcpde_spark.llm.multimodal import (
+        decode_media,
+        read_binary_files,
+        sample_frames,
+    )
+
+    (tmp_path / "anim.gif").write_bytes(_make_gif([5, 10, 20]))  # 50/100/200 ms
+    df = read_binary_files(spark, str(tmp_path))
+    meta = decode_media(df, decode="real").collect()[0]
+    assert meta.duration_ms == 350
+    assert (meta.width, meta.height) == (3, 2)
+    frames = sorted(sample_frames(df, n_frames=3).collect(), key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.frame_offset_ms) for r in frames] == [
+        (0, 0),
+        (1, 50),
+        (2, 150),
+    ]
+    # n_frames above the real frame count: one row per actual frame only
+    assert len(sample_frames(df, n_frames=10).collect()) == 3
+
+
+def test_extract_features_real(spark, tmp_path):
+    """features='real' computes true content statistics for PNG/WAV and
+    flags stub fallbacks: a solid-gray PNG has mean≈128/255 and a
+    one-bin histogram; a sine WAV has RMS≈0.707·amplitude; a JPEG falls
+    back to the hash stub with features_real=false."""
+    import math
+    import struct
+    import wave
+
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import (
+        _png_encode,
+        extract_features,
+        read_binary_files,
+    )
+
+    px = np.full((8, 8, 3), 128, dtype=np.uint8)
+    (tmp_path / "gray.png").write_bytes(_png_encode(px))
+    buf = __import__("io").BytesIO()
+    amp, rate = 0.5, 8000
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        samples = [
+            int(amp * 32767 * math.sin(2 * math.pi * 440 * t / rate))
+            for t in range(rate)
+        ]
+        wv.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    (tmp_path / "tone.wav").write_bytes(buf.getvalue())
+    (tmp_path / "pic.jpg").write_bytes(b"\xff\xd8fakejpeg" * 4)
+
+    df = read_binary_files(spark, str(tmp_path))
+    rows = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in extract_features(df, dim=32, features="real").collect()
+    }
+    g = rows["gray.png"]
+    assert g.features_real is True
+    assert abs(g.features[0] - 128 / 255) < 1e-3  # channel-0 mean
+    assert abs(g.features[3]) < 1e-6  # 4th channel absent -> 0
+    hist = g.features[8:24]
+    assert abs(hist[8] - 1.0) < 1e-6 and sum(hist) == pytest.approx(1.0)
+    t = rows["tone.wav"]
+    assert t.features_real is True
+    assert abs(t.features[0] - amp / math.sqrt(2)) < 0.01  # RMS
+    assert abs(t.features[1] - amp) < 0.01  # peak
+    j = rows["pic.jpg"]
+    assert j.features_real is False
+    assert len(j.features) == 32
+
+
+def test_repetition_stats_exact_fractions(spark):
+    """Exact repetition fractions on crafted documents: a pure-spam doc
+    maxes every signal, a no-repeat doc zeroes them, short/empty docs
+    degrade to 0.0 instead of null/degenerate sequences."""
+    from gcpde_spark.llm.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # 1 distinct word, 3 identical bigrams
+            (2, "one two three four"),  # all distinct
+            (3, "a b a b c"),  # bigrams: ab, ba, ab, bc -> top=2/4, dup=2/4
+            (4, "solo"),  # shorter than the ngram
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].dup_word_fraction == pytest.approx(0.75)
+    assert rows[1].top_ngram_fraction == pytest.approx(1.0)
+    assert rows[1].dup_ngram_fraction == pytest.approx(1.0)
+    assert rows[2].dup_word_fraction == pytest.approx(0.0)
+    assert rows[2].top_ngram_fraction == pytest.approx(1 / 3)  # 3 distinct bigrams
+    assert rows[2].dup_ngram_fraction == pytest.approx(0.0)
+    assert rows[3].top_ngram_fraction == pytest.approx(0.5)
+    assert rows[3].dup_ngram_fraction == pytest.approx(0.5)
+    for short_id in (4, 5):
+        assert rows[short_id].top_ngram_fraction == 0.0
+        assert rows[short_id].dup_ngram_fraction == 0.0
+        assert rows[short_id].dup_word_fraction == 0.0
+
+
+def test_repetition_stats_no_python_udf(spark, docs):
+    """The repetition plan stays JVM-side: no BatchEvalPython, and the
+    only shuffles are the two keyed aggregations + the rejoin."""
+    from gcpde_spark.llm.text import repetition_stats
+
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+
+
 def test_winnowing_fingerprints_properties(docs, spark):
     """Winnowing guarantees: position-shift robustness (a shared long
     substring yields shared fingerprints) and no fingerprints for
