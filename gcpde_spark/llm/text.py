@@ -385,6 +385,113 @@ def with_redacted_pii(
     return df.withColumn(out_col or text_col, col)
 
 
+# HTML-stripping stages, applied in order. Patterns are valid in BOTH
+# Java regex (Spark codegen) and RE2 (DuckDB) — no backreferences, no
+# lookarounds, inline (?is) flags + lazy quantifiers only — so an oracle
+# CAN mirror them, though the corpus entry certifies against an
+# analytically-derived expected value instead (stronger: the oracle does
+# not share the implementation).
+_HTML_STRIP_STAGES: list[tuple[str, str]] = [
+    # script/style payloads are code, not content
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level separators become newlines so line structure survives
+    # for the boilerplate pass; all remaining tags are inline spaces
+    (
+        r"(?i)<(?:br|hr)\s*/?>"
+        r"|</(?:p|div|li|tr|h[1-6]|ul|ol|table|blockquote|section|article)\s*>",
+        "\n",
+    ),
+    # quote-aware tag match: attribute values may contain '>'
+    (r"<(?:[^<>\"']|\"[^\"]*\"|'[^']*')+>", " "),
+]
+
+# Literal entity decodes, applied AFTER tag stripping (entity-encoded
+# markup is content, not markup) with &amp; last so "&amp;lt;" decodes
+# to the literal "&lt;" and not to "<".
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+# Line-level boilerplate markers: a line containing any of these is
+# dropped wholesale by strip_boilerplate (the cheap single-pass subset
+# of jusText/trafilatura-style block classification).
+BOILERPLATE_PATTERNS: tuple[str, ...] = (
+    "copyright",
+    "all rights reserved",
+    "cookie",
+    "privacy policy",
+    "terms of service",
+    "subscribe",
+    "newsletter",
+    "click here",
+    "javascript",
+    "skip to (?:main )?content",
+)
+
+
+def strip_html(col: str | Column) -> Column:
+    """Markup-to-text: drop script/style/comment payloads, convert
+    block-level tags to newlines and inline tags to spaces, decode the
+    common entities, collapse horizontal whitespace and blank lines.
+
+    One chained ``regexp_replace`` projection — codegen'd, no shuffle,
+    no UDF, linear in text size — the scale path for cleaning a crawled
+    corpus (a DOM parser needs a Python UDF and ~100× the cost; plug one
+    in via ``mapInPandas`` only for pages where regex fidelity fails).
+    Numeric entities other than ``&#39;`` are left as-is (documented
+    limitation: decoding arbitrary ``&#NNN;`` needs per-char codegen
+    Spark lacks).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, repl in _HTML_STRIP_STAGES:
+        c = F.regexp_replace(c, pattern, repl)
+    for entity, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(entity), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t\x0B\f\r]+", " ")  # horizontal ws
+    c = F.regexp_replace(c, r"(?m)^ | $", "")  # line-edge trim
+    c = F.regexp_replace(c, r"\n{2,}", "\n")  # blank lines
+    # F.trim strips only spaces; edge newlines need the regex form
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def strip_boilerplate(
+    col: str | Column, patterns: tuple[str, ...] = BOILERPLATE_PATTERNS
+) -> Column:
+    """Drop every LINE containing a boilerplate marker (case-insensitive
+    regex alternation) — run after :func:`strip_html`, which preserves
+    line structure, and before :func:`normalize_text`, which collapses
+    it. Single multiline ``regexp_replace``: codegen'd, linear."""
+    alternation = "|".join(patterns)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, rf"(?im)^[^\n]*(?:{alternation})[^\n]*(?:\n|$)", ""),
+        r"^\s+|\s+$",
+        "",
+    )
+
+
+def with_clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    boilerplate: bool = True,
+) -> DataFrame:
+    """HTML-strip + (optionally) boilerplate-drop + normalize, as one
+    projection — the standard first pass over a crawled training corpus."""
+    c = strip_html(text_col)
+    if boilerplate:
+        c = strip_boilerplate(c)
+    return df.withColumn(out_col, normalize_text(c))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add two deterministic document fingerprints:
 

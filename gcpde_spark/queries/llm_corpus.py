@@ -612,3 +612,40 @@ def l20(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@_q(
+    "l21_html_strip",
+    f"""SELECT doc_id,
+              trim(regexp_replace(lower(
+                't quick links ' || text || ' & more <tags> ok'),
+                '\\s+', ' ', 'g')) AS clean
+       FROM documents ORDER BY doc_id""",
+    "HTML strip + boilerplate removal (§2D): each document is wrapped in "
+    "a fixed HTML page (script/style payloads, comments, attributes, "
+    "entities, a copyright footer line); the operator must recover "
+    "exactly title + nav + body-text + decoded entities with the footer "
+    "line dropped. The oracle derives that expected value analytically "
+    "from the wrapper construction — it shares no code with the "
+    "implementation, so it certifies semantics, not regex parity",
+)
+def l21(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.text import normalize_text, strip_boilerplate, strip_html
+
+    docs = load_table(spark, sf, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>t</title><style>p{color:red}</style>'
+            '<script type="text/javascript">var x = 1 < 2;</script></head>'
+            '<body><!-- nav --><div class="nav">Quick  Links</div>'
+            '<p id="main">'
+        ),
+        F.col("text"),
+        F.lit(
+            " &amp; more &lt;tags&gt;&nbsp;ok</p>"
+            "<footer>Copyright 2026 Example Corp. All rights reserved."
+            "</footer></body></html>"
+        ),
+    )
+    clean = normalize_text(strip_boilerplate(strip_html(html)))
+    return docs.select("doc_id", clean.alias("clean")).orderBy("doc_id")

@@ -1068,3 +1068,63 @@ def test_exact_dedup_keep_policies(spark):
 
     with _pytest.raises(ValueError):
         exact_dedup_keep(df, keep="nope")
+
+
+def test_strip_html_tags_entities_and_blocks(spark):
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.llm.text import strip_html
+
+    rows = [
+        (1, '<p class="a" data-x="1>2">hello <b>world</b></p>'),
+        (2, "<script>if (a < b) { alert('x') }</script>kept"),
+        (3, "<style>p { color: red }</style>kept"),
+        (4, "<!-- secret --><span>shown</span>"),
+        (5, "a&amp;b &lt;i&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+        (6, "&amp;lt; stays encoded once"),
+        (7, "line1<br>line2<br/>line3"),
+        (8, "no markup at all"),
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r.c
+        for r in df.select("doc_id", strip_html("text").alias("c")).collect()
+    }
+    assert got[1] == "hello world"
+    assert got[2] == "kept"  # script payload (incl. '<') removed
+    assert got[3] == "kept"
+    assert got[4] == "shown"  # comment payload removed
+    assert got[5] == 'a&b <i> "q" \'s\' end'
+    assert got[6] == "&lt; stays encoded once"  # amp decoded LAST
+    assert got[7] == "line1\nline2\nline3"  # br -> line structure
+    assert got[8] == "no markup at all"
+    assert got[9] is None
+
+
+def test_strip_boilerplate_drops_marked_lines_only(spark):
+    from gcpde_spark.llm.text import strip_boilerplate, strip_html, with_clean_text
+
+    html = (
+        "<div>Skip to main content</div>"
+        "<p>real paragraph one</p>"
+        "<div>Accept our Cookie Policy</div>"
+        "<p>real paragraph two</p>"
+        "<footer>Copyright 2026 · All Rights Reserved</footer>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id int, text string")
+    out = df.select(
+        strip_boilerplate(strip_html("text")).alias("c")
+    ).collect()[0].c
+    assert out == "real paragraph one\nreal paragraph two"
+    # composed convenience: normalized single-line output
+    clean = with_clean_text(df).collect()[0].clean_text
+    assert clean == "real paragraph one real paragraph two"
+
+
+def test_strip_html_is_pure_projection(spark):
+    from gcpde_spark.llm.text import with_clean_text
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id int, text string")
+    plan = with_clean_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
