@@ -610,3 +610,80 @@ def simhash_near_dup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-granular exact dedup: each paragraph (``sep``-delimited
+    block) is kept only at its GLOBAL first occurrence, ordered by
+    ``(doc id, position)``; later copies are removed and the surviving
+    paragraphs reassemble in original order — the standard sub-document
+    dedup pass for crawled corpora, where boilerplate paragraphs repeat
+    across pages that are not document-level duplicates.
+
+    Returns ``(id_col, text_deduped, n_paras_kept, n_paras_total)``;
+    docs whose every paragraph is a repeat get an empty string.
+
+    Scale: posexplode → one first-occurrence window on the paragraph
+    md5 → one reassembly aggregation keyed by doc id. Both shuffles key
+    on uniform values (128-bit hash, then doc id) — skew-free; nothing
+    is quadratic and no driver-side state. The window's per-hash group
+    is the number of copies of one paragraph — a pathological
+    all-identical corpus degrades to one fat sort group, the same bound
+    l01 carries.
+    """
+    paras = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("_vid"),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+                "_pos", "_para"
+            ),
+        )
+        .where(F.length(F.trim(F.col("_para"))) > 0)
+    )
+    first = Window.partitionBy(F.md5(normalize_text(F.col("_para")))).orderBy(
+        "_vid", "_pos"
+    )
+    kept = paras.withColumn("_rn", F.row_number().over(first))
+    stats = (
+        kept.groupBy("_vid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paras_total"),
+            F.sum((F.col("_rn") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_paras_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct(F.col("_pos"), F.col("_para")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("_para"),
+                ),
+                sep,
+            ).alias("text_deduped"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(stats, df[id_col] == stats["_vid"], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+            F.coalesce(F.col("n_paras_kept"), F.lit(0).cast("bigint")).alias(
+                "n_paras_kept"
+            ),
+            F.coalesce(F.col("n_paras_total"), F.lit(0).cast("bigint")).alias(
+                "n_paras_total"
+            ),
+        )
+    )

@@ -492,6 +492,80 @@ def with_clean_text(
     return df.withColumn(out_col, normalize_text(c))
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean token log-probability under a corpus unigram
+    LM — the cheap perplexity-style quality signal (low score = tokens
+    rare in the reference corpus = likely noise/garble; perplexity is
+    ``exp(-mean_logprob)``).
+
+    ``reference`` trains the LM (term frequencies); default is ``df``
+    itself (self-scoring). Out-of-vocabulary tokens when scoring against
+    a separate reference get the floor probability ``1/(total+1)``.
+
+    Returns ``(id_col, n_tokens, mean_logprob)``.
+
+    Numerics: per-term ``ln P(t)`` is quantized to integer micro-nats
+    (``ROUND(ln*1e6) AS BIGINT``) before any aggregation, so the per-doc
+    sum is exact BIGINT arithmetic — order-independent, bit-identical
+    across engines and partitionings (the money ``cents()`` trick; a
+    double sum's value depends on partition merge order). The 1e-6-nat
+    quantization error is ~1e-6 of a nat per token — far below the
+    signal. Scale: one explode feeds both the LM counts and the per-doc
+    term counts; the vocab join is an equi-join on term (vocab ≪ corpus,
+    AQE broadcasts it); no UDFs, no driver-side state.
+    """
+    ref = df if reference is None else reference
+    ref_terms = (spread(ref) if reference is None else ref).select(
+        F.explode(tokens(text_col)).alias("_term")
+    )
+    vocab = ref_terms.groupBy("_term").agg(F.count(F.lit(1)).alias("_cnt"))
+    totals = vocab.agg(
+        F.sum("_cnt").alias("_total"), F.count(F.lit(1)).alias("_vsize")
+    )
+    # ln(cnt/total) in integer micro-nats; floor prob for OOV terms
+    vocab = vocab.crossJoin(F.broadcast(totals)).select(
+        "_term",
+        F.round(F.log(F.col("_cnt") / F.col("_total")) * 1e6)
+        .cast("bigint")
+        .alias("_lnp_micro"),
+    )
+    floor = totals.select(
+        F.round(F.log(1.0 / (F.col("_total") + 1)) * 1e6)
+        .cast("bigint")
+        .alias("_floor_micro")
+    )
+    tf = (
+        spread(df)
+        .select(F.col(id_col).alias("_vid"), F.explode(tokens(text_col)).alias("_term"))
+        .groupBy("_vid", "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    scored = (
+        tf.join(vocab, "_term", "left")
+        .crossJoin(F.broadcast(floor))
+        .groupBy("_vid")
+        .agg(
+            F.sum("_tf").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.col("_tf") * F.coalesce(F.col("_lnp_micro"), F.col("_floor_micro"))
+            ).alias("_sum_micro"),
+        )
+        .select(
+            F.col("_vid").alias(id_col),
+            "n_tokens",
+            round4(
+                F.col("_sum_micro").cast("double") / 1e6 / F.col("n_tokens")
+            ).alias("mean_logprob"),
+        )
+    )
+    return df.select(F.col(id_col)).join(scored, id_col, "left")
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add two deterministic document fingerprints:
 

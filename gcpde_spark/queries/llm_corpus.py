@@ -649,3 +649,91 @@ def l21(spark: SparkSession, sf: str) -> DataFrame:
     )
     clean = normalize_text(strip_boilerplate(strip_html(html)))
     return docs.select("doc_id", clean.alias("clean")).orderBy("doc_id")
+
+
+@_q(
+    "l22_unigram_logprob",
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        vocab AS (SELECT term, COUNT(*) AS cnt FROM e GROUP BY term),
+        tot AS (SELECT SUM(cnt) AS total FROM vocab),
+        lm AS (SELECT term,
+                 CAST(ROUND(ln(CAST(cnt AS DOUBLE) / total) * 1000000.0)
+                   AS BIGINT) AS lnp
+               FROM vocab CROSS JOIN tot),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf
+               FROM e GROUP BY doc_id, term),
+        s AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                     SUM(tf * lnp) AS sm
+              FROM tf JOIN lm USING (term) GROUP BY doc_id)
+       SELECT d.doc_id, n_tokens,
+              ROUND(CAST(sm AS DOUBLE) / 1000000.0 / n_tokens * 10000)
+                / 10000 AS mean_logprob
+       FROM documents d LEFT JOIN s USING (doc_id)
+       ORDER BY doc_id""",
+    "unigram-LM mean token log-probability per doc (§2D): the cheap "
+    "perplexity-style quality signal. Per-term ln P quantizes to integer "
+    "micro-nats BEFORE aggregation, so the per-doc sum is exact BIGINT "
+    "arithmetic — order-independent and bit-identical across engines "
+    "(a double sum's value depends on partition merge order)",
+)
+def l22(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.text import unigram_logprob
+
+    docs = load_table(spark, sf, "documents")
+    return unigram_logprob(docs).orderBy("doc_id")
+
+
+@_q(
+    "l23_paragraph_dedup",
+    """WITH pd AS (
+         SELECT a.doc_id,
+                concat_ws(chr(10) || chr(10), a.text, b.text) AS text
+         FROM documents a
+         LEFT JOIN documents b ON b.doc_id = a.doc_id + 1),
+       sp AS (SELECT doc_id,
+                     string_split(text, chr(10) || chr(10)) AS p
+              FROM pd),
+       paras AS (
+         SELECT doc_id, unnest(generate_series(1, len(p))) AS pos,
+                unnest(p) AS para
+         FROM sp),
+       pk AS (
+         SELECT doc_id, pos, para,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(para),
+                              '\\s+', ' ', 'g')))
+             ORDER BY doc_id, pos) AS rn
+         FROM paras WHERE len(trim(para)) > 0),
+       s AS (
+         SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras_total,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_paras_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+                    chr(10) || chr(10) ORDER BY pos), '') AS text_deduped
+         FROM pk GROUP BY doc_id)
+       SELECT d.doc_id,
+              COALESCE(text_deduped, '') AS text_deduped,
+              COALESCE(n_paras_kept, 0) AS n_paras_kept,
+              COALESCE(n_paras_total, 0) AS n_paras_total
+       FROM documents d LEFT JOIN s USING (doc_id)
+       ORDER BY doc_id""",
+    "paragraph-granular exact dedup (§2D): each doc is paired with its "
+    "successor's text as a second paragraph, planting every paragraph "
+    "twice (doc j's text appears in pdoc j-1 and pdoc j); the operator "
+    "must keep each paragraph only at its global (doc,pos)-first "
+    "occurrence and reassemble survivors in order — so every doc past "
+    "the first keeps exactly its successor paragraph",
+)
+def l23(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.dedup import dedup_paragraphs
+
+    docs = load_table(spark, sf, "documents")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_t2")
+    )
+    pdocs = docs.join(nxt, "doc_id", "left").select(
+        "doc_id", F.concat_ws("\n\n", "text", "_t2").alias("text")
+    )
+    return dedup_paragraphs(pdocs).orderBy("doc_id")

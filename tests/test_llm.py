@@ -1128,3 +1128,49 @@ def test_strip_html_is_pure_projection(spark):
     df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id int, text string")
     plan = with_clean_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_unigram_logprob_matches_hand_computed_lm(spark):
+    import math
+
+    from gcpde_spark.llm.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b")], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in unigram_logprob(df, id_col="doc_id").collect()}
+    # self-LM: P(a)=3/5, P(b)=2/5
+    exp1 = (2 * math.log(3 / 5) + math.log(2 / 5)) / 3
+    exp2 = (math.log(3 / 5) + math.log(2 / 5)) / 2
+    assert got[1].n_tokens == 3 and abs(got[1].mean_logprob - exp1) < 1e-4
+    assert got[2].n_tokens == 2 and abs(got[2].mean_logprob - exp2) < 1e-4
+    # scoring against a separate reference: ref counts a=3, b=1,
+    # total=4; OOV term 'z' gets the floor probability 1/(total+1)
+    ref = spark.createDataFrame([(10, "a a a b")], "doc_id int, text string")
+    df2 = spark.createDataFrame([(3, "a z")], "doc_id int, text string")
+    s2 = unigram_logprob(df2, reference=ref).collect()[0]
+    exp_z = (math.log(3 / 4) + math.log(1 / 5)) / 2
+    assert abs(s2.mean_logprob - exp_z) < 1e-4
+
+
+def test_dedup_paragraphs_global_first_occurrence(spark):
+    from gcpde_spark.llm.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "alpha beta\n\nshared para"),
+        (2, "shared para\n\ngamma delta"),  # first para is a repeat
+        (3, "Shared  PARA\n\n\n\nalpha beta"),  # normalized repeat + empty block
+        (4, "shared para"),  # everything is a repeat -> empty output
+        (5, ""),  # no paragraphs at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in dedup_paragraphs(df, id_col="doc_id").collect()}
+    assert got[1].text_deduped == "alpha beta\n\nshared para"
+    assert (got[1].n_paras_kept, got[1].n_paras_total) == (2, 2)
+    assert got[2].text_deduped == "gamma delta"
+    assert (got[2].n_paras_kept, got[2].n_paras_total) == (1, 2)
+    # case/whitespace-normalized match; raw text of survivors preserved
+    assert got[3].text_deduped == ""
+    assert (got[3].n_paras_kept, got[3].n_paras_total) == (0, 2)
+    assert got[4].text_deduped == "" and got[4].n_paras_kept == 0
+    assert (got[5].n_paras_kept, got[5].n_paras_total) == (0, 0)
