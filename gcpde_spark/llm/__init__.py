@@ -30,8 +30,11 @@ from gcpde_spark.llm.curation import (
     sample_stratified,
 )
 from gcpde_spark.llm.dedup import (
+    bloom_dedup_new,
+    bloom_filter_table,
     connected_components,
     dedup_clusters,
+    dedup_paragraphs,
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
@@ -53,6 +56,10 @@ from gcpde_spark.llm.similarity import (
 from gcpde_spark.llm.text import (
     normalize_text,
     repetition_stats,
+    strip_boilerplate,
+    strip_html,
+    unigram_logprob,
+    with_clean_text,
     with_fingerprint,
     with_language_id,
     with_text_stats,
@@ -61,7 +68,10 @@ from gcpde_spark.llm.text import (
 __all__ = [
     "connected_components",
     "decontaminate",
+    "bloom_dedup_new",
+    "bloom_filter_table",
     "dedup_clusters",
+    "dedup_paragraphs",
     "exact_dedup",
     "exact_dedup_keep",
     "pack_token_budget",
@@ -82,6 +92,10 @@ __all__ = [
     "with_lsh_buckets",
     "normalize_text",
     "repetition_stats",
+    "strip_boilerplate",
+    "strip_html",
+    "unigram_logprob",
+    "with_clean_text",
     "with_fingerprint",
     "with_language_id",
     "with_text_stats",

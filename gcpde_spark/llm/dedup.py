@@ -687,3 +687,125 @@ def dedup_paragraphs(
             ),
         )
     )
+
+
+def _bloom_sizing(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: bits ``m = -n ln p / (ln 2)^2``, hashes
+    ``k = (m/n) ln 2`` (both at least 1; m rounded up to a word)."""
+    import math
+
+    if not 0 < fpp < 1:
+        raise ValueError(f"fpp must be in (0,1), got {fpp}")
+    n = max(1, expected_items)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)) + 1)
+    k = max(1, round(m / n * math.log(2)))
+    return (m + 63) // 64 * 64, k
+
+
+def bloom_filter_table(
+    df: DataFrame,
+    key: str | Column,
+    m_bits: int,
+    n_hashes: int,
+) -> DataFrame:
+    """A Bloom filter as a DataFrame: ``(word: long, bits: long)`` — the
+    set-bit words of an ``m_bits``-wide bitmap over ``n_hashes``
+    independent probes (``xxhash64(key, i)``) per input row.
+
+    Spark keeps ``bloom_filter_agg`` JVM-internal (not SQL-registered)
+    and classic PySpark has no ``df.stat.bloomFilter``, so this builds
+    the same structure relationally: explode the k probe positions,
+    ``groupBy(pos >> 6)`` + ``bit_or(1 << (pos & 63))``. The result is
+    at most ``m_bits/64`` rows — MBs for billions of keys — so the probe
+    join broadcasts; and unlike a driver-side sketch it never
+    materializes on one machine: build is one shuffle on uniform word
+    ids, probe is an equi-join.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    probes = F.array(
+        *[F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m_bits)) for i in range(n_hashes)]
+    )
+    return (
+        df.select(F.explode(probes).alias("_pos"))
+        .select(
+            F.shiftright("_pos", 6).alias("word"),
+            # F.shiftleft only takes a literal shift; the SQL form shifts
+            # by a column
+            F.expr("shiftleft(1L, cast(_pos % 64 as int))").alias("_bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_bit").alias("bits"))
+    )
+
+
+def bloom_dedup_new(
+    new: DataFrame,
+    old: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    exact: bool = False,
+) -> DataFrame:
+    """Incremental dedup of a ``new`` batch against an ``old`` corpus
+    WITHOUT joining new×old: a Bloom filter over the old fingerprints
+    (built once, ~10 bits/key at fpp=1%) prefilters the new side.
+
+    - ``exact=False`` (default): drop every new doc whose fingerprint
+      the filter might contain. No false negatives (true duplicates
+      always drop); novel docs are lost at ≈ ``fpp`` — the standard
+      trade for crawl-ingest dedup, where the old side is 100 TB and
+      a full anti-join per batch is the cost ceiling.
+    - ``exact=True``: docs flagged by the filter are re-checked with an
+      anti-join against ``old`` — output is exactly the anti-join
+      result, but the join's left side shrinks to (true dups + fpp·novel)
+      instead of the whole batch, and with predicate pushdown of the
+      candidate fingerprints the old-side scan prunes too.
+
+    ``expected_items``: old-corpus cardinality for sizing; defaults to
+    ``old.count()`` (one extra cheap metadata-friendly pass).
+    """
+    fp = lambda d: F.md5(normalize_text(F.col(text_col)))  # noqa: E731
+    n = expected_items if expected_items is not None else old.count()
+    m_bits, k = _bloom_sizing(n, fpp)
+    bloom = bloom_filter_table(old.select(fp(old).alias("_fp")), "_fp", m_bits, k)
+
+    probes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("_fp"), F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    new_fp = new.withColumn("_fp", fp(new))
+    hits = (
+        new_fp.select(F.col(id_col).alias("_pid"), F.explode(probes).alias("_pos"))
+        .join(
+            F.broadcast(bloom),
+            F.shiftright("_pos", 6) == F.col("word"),
+            "left",
+        )
+        .where(
+            F.coalesce(
+                F.col("bits").bitwiseAND(
+                    F.expr("shiftleft(1L, cast(_pos % 64 as int))")
+                ),
+                F.lit(0),
+            )
+            != 0
+        )
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_nset"))
+        .where(F.col("_nset") == k)
+        .select(F.col("_pid"))
+    )
+    maybe_dup = new_fp.join(
+        hits, new_fp[id_col] == hits["_pid"], "left_semi"
+    )
+    novel = new_fp.join(hits, new_fp[id_col] == hits["_pid"], "left_anti")
+    if not exact:
+        return novel.drop("_fp")
+    old_fps = old.select(fp(old).alias("_ofp")).distinct()
+    rescued = maybe_dup.join(
+        old_fps, maybe_dup["_fp"] == old_fps["_ofp"], "left_anti"
+    )
+    return novel.unionByName(rescued).drop("_fp")

@@ -1174,3 +1174,52 @@ def test_dedup_paragraphs_global_first_occurrence(spark):
     assert (got[3].n_paras_kept, got[3].n_paras_total) == (0, 2)
     assert got[4].text_deduped == "" and got[4].n_paras_kept == 0
     assert (got[5].n_paras_kept, got[5].n_paras_total) == (0, 0)
+
+
+def test_bloom_dedup_no_false_negatives_and_bounded_fp(spark, docs):
+    from gcpde_spark.llm.dedup import bloom_dedup_new
+
+    old = docs.select("doc_id", "text")
+    n = old.count()
+    # new batch = half true duplicates (same text, shifted ids), half novel
+    dups = old.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"), "text"
+    )
+    novel = old.where(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") + 90000).alias("doc_id"),
+        F.concat(F.lit("entirely novel prefix "), F.col("text"), F.col("doc_id").cast("string")).alias("text"),
+    )
+    new = dups.unionByName(novel)
+    kept = bloom_dedup_new(new, old, fpp=0.01)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # no false negatives: every true duplicate is dropped
+    assert not any(i >= 50000 and i < 90000 for i in kept_ids)
+    # novel docs survive at >= 1 - 5*fpp
+    n_novel = novel.count()
+    survived = sum(1 for i in kept_ids if i >= 90000)
+    assert survived >= n_novel * 0.95, f"{survived}/{n_novel} novel kept"
+    # exact mode equals the plain anti-join on fingerprints
+    exact_kept = bloom_dedup_new(new, old, fpp=0.5, exact=True)
+    from gcpde_spark.llm.text import normalize_text
+
+    expected = new.withColumn("_f", F.md5(normalize_text("text"))).join(
+        old.select(F.md5(normalize_text("text")).alias("_f")).distinct(),
+        "_f",
+        "left_anti",
+    )
+    assert {r.doc_id for r in exact_kept.collect()} == {
+        r.doc_id for r in expected.collect()
+    }
+
+
+def test_bloom_filter_table_is_compact_and_distributed(spark, docs):
+    from gcpde_spark.llm.dedup import _bloom_sizing, bloom_filter_table
+
+    m, k = _bloom_sizing(500, 0.01)
+    assert m % 64 == 0 and 6 <= k <= 8  # ~10 bits/key, 7 hashes at 1%
+    bf = bloom_filter_table(docs.select(F.col("text")), "text", m, k)
+    rows = bf.collect()
+    assert len(rows) <= m // 64
+    assert all(r.bits != 0 for r in rows)
+    plan = bf._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
