@@ -161,3 +161,37 @@ def exact_dedup_keep(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def sample_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    counts: dict[str, int],
+    seed: int = 42,
+    id_col: str = "doc_id",
+    default: int = 0,
+) -> DataFrame:
+    """Domain-mixture resampling: keep exactly ``counts[stratum]`` rows
+    per stratum (fewer if the stratum is smaller; strata absent from
+    ``counts`` keep ``default`` rows) — the deterministic way to hit a
+    target domain mix (e.g. 40% web / 30% code / 30% books) when
+    building a training blend.
+
+    Same seeded-xxhash64 rank window as :func:`sample_stratified`
+    (reproducible across runs and cluster sizes); the per-stratum target
+    arrives via a broadcastable literal CASE expression, so the plan is
+    one window shuffle regardless of how many strata are configured.
+    """
+    if any(n < 0 for n in counts.values()):
+        raise ValueError("counts must be non-negative")
+    target = F.lit(default)
+    for stratum, n in sorted(counts.items()):
+        target = F.when(F.col(stratum_col) == stratum, F.lit(n)).otherwise(target)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= target)
+        .drop("_rn")
+    )

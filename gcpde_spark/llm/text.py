@@ -519,41 +519,56 @@ def unigram_logprob(
     term counts; the vocab join is an equi-join on term (vocab ≪ corpus,
     AQE broadcasts it); no UDFs, no driver-side state.
     """
-    ref = df if reference is None else reference
-    ref_terms = (spread(ref) if reference is None else ref).select(
-        F.explode(tokens(text_col)).alias("_term")
-    )
-    vocab = ref_terms.groupBy("_term").agg(F.count(F.lit(1)).alias("_cnt"))
-    totals = vocab.agg(
-        F.sum("_cnt").alias("_total"), F.count(F.lit(1)).alias("_vsize")
-    )
-    # ln(cnt/total) in integer micro-nats; floor prob for OOV terms
-    vocab = vocab.crossJoin(F.broadcast(totals)).select(
-        "_term",
-        F.round(F.log(F.col("_cnt") / F.col("_total")) * 1e6)
-        .cast("bigint")
-        .alias("_lnp_micro"),
-    )
-    floor = totals.select(
-        F.round(F.log(1.0 / (F.col("_total") + 1)) * 1e6)
-        .cast("bigint")
-        .alias("_floor_micro")
-    )
+    from pyspark.sql import Window
+
     tf = (
         spread(df)
         .select(F.col(id_col).alias("_vid"), F.explode(tokens(text_col)).alias("_term"))
         .groupBy("_vid", "_term")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
+    lnp = lambda cnt, total: (  # noqa: E731 — ln P in integer micro-nats
+        F.round(F.log(cnt / total) * 1e6).cast("bigint")
+    )
+    if reference is None:
+        # self-scoring: the LM's term counts are the SAME (doc, term)
+        # aggregation re-keyed by term — one explode feeds both (a
+        # second explode pass doubled the shuffle count and the text
+        # scan; same structure l15's tf-idf uses). The corpus total is
+        # a scalar agg off tf, broadcast back.
+        totals = tf.agg(F.sum("_tf").alias("_total"))
+        enriched = (
+            tf.withColumn(
+                "_cnt", F.sum("_tf").over(Window.partitionBy("_term"))
+            )
+            .crossJoin(F.broadcast(totals))
+            .withColumn("_lnp_micro", lnp(F.col("_cnt"), F.col("_total")))
+        )
+    else:
+        ref_terms = reference.select(F.explode(tokens(text_col)).alias("_term"))
+        vocab = ref_terms.groupBy("_term").agg(F.count(F.lit(1)).alias("_cnt"))
+        totals = vocab.agg(F.sum("_cnt").alias("_total"))
+        vocab = vocab.crossJoin(F.broadcast(totals)).select(
+            "_term", lnp(F.col("_cnt"), F.col("_total")).alias("_lnp_micro")
+        )
+        floor = totals.select(
+            F.round(F.log(1.0 / (F.col("_total") + 1)) * 1e6)
+            .cast("bigint")
+            .alias("_floor_micro")
+        )
+        enriched = (
+            tf.join(vocab, "_term", "left")
+            .crossJoin(F.broadcast(floor))
+            .withColumn(
+                "_lnp_micro",
+                F.coalesce(F.col("_lnp_micro"), F.col("_floor_micro")),
+            )
+        )
     scored = (
-        tf.join(vocab, "_term", "left")
-        .crossJoin(F.broadcast(floor))
-        .groupBy("_vid")
+        enriched.groupBy("_vid")
         .agg(
             F.sum("_tf").cast("bigint").alias("n_tokens"),
-            F.sum(
-                F.col("_tf") * F.coalesce(F.col("_lnp_micro"), F.col("_floor_micro"))
-            ).alias("_sum_micro"),
+            F.sum(F.col("_tf") * F.col("_lnp_micro")).alias("_sum_micro"),
         )
         .select(
             F.col("_vid").alias(id_col),

@@ -737,3 +737,77 @@ def l23(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.concat_ws("\n\n", "text", "_t2").alias("text")
     )
     return dedup_paragraphs(pdocs).orderBy("doc_id")
+
+
+@_q(
+    "c48_orc_csv_roundtrip",
+    """SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(n_chars) AS BIGINT) AS chars_orc,
+              CAST(SUM(n_chars) AS BIGINT) AS chars_csv
+       FROM documents GROUP BY lang ORDER BY lang""",
+    "ORC + CSV sink/scan round-trips (§2B-1/2): write the documents "
+    "projection as ORC and as headered CSV, read both back (CSV with an "
+    "explicit schema — no inference job), join on doc_id and aggregate "
+    "each side independently; the oracle computes the same aggregates "
+    "from parquet, so any lossy serialization in either format "
+    "hash-mismatches",
+)
+def c48(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    base = os.environ.get("GCPDE_SPARK_WAREHOUSE", "/tmp/gcpde_spark_warehouse")
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    orc_path, csv_path = os.path.join(base, "_c48_orc"), os.path.join(base, "_c48_csv")
+    d.write.mode("overwrite").orc(orc_path)
+    d.write.mode("overwrite").option("header", True).csv(csv_path)
+    orc_back = spark.read.orc(orc_path).select(
+        "doc_id", "lang", F.col("n_chars").alias("_orc_chars")
+    )
+    csv_back = (
+        spark.read.schema("doc_id bigint, lang string, source string, n_chars bigint")
+        .option("header", True)
+        .csv(csv_path)
+        .select("doc_id", F.col("n_chars").alias("_csv_chars"))
+    )
+    return (
+        orc_back.join(csv_back, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_orc_chars").cast("bigint").alias("chars_orc"),
+            F.sum("_csv_chars").cast("bigint").alias("chars_csv"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "l24_sample_mixture",
+    """SELECT source,
+              CAST(CASE source
+                     WHEN 'src0' THEN LEAST(COUNT(*), 20)
+                     WHEN 'src1' THEN LEAST(COUNT(*), 10)
+                     WHEN 'src2' THEN LEAST(COUNT(*), 40)
+                     ELSE LEAST(COUNT(*), 5) END AS BIGINT) AS n_sampled
+       FROM documents GROUP BY source ORDER BY source""",
+    "domain-mixture resampling (§2D): exact per-domain targets (incl. "
+    "one above the sf0.01 stratum size, exercising the smaller-stratum "
+    "cap) via one seeded rank window + a literal CASE target — the "
+    "deterministic way to hit a training-blend mix; the oracle certifies "
+    "the exact sizing per domain",
+)
+def l24(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.curation import sample_mixture
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        sample_mixture(
+            docs, "source", {"src0": 20, "src1": 10, "src2": 40}, default=5
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+        .orderBy("source")
+    )

@@ -1223,3 +1223,32 @@ def test_bloom_filter_table_is_compact_and_distributed(spark, docs):
     assert all(r.bits != 0 for r in rows)
     plan = bf._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_sample_mixture_targets_and_determinism(docs, spark):
+    from gcpde_spark.llm.curation import sample_mixture
+
+    targets = {"src0": 3, "src1": 0, "src2": 100000}
+    out = sample_mixture(docs, "source", targets, default=1)
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    full = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["src0"] == 3
+    assert "src1" not in counts  # zero target drops the stratum
+    assert counts["src2"] == full["src2"]  # capped at stratum size
+    for s, n in counts.items():
+        if s not in targets:
+            assert n == 1  # default applies to unlisted strata
+    # deterministic: same seed -> same ids
+    a = sorted(r.doc_id for r in sample_mixture(docs, "source", targets).collect())
+    b = sorted(r.doc_id for r in sample_mixture(docs, "source", targets).collect())
+    assert a == b
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sample_mixture(docs, "source", {"src0": -1})

@@ -109,3 +109,25 @@ def test_c26_try_cast_is_guarded(spark):
     # the guard and the cast appear in the same projection expression
     proj = [ln for ln in plan.splitlines() if "Project" in ln or "project" in ln]
     assert proj
+
+
+def test_new_llm_entries_have_no_python_and_bounded_shuffles(spark):
+    """Round-4 additions stay on the codegen path: no Python eval nodes,
+    and shuffle counts at the algorithmic minimum (l21 is a pure
+    projection — zero exchanges)."""
+    for name, max_exchanges in (
+        ("l17_decontaminate", 7),   # 2 shingle windows + 2 distincts +
+                                    # join + agg + presentation sort
+        ("l18_dedup_keep", 2),      # one md5 window
+        ("l21_html_strip", 1),      # chained regexp projection; the one
+                                    # exchange is the presentation sort
+        ("l22_unigram_logprob", 8), # one tf agg + term window + scalar
+                                    # total + doc agg + NULL-text join
+                                    # + presentation sort
+        ("l23_paragraph_dedup", 4), # first-occurrence window + reassembly
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        n_ex = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n_ex <= max_exchanges, f"{name}: {n_ex} shuffles"
