@@ -54,6 +54,7 @@ from gcpde_spark.llm.similarity import (
     with_lsh_buckets,
 )
 from gcpde_spark.llm.text import (
+    chunk_documents,
     normalize_text,
     repetition_stats,
     strip_boilerplate,
@@ -90,6 +91,7 @@ __all__ = [
     "train_ivf_centroids",
     "with_ivf_cells",
     "with_lsh_buckets",
+    "chunk_documents",
     "normalize_text",
     "repetition_stats",
     "strip_boilerplate",

@@ -617,10 +617,15 @@ def dedup_paragraphs(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n\n",
+    scope: str = "global",
 ) -> DataFrame:
     """Paragraph-granular exact dedup: each paragraph (``sep``-delimited
-    block) is kept only at its GLOBAL first occurrence, ordered by
-    ``(doc id, position)``; later copies are removed and the surviving
+    block) is kept only at its first occurrence — GLOBAL across the
+    corpus (``scope="global"``, ordered by ``(doc id, position)``) or
+    WITHIN each document (``scope="document"``, the Gopher-style
+    intra-doc repetition scrub: a paragraph repeated inside one page is
+    removed there without touching other docs' copies). Later copies
+    are removed and the surviving
     paragraphs reassemble in original order — the standard sub-document
     dedup pass for crawled corpora, where boilerplate paragraphs repeat
     across pages that are not document-level duplicates.
@@ -646,9 +651,11 @@ def dedup_paragraphs(
         )
         .where(F.length(F.trim(F.col("_para"))) > 0)
     )
-    first = Window.partitionBy(F.md5(normalize_text(F.col("_para")))).orderBy(
-        "_vid", "_pos"
-    )
+    if scope not in ("global", "document"):
+        raise ValueError(f"scope must be 'global' or 'document', got {scope!r}")
+    para_hash = F.md5(normalize_text(F.col("_para")))
+    keys = [para_hash] if scope == "global" else [F.col("_vid"), para_hash]
+    first = Window.partitionBy(*keys).orderBy("_vid", "_pos")
     kept = paras.withColumn("_rn", F.row_number().over(first))
     stats = (
         kept.groupBy("_vid")

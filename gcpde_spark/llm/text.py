@@ -658,3 +658,61 @@ def repetition_stats(
         )
     )
     return out.drop("_total_grams", "_top_gram", "_dup_gram")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the training-sequence prep step (512/64 ≈ a context-window shard
+    with continuity across boundaries).
+
+    Returns ``(id_col, chunk_id, chunk_text, n_chunk_tokens)``; chunk
+    ``i`` covers tokens ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``; the last chunk may be shorter.
+
+    Scale: the token array is materialized ONCE per document in the
+    projection feeding the Generate (explode of the chunk-index range),
+    so each chunk row slices the parent's array without re-tokenizing —
+    O(total tokens · fanout) work, one narrow explode, no shuffle, no
+    UDF (a transform-lambda formulation would re-evaluate the split per
+    chunk; see _exploded_shingles for the same trap).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    base = (
+        spread(df)
+        .withColumn("_toks", tokens(text_col))
+        .withColumn("_n", F.size("_toks"))
+        .withColumn(
+            "_n_chunks",
+            F.when(F.col("_n") <= chunk_tokens, F.lit(1).cast("bigint")).otherwise(
+                F.ceil((F.col("_n") - chunk_tokens) / F.lit(float(stride))) + 1
+            ),
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_n_chunks") - 1)).alias(
+            "chunk_id"
+        ),
+        "_toks",
+        "_n",
+    ).select(
+        id_col,
+        "chunk_id",
+        F.array_join(
+            F.slice("_toks", (F.col("chunk_id") * stride + 1).cast("int"), chunk_tokens),
+            " ",
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("chunk_id") * stride)
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+    )

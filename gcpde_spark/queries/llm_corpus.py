@@ -811,3 +811,35 @@ def l24(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
         .orderBy("source")
     )
+
+
+@_q(
+    "l25_chunk_documents",
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (SELECT doc_id, toks, n,
+                CASE WHEN n <= 16 THEN 1
+                     ELSE CAST(CEIL((n - 16) / 12.0) AS BIGINT) + 1
+                END AS n_chunks
+              FROM n),
+        e AS (SELECT doc_id, toks, n,
+                unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+              FROM c)
+       SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+              array_to_string(toks[chunk_id*12 + 1 : chunk_id*12 + 16], ' ')
+                AS chunk_text,
+              CAST(LEAST(16, n - chunk_id*12) AS BIGINT) AS n_chunk_tokens
+       FROM e ORDER BY doc_id, chunk_id""",
+    "document chunking into fixed token windows with overlap (§2D): "
+    "training-sequence prep (here 16-token chunks, 4-token overlap so "
+    "the small-SF docs produce several chunks each); the token array "
+    "materializes once per doc and each chunk row slices it — one "
+    "explode, no shuffle, no re-tokenization per chunk",
+)
+def l25(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.text import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    return chunk_documents(docs, chunk_tokens=16, overlap=4).orderBy(
+        "doc_id", "chunk_id"
+    )

@@ -1252,3 +1252,58 @@ def test_sample_mixture_targets_and_determinism(docs, spark):
 
     with _pt.raises(ValueError):
         sample_mixture(docs, "source", {"src0": -1})
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from gcpde_spark.llm.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b")], "doc_id int, text string")
+    got = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # stride 3: chunks at 0/3/6 cover all 10 tokens with 1-token overlap
+    assert [r.chunk_text for r in c1] == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+    ]
+    assert [r.n_chunk_tokens for r in c1] == [4, 4, 4]
+    # short doc: one (possibly partial) chunk
+    assert [(r.chunk_text, r.n_chunk_tokens) for r in by_doc[2]] == [("a b", 2)]
+    # every token of every doc appears in some chunk (coverage)
+    covered = set()
+    for r in c1:
+        covered.update(r.chunk_text.split(" "))
+    assert covered == set(text.split(" "))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_dedup_paragraphs_document_scope(spark):
+    from gcpde_spark.llm.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "refrain\n\nverse one\n\nrefrain\n\nverse two\n\nrefrain"),
+        (2, "refrain\n\nother content"),  # doc 1's repeats don't affect doc 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r
+        for r in dedup_paragraphs(df, id_col="doc_id", scope="document").collect()
+    }
+    assert got[1].text_deduped == "refrain\n\nverse one\n\nverse two"
+    assert (got[1].n_paras_kept, got[1].n_paras_total) == (3, 5)
+    # document scope keeps doc 2's own copy of the shared paragraph
+    assert got[2].text_deduped == "refrain\n\nother content"
+    # global scope would have removed it
+    g = {r.doc_id: r for r in dedup_paragraphs(df, id_col="doc_id").collect()}
+    assert g[2].text_deduped == "other content"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dedup_paragraphs(df, scope="corpus")
