@@ -27,6 +27,7 @@ from gcpde_spark.llm.curation import (
     decontaminate,
     exact_dedup_keep,
     pack_token_budget,
+    sample_mixture,
     sample_stratified,
 )
 from gcpde_spark.llm.dedup import (
@@ -76,6 +77,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_keep",
     "pack_token_budget",
+    "sample_mixture",
     "sample_stratified",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",

@@ -42,6 +42,7 @@ import os
 import threading
 import time
 import uuid
+from dataclasses import dataclass
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,6 +63,18 @@ FIVE_MINUTES = 300  # default query timeout, ≙ gcpde/bq.py:21
 DEFAULT_WAREHOUSE = os.environ.get(
     "GCPDE_SPARK_WAREHOUSE", "/tmp/gcpde_spark_warehouse"
 )
+
+
+@dataclass(frozen=True)
+class TableInfo:
+    """Catalog metadata for one managed table — the Spark analog of the
+    ``bigquery.Table`` the reference's get_table returns (gcpde/bq.py:67)."""
+
+    dataset: str
+    table: str
+    schema: StructType
+    num_rows: int
+    location: str
 
 
 def merge_dataframes(
@@ -164,6 +177,30 @@ class TableStore:
         if not self.check_table(dataset, table):
             raise TableNotFoundError(f"{dataset}.{table} not found")
         return self.spark.table(f"`{dataset}`.`{table}`").schema
+
+    def get_table(self, dataset: str, table: str) -> "TableInfo":
+        """Table metadata object (≙ get_table, gcpde/bq.py:67-75 — the
+        reference returns a ``bigquery.Table``; the Spark analog carries
+        the catalog facts a caller actually reads off it: name, schema,
+        row count, storage location). Raises ``TableNotFoundError`` for
+        a missing table, mirroring the reference's NotFound."""
+        if not self.check_table(dataset, table):
+            raise TableNotFoundError(f"{dataset}.{table} not found")
+        qualified = f"`{dataset}`.`{table}`"
+        detail = {
+            r["info_name"]: r["info_value"]
+            for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}")
+            .withColumnRenamed("col_name", "info_name")
+            .withColumnRenamed("data_type", "info_value")
+            .collect()
+        }
+        return TableInfo(
+            dataset=dataset,
+            table=table,
+            schema=self.spark.table(qualified).schema,
+            num_rows=self.spark.table(qualified).count(),
+            location=detail.get("Location", ""),
+        )
 
     # -- B3/B4: create / delete --------------------------------------------
 

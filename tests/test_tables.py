@@ -475,3 +475,21 @@ def test_replace_table_df_cluster_by_gives_disjoint_file_ranges(spark, store):
     assert max(hi - lo for lo, hi in spans) < 100_000 / max(2, len(spans) - 1)
     for (_, prev_hi), (nxt_lo, _) in zip(spans, spans[1:]):
         assert nxt_lo >= prev_hi  # range partitioning: no interleaving
+
+
+def test_get_table_returns_catalog_metadata(store):
+    from gcpde_spark.errors import TableNotFoundError
+    from gcpde_spark.tables import TableInfo
+
+    store.create_table_from_records(
+        "meta_ds", "t1", [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+    )
+    info = store.get_table("meta_ds", "t1")
+    assert isinstance(info, TableInfo)
+    assert (info.dataset, info.table, info.num_rows) == ("meta_ds", "t1", 2)
+    assert sorted(f.name for f in info.schema.fields) == ["a", "b"]
+    assert "meta_ds.db" in info.location
+    import pytest as _pt
+
+    with _pt.raises(TableNotFoundError):
+        store.get_table("meta_ds", "nope")
