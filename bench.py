@@ -51,6 +51,13 @@ def main() -> None:
         # coalescing/skew splitting is what right-sizes tasks.
         confs["spark.sql.adaptive.enabled"] = "false"
         confs["spark.sql.shuffle.partitions"] = "16"
+        # Split small parquet files finely enough that map-side CPU work
+        # (regex projections, hashing) parallelizes: at the default 128 MB
+        # a 25 MB documents file scans as ONE task and a 15-regex-pass
+        # projection pins to one core (measured 13 s at sf1; ~1.6 s
+        # split). At production scale files exceed the default split size
+        # and this knob is moot — it only right-sizes the benchmark box.
+        confs["spark.sql.files.maxPartitionBytes"] = str(8 << 20)
     spark = build_session(app_name="gcpde_spark_bench", extra_confs=confs)
 
     # Warm the JVM + file index once with the flagship query.

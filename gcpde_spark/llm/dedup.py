@@ -362,7 +362,19 @@ def _verify_jaccard(
       caches after the query.
     """
     pairs = pairs.persist()
-    ex = _exploded_shingles(df, id_col, text_col, n).distinct().persist()
+    # The shingle set scales WITH THE CORPUS — it is never broadcast-
+    # small by construction. The static planner (AQE off) has no size
+    # estimate for this derived subplan and guesses broadcastable; at
+    # sf1 that is a 2.6M-row / >100 MB broadcast build that OOMs a
+    # default-memory driver and at cluster scale is impossible. The
+    # merge hint declares the scale fact; with AQE on, runtime stats
+    # reach the same conclusion and the hint is a no-op.
+    ex = (
+        _exploded_shingles(df, id_col, text_col, n)
+        .distinct()
+        .hint("merge")
+        .persist()
+    )
     sizes = ex.groupBy("_vid").agg(F.count(F.lit(1)).alias("_n"))
     pa = pairs.join(
         ex.select(F.col("_vid").alias("_ida"), F.col("_s")),

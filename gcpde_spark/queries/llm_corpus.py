@@ -630,9 +630,17 @@ def l20(spark: SparkSession, sf: str) -> DataFrame:
     "implementation, so it certifies semantics, not regex parity",
 )
 def l21(spark: SparkSession, sf: str) -> DataFrame:
-    from gcpde_spark.llm.text import normalize_text, strip_boilerplate, strip_html
+    from gcpde_spark.llm.text import (
+        normalize_text,
+        spread,
+        strip_boilerplate,
+        strip_html,
+    )
 
-    docs = load_table(spark, sf, "documents")
+    # ~15 sequential regex passes per row: CPU-bound enough that a
+    # 1-2-partition parquet scan pins it to 1-2 cores (measured 13 s at
+    # sf1 without the fan-out, ~1 s with it)
+    docs = spread(load_table(spark, sf, "documents"))
     html = F.concat(
         F.lit(
             '<html><head><title>t</title><style>p{color:red}</style>'
