@@ -851,3 +851,29 @@ def l25(spark: SparkSession, sf: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=16, overlap=4).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+@_q(
+    "x09_kmeans_clusters",
+    None,  # k-means cell ids depend on the trainer's float iteration
+    # order — not SQL-expressible; size/determinism properties in
+    # tests/test_llm.py
+    "embedding k-means clustering (§2D): the IVF coarse quantizer used "
+    "as a corpus-clustering operator — driver-side spherical k-means on "
+    "a bounded 2048-row sample, map-side Arrow-batch assignment, one "
+    "tiny aggregate for cluster sizes; no shuffle before the final "
+    "16-row agg",
+)
+def x09(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.similarity import train_ivf_centroids, with_ivf_cells
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = _IVF_CENTROIDS.setdefault(
+        sf, train_ivf_centroids(emb, n_centroids=16)
+    )
+    return (
+        with_ivf_cells(emb, cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("cell")
+    )

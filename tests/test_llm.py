@@ -1307,3 +1307,17 @@ def test_dedup_paragraphs_document_scope(spark):
 
     with _pt.raises(ValueError):
         dedup_paragraphs(df, scope="corpus")
+
+
+def test_kmeans_cluster_entry_properties(spark):
+    from gcpde_spark.queries import CORPUS
+
+    out = CORPUS["x09_kmeans_clusters"].build(spark, SF_SMALL)
+    rows = out.collect()
+    n_total = load_table(spark, SF_SMALL, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_total  # partition of corpus
+    assert 1 <= len(rows) <= 16
+    assert all(r.n_vectors > 0 for r in rows)
+    # deterministic: rebuilt entry gives identical sizes
+    again = CORPUS["x09_kmeans_clusters"].build(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
