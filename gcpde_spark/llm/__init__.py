@@ -26,6 +26,7 @@ all-pairs joins (candidate generation is always banded / bucketed).
 from gcpde_spark.llm.curation import (
     decontaminate,
     exact_dedup_keep,
+    pack_chunk_sequences,
     pack_token_budget,
     sample_mixture,
     sample_stratified,
@@ -76,6 +77,7 @@ __all__ = [
     "dedup_paragraphs",
     "exact_dedup",
     "exact_dedup_keep",
+    "pack_chunk_sequences",
     "pack_token_budget",
     "sample_mixture",
     "sample_stratified",

@@ -195,3 +195,50 @@ def sample_mixture(
         .where(F.col("_rn") <= target)
         .drop("_rn")
     )
+
+
+def pack_chunk_sequences(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    chunk_id_col: str = "chunk_id",
+    token_col: str = "n_chunk_tokens",
+    chunks_per_seq: int = 8,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Pack fixed-size document chunks into training sequences of
+    exactly ``chunks_per_seq`` slots (e.g. 8×512-token chunks → one
+    4096-token sequence) — the step between :func:`chunk_documents`
+    and the trainer's data loader.
+
+    Token-aligned packing (uniform chunk slots, the common practice for
+    pretraining shards) keeps assignment a pure rank expression: chunks
+    order by ``(doc, chunk)`` within a hash bucket and sequence ``k``
+    takes ranks ``[k·chunks_per_seq, (k+1)·chunks_per_seq)`` — exact,
+    deterministic, no overflow, and expressible as one window (true
+    variable-size bin packing is a prefix-dependent recursion no window
+    can state). The final sequence per bucket may be partial — pad at
+    load time.
+
+    Adds ``seq_id: string`` (``"<bucket>-<k>"``) and ``seq_slot:
+    bigint``. Same ``n_buckets`` parallelism trade as
+    :func:`pack_token_budget`.
+    """
+    if chunks_per_seq < 1:
+        raise ValueError("chunks_per_seq must be >= 1")
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    w = Window.partitionBy("_bucket").orderBy(F.col(id_col), F.col(chunk_id_col))
+    rn = F.row_number().over(w) - 1
+    return (
+        chunks.withColumn("_bucket", bucket)
+        .withColumn("_rn", rn)
+        .select(
+            "*",
+            F.concat_ws(
+                "-",
+                F.col("_bucket").cast("string"),
+                F.floor(F.col("_rn") / chunks_per_seq).cast("string"),
+            ).alias("seq_id"),
+            (F.col("_rn") % chunks_per_seq).cast("bigint").alias("seq_slot"),
+        )
+        .drop("_bucket", "_rn")
+    )

@@ -877,3 +877,50 @@ def x09(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
         .orderBy("cell")
     )
+
+
+@_q(
+    "l26_pack_sequences",
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (SELECT doc_id, toks, n,
+                CASE WHEN n <= 16 THEN 1
+                     ELSE CAST(CEIL((n - 16) / 12.0) AS BIGINT) + 1
+                END AS n_chunks
+              FROM n),
+        e AS (SELECT doc_id, n,
+                unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+              FROM c),
+        ch AS (SELECT doc_id, chunk_id,
+                 LEAST(16, n - chunk_id*12) AS n_chunk_tokens,
+                 ROW_NUMBER() OVER (ORDER BY doc_id, chunk_id) - 1 AS rn
+               FROM e),
+        p AS (SELECT *,
+                '0-' || CAST(rn // 8 AS VARCHAR) AS seq_id
+              FROM ch)
+       SELECT seq_id,
+              CAST(COUNT(*) AS BIGINT) AS n_chunks,
+              CAST(SUM(n_chunk_tokens) AS BIGINT) AS seq_tokens,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM p GROUP BY seq_id ORDER BY seq_id""",
+    "training-sequence packing (§2D): l25's fixed chunks packed 8 per "
+    "sequence by a rank window — the chunk->pack step before the data "
+    "loader; certified at n_buckets=1 (the SQL-expressible serial rank; "
+    "the scale path hash-scatters to n_buckets parallel packers)",
+)
+def l26(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.curation import pack_chunk_sequences
+    from gcpde_spark.llm.text import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    return (
+        pack_chunk_sequences(chunks, chunks_per_seq=8, n_buckets=1)
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("seq_tokens"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("seq_id")
+    )

@@ -1321,3 +1321,33 @@ def test_kmeans_cluster_entry_properties(spark):
     # deterministic: rebuilt entry gives identical sizes
     again = CORPUS["x09_kmeans_clusters"].build(spark, SF_SMALL).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pack_chunk_sequences_slots_and_order(spark):
+    from gcpde_spark.llm.curation import pack_chunk_sequences
+    from gcpde_spark.llm.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(i, text) for i in range(5)], "doc_id int, text string"
+    )
+    chunks = chunk_documents(df, chunk_tokens=8, overlap=0)  # 5 per doc
+    packed = pack_chunk_sequences(chunks, chunks_per_seq=4, n_buckets=1)
+    rows = sorted(packed.collect(), key=lambda r: (r.doc_id, r.chunk_id))
+    # 25 chunks -> 7 sequences (6 full of 4 + one of 1)
+    seqs = {}
+    for r in rows:
+        seqs.setdefault(r.seq_id, []).append(r)
+    sizes = sorted(len(v) for v in seqs.values())
+    assert sizes == [1, 4, 4, 4, 4, 4, 4]
+    # slots are 0..k within each sequence, in (doc, chunk) order
+    for members in seqs.values():
+        members.sort(key=lambda r: (r.doc_id, r.chunk_id))
+        assert [m.seq_slot for m in members] == list(range(len(members)))
+    # chunks of one doc stay contiguous across sequence boundaries
+    flat = [(r.doc_id, r.chunk_id) for r in rows]
+    assert flat == sorted(flat)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pack_chunk_sequences(chunks, chunks_per_seq=0)
