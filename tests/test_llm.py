@@ -1351,3 +1351,63 @@ def test_pack_chunk_sequences_slots_and_order(spark):
 
     with _pt.raises(ValueError):
         pack_chunk_sequences(chunks, chunks_per_seq=0)
+
+
+def test_chunk_documents_reassembly_invariant(spark, docs):
+    """Concatenating each doc's chunks minus their overlaps reproduces
+    the exact token stream — checked corpus-wide in one job."""
+    from gcpde_spark.llm.text import chunk_documents, tokens
+
+    overlap = 4
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=overlap)
+    rebuilt = (
+        chunks.withColumn(
+            "_part",
+            F.when(
+                F.col("chunk_id") == 0, F.col("chunk_text")
+            ).otherwise(
+                F.array_join(
+                    F.slice(
+                        F.split(F.col("chunk_text"), " "),
+                        overlap + 1,
+                        1_000_000,
+                    ),
+                    " ",
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "_part"))
+                    ),
+                    lambda s: s.getField("_part"),
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    orig = docs.select("doc_id", F.array_join(tokens("text"), " ").alias("orig"))
+    n_bad = (
+        orig.join(rebuilt, "doc_id")
+        .where(F.col("orig") != F.col("rebuilt"))
+        .count()
+    )
+    assert n_bad == 0
+
+
+def test_strip_html_is_whitespace_normalize_on_markup_free_text(spark, docs):
+    """On text with no markup characters, strip_html must be exactly
+    whitespace collapse — corpus-wide, one job."""
+    from gcpde_spark.llm.text import strip_html
+
+    clean = docs.where(
+        ~F.col("text").contains("<") & ~F.col("text").contains("&")
+    )
+    n_bad = clean.where(
+        strip_html("text")
+        != F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    ).count()
+    assert n_bad == 0 and clean.count() > 0

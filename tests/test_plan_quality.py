@@ -119,8 +119,10 @@ def test_new_llm_entries_have_no_python_and_bounded_shuffles(spark):
         ("l17_decontaminate", 7),   # 2 shingle windows + 2 distincts +
                                     # join + agg + presentation sort
         ("l18_dedup_keep", 2),      # one md5 window
-        ("l21_html_strip", 1),      # chained regexp projection; the one
-                                    # exchange is the presentation sort
+        ("l21_html_strip", 2),      # chained regexp projection; the two
+                                    # exchanges are the spread() fan-out
+                                    # (small-scan parallelism) and the
+                                    # presentation sort
         ("l22_unigram_logprob", 8), # one tf agg + term window + scalar
                                     # total + doc agg + NULL-text join
                                     # + presentation sort
