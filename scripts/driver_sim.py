@@ -132,6 +132,12 @@ def main():
             print(f"ERROR {name}: {str(e)[:300]}")
 
     print(json.dumps({"total": len(qs), "fail": n_fail}))
+    # Persist the full matrix: the round driver records only its first-50
+    # window, so this file is the committed evidence that the past-window
+    # entries (l17+, c48, x09) hash-match their oracles too.
+    Path(__file__).resolve().parent.parent.joinpath(
+        "CORRECTNESS_SELF.json"
+    ).write_text(json.dumps(results, indent=1) + "\n")
     sys.exit(1 if n_fail else 0)
 
 
