@@ -61,6 +61,7 @@ from gcpde_spark.llm.text import (
     repetition_stats,
     strip_boilerplate,
     strip_html,
+    top_ngrams,
     unigram_logprob,
     with_clean_text,
     with_fingerprint,
@@ -100,6 +101,7 @@ __all__ = [
     "repetition_stats",
     "strip_boilerplate",
     "strip_html",
+    "top_ngrams",
     "unigram_logprob",
     "with_clean_text",
     "with_fingerprint",

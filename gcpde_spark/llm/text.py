@@ -716,3 +716,40 @@ def chunk_documents(
         .cast("bigint")
         .alias("n_chunk_tokens"),
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide most-frequent word ``n``-grams with document reach —
+    the standard LM-data frequency analysis (boilerplate discovery,
+    stopword induction, contamination screening).
+
+    Returns ``(ngram, n_occurrences, n_docs, rank)`` for the top ``k``
+    by occurrence count (ties broken lexicographically).
+
+    Scale: the linear explode+lead shingle path (no O(len²) HOF), one
+    count aggregation keyed by the n-gram, and a rank window over only
+    the aggregated (distinct-ngram) rows. Skew-safe: the aggregation
+    key is the n-gram itself and partial aggregation collapses repeats
+    map-side before the shuffle.
+    """
+    from gcpde_spark.llm.dedup import _exploded_shingles
+
+    from pyspark.sql import Window
+
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    counts = sh.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("_vid").cast("bigint").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("_s").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(F.col("_s").alias("ngram"), "n_occurrences", "n_docs", "rank")
+    )

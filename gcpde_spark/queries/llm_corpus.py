@@ -924,3 +924,32 @@ def l26(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+@_q(
+    "l27_top_ngrams",
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+              list_transform(generate_series(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+1], ' '))
+            ELSE [array_to_string(toks, ' ')] END) AS s
+          FROM t),
+        c AS (SELECT s AS ngram,
+                     CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM sh GROUP BY s)
+       SELECT ngram, n_occurrences, n_docs,
+              CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, ngram)
+                AS BIGINT) AS rank
+       FROM c ORDER BY rank LIMIT 20""",
+    "corpus-wide top-k word-bigram frequencies with document reach "
+    "(§2D): boilerplate discovery / contamination screening; linear "
+    "shingle path, one skew-safe count agg (map-side partials collapse "
+    "repeats), rank window over aggregated rows only",
+)
+def l27(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.text import top_ngrams
+
+    docs = load_table(spark, sf, "documents")
+    return top_ngrams(docs, n=2, k=20).orderBy("rank")

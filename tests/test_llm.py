@@ -1411,3 +1411,23 @@ def test_strip_html_is_whitespace_normalize_on_markup_free_text(spark, docs):
         != F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
     ).count()
     assert n_bad == 0 and clean.count() > 0
+
+
+def test_top_ngrams_counts_and_reach(spark):
+    from gcpde_spark.llm.text import top_ngrams
+
+    rows = [
+        (1, "a b a b c"),   # bigrams: ab, ba, ab, bc
+        (2, "a b x"),       # ab, bx
+        (3, "z"),           # short doc -> whole-text shingle "z"
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.ngram: r for r in top_ngrams(df, n=2, k=10).collect()}
+    assert got["a b"].n_occurrences == 3 and got["a b"].n_docs == 2
+    assert got["b a"].n_occurrences == 1 and got["b a"].n_docs == 1
+    assert got["z"].n_occurrences == 1  # sub-n doc contributes whole text
+    assert got["a b"].rank == 1
+    # ties break lexicographically after count
+    one_count = sorted(r.ngram for r in got.values() if r.n_occurrences == 1)
+    ranks = [got[g].rank for g in one_count]
+    assert ranks == sorted(ranks)
