@@ -28,10 +28,23 @@ def curate_documents(
     min_tokens: int = 20,
     min_quality: float = 0.5,
     keep_langs: tuple[str, ...] = ("en",),
+    clean_markup: bool = False,
+    min_mean_logprob: float | None = None,
 ) -> DataFrame:
     """Standard curation: exact-dedup (keep smallest id per normalized
     text), drop short/low-quality docs, keep target languages; output
     carries the quality/token accounting columns downstream jobs need.
+
+    Optional gates (both default-off so the certified l14 plan is
+    byte-identical when unused):
+
+    - ``clean_markup``: HTML/boilerplate-strip the text before
+      normalization (crawled input) — one extra chained projection
+      below the dedup window, no new shuffle.
+    - ``min_mean_logprob``: drop docs whose unigram-LM mean token
+      log-probability (self-scored on the post-dedup corpus) falls
+      below the floor — the perplexity-style garble gate. Adds the
+      LM subplan (one extra explode + term window + doc agg + join).
 
     Single-shuffle plan: the dedup window is the only exchange the
     pipeline itself requires — the stats, language-ID and token-count
@@ -52,10 +65,16 @@ def curate_documents(
     # (execution of the compiled plan was 0.08 s). Materializing the two
     # shared columns under the window cut the tree to one copy of each.
     norm_col, toks_col = "_norm_text", "_toks"
+    if clean_markup:
+        from gcpde_spark.llm.text import strip_boilerplate, strip_html
+
+        text_expr = strip_boilerplate(strip_html(F.col(text_col)))
+    else:
+        text_expr = F.col(text_col)
     base = df.select(
         id_col,
-        normalize_text(text_col).alias(norm_col),
-        F.split(normalize_text(text_col), " ").alias(toks_col),
+        normalize_text(text_expr).alias(norm_col),
+        F.split(normalize_text(text_expr), " ").alias(toks_col),
     )
     w = Window.partitionBy(F.md5(F.col(norm_col))).orderBy(id_col)
     deduped = (
@@ -100,7 +119,7 @@ def curate_documents(
     lang = gated.withColumn("lang_pred", pred).where(
         F.col("lang_pred").isin(list(keep_langs))
     )
-    return lang.select(
+    out = lang.select(
         id_col,
         "lang_pred",
         "n_tokens",
@@ -112,3 +131,17 @@ def curate_documents(
         "stopword_ratio",
         "quality_score",
     )
+    if min_mean_logprob is not None:
+        from gcpde_spark.llm.text import unigram_logprob
+
+        scores = unigram_logprob(
+            deduped.select(id_col, F.col(norm_col).alias("_lm_text")),
+            id_col=id_col,
+            text_col="_lm_text",
+        ).select(id_col, "mean_logprob")
+        out = (
+            out.join(scores, id_col)
+            .where(F.col("mean_logprob") >= min_mean_logprob)
+            .drop("mean_logprob")
+        )
+    return out

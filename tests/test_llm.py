@@ -1431,3 +1431,37 @@ def test_top_ngrams_counts_and_reach(spark):
     one_count = sorted(r.ngram for r in got.values() if r.n_occurrences == 1)
     ranks = [got[g].rank for g in one_count]
     assert ranks == sorted(ranks)
+
+
+def test_curate_documents_optional_gates(spark):
+    from gcpde_spark.llm.pipeline import curate_documents
+
+    common = " ".join(["the and of to in is it for on a"] * 5)
+    rows = [
+        (1, f"<p>{common}</p><footer>Copyright 2026</footer>"),
+        (2, common),  # same content as 1 after markup strip -> deduped
+        # garble = 60 DISTINCT rare tokens (each a singleton in the
+        # self-scored LM; repeated tokens would make themselves common)
+        (3, " ".join(f"zq{i}" for i in range(60)) + " " + common[:40]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # markup cleaning makes 1 and 2 exact duplicates; min id survives
+    out = curate_documents(
+        df, min_tokens=10, min_quality=0.0, clean_markup=True
+    )
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 1 in ids and 2 not in ids
+    # without cleaning, markup makes them distinct
+    out2 = curate_documents(df, min_tokens=10, min_quality=0.0)
+    ids2 = sorted(r.doc_id for r in out2.collect())
+    assert 1 in ids2 and 2 in ids2
+    # LM gate drops the rare-token doc but keeps natural text
+    gated = curate_documents(
+        df,
+        min_tokens=10,
+        min_quality=0.0,
+        clean_markup=True,
+        min_mean_logprob=-3.5,
+    )
+    gids = sorted(r.doc_id for r in gated.collect())
+    assert 1 in gids and 3 not in gids
