@@ -369,20 +369,19 @@ def _verify_jaccard(
     # default-memory driver and at cluster scale is impossible. The
     # merge hint declares the scale fact; with AQE on, runtime stats
     # reach the same conclusion and the hint is a no-op.
-    ex = (
-        _exploded_shingles(df, id_col, text_col, n)
-        .distinct()
-        .hint("merge")
-        .persist()
-    )
+    ex = _exploded_shingles(df, id_col, text_col, n).distinct().persist()
     sizes = ex.groupBy("_vid").agg(F.count(F.lit(1)).alias("_n"))
+    # hint at the join sites (a hint on the persisted frame itself also
+    # reaches its aggregate consumer, where it warns and does nothing)
     pa = pairs.join(
-        ex.select(F.col("_vid").alias("_ida"), F.col("_s")),
+        ex.select(F.col("_vid").alias("_ida"), F.col("_s")).hint("merge"),
         F.col("id_a") == F.col("_ida"),
     ).select("id_a", "id_b", "_s")
     inter = (
         pa.join(
-            ex.select(F.col("_vid").alias("_idb"), F.col("_s").alias("_sb")),
+            ex.select(
+                F.col("_vid").alias("_idb"), F.col("_s").alias("_sb")
+            ).hint("merge"),
             (F.col("id_b") == F.col("_idb")) & (F.col("_s") == F.col("_sb")),
         )
         .groupBy("id_a", "id_b")
