@@ -24,6 +24,7 @@ all-pairs joins (candidate generation is always banded / bucketed).
 """
 
 from gcpde_spark.llm.curation import (
+    corpus_report,
     decontaminate,
     exact_dedup_keep,
     pack_chunk_sequences,
@@ -71,6 +72,7 @@ from gcpde_spark.llm.text import (
 
 __all__ = [
     "connected_components",
+    "corpus_report",
     "decontaminate",
     "bloom_dedup_new",
     "bloom_filter_table",

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gcpde_spark.llm.dedup import _exploded_shingles
-from gcpde_spark.llm.text import normalize_text
+from gcpde_spark.llm.text import normalize_text, round4
 
 
 def decontaminate(
@@ -241,4 +241,49 @@ def pack_chunk_sequences(
             (F.col("_rn") % chunks_per_seq).cast("bigint").alias("seq_slot"),
         )
         .drop("_bucket", "_rn")
+    )
+
+
+def corpus_report(
+    df: DataFrame,
+    strata_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The "corpus card" summary per stratum (default ``source, lang``):
+    document count, token volume, mean quality score, and exact-dup
+    rate — the per-release accounting table a dataset card publishes.
+
+    Returns ``(strata..., n_docs, total_tokens, mean_quality,
+    n_distinct_texts, dup_rate)``.
+
+    Numerics: ``quality_score`` is a 4-decimal value, so its per-doc
+    integer scaling (``ROUND(q*10000)``) is exact and the mean is an
+    exact-integer sum divided once — order-independent across engines
+    and partitionings (same rule as the money/log-prob paths).
+    Scale: one stats projection + one aggregation keyed by the strata;
+    dup detection is count(distinct md5) inside the same agg — no extra
+    shuffle beyond the groupBy.
+    """
+    from gcpde_spark.llm.text import normalize_text, with_text_stats
+
+    strata = strata_cols if strata_cols is not None else ["source", "lang"]
+    enriched = with_text_stats(df, text_col=text_col).withColumn(
+        "_fp", F.md5(normalize_text(text_col))
+    )
+    q_scaled = F.round(F.col("quality_score") * 10000).cast("bigint")
+    return (
+        enriched.groupBy(*strata)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            round4(
+                F.sum(q_scaled).cast("double") / 10000.0 / F.count(F.lit(1))
+            ).alias("mean_quality"),
+            F.countDistinct("_fp").cast("bigint").alias("n_distinct_texts"),
+            round4(
+                1.0
+                - F.countDistinct("_fp").cast("double") / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
     )

@@ -953,3 +953,49 @@ def l27(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return top_ngrams(docs, n=2, k=20).orderBy("rank")
+
+
+@_q(
+    "l28_corpus_report",
+    f"""WITH t AS (
+          SELECT doc_id, source, lang, {_NORM} AS norm, {_TOKS} AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, source, lang,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            md5(norm) AS fp,
+            ROUND(CAST(len(norm) -
+                  len(regexp_replace(norm, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                  / len(norm) * 10000) / 10000 AS punct_ratio,
+            ROUND(CAST(len(list_filter(toks,
+                  tk -> list_contains({_sql_list(STOPWORDS['en'])}, tk)))
+                  AS DOUBLE) / len(toks) * 10000) / 10000 AS stopword_ratio
+          FROM t),
+        sq AS (
+          SELECT *,
+            ROUND((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.3
+                 + least(stopword_ratio * 5.0, 1.0) * 0.3) * 10000) / 10000
+              AS q
+          FROM s)
+       SELECT source, lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              ROUND(CAST(SUM(CAST(ROUND(q * 10000) AS BIGINT)) AS DOUBLE)
+                    / 10000.0 / COUNT(*) * 10000) / 10000 AS mean_quality,
+              CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+              ROUND((1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*))
+                    * 10000) / 10000 AS dup_rate
+       FROM sq GROUP BY source, lang ORDER BY source, lang""",
+    "corpus-card report (§2D): per (source, lang) doc counts, token "
+    "volume, mean quality and exact-dup rate — the dataset-release "
+    "accounting table. Mean quality sums EXACT integer-scaled 4-decimal "
+    "scores and divides once (order-independent cross-engine; a double "
+    "sum depends on partition merge order); one projection + one "
+    "strata-keyed aggregation, dup detection inside the same agg",
+)
+def l28(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.curation import corpus_report
+
+    docs = load_table(spark, sf, "documents")
+    return corpus_report(docs).orderBy("source", "lang")

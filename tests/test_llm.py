@@ -1465,3 +1465,26 @@ def test_curate_documents_optional_gates(spark):
     )
     gids = sorted(r.doc_id for r in gated.collect())
     assert 1 in gids and 3 not in gids
+
+
+def test_corpus_report_counts_and_dup_rate(spark):
+    from gcpde_spark.llm.curation import corpus_report
+
+    rows = [
+        (1, "the cat sat on the mat today", "web", "en"),
+        (2, "THE  cat sat on the mat today", "web", "en"),  # dup of 1
+        (3, "something else entirely here now", "web", "en"),
+        (4, "ein anderer text auf deutsch hier", "books", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string, lang string")
+    got = {(r.source, r.lang): r for r in corpus_report(df).collect()}
+    web = got[("web", "en")]
+    assert web.n_docs == 3 and web.n_distinct_texts == 2
+    assert abs(web.dup_rate - (1 - 2 / 3)) < 1e-4
+    assert web.total_tokens == 7 + 7 + 5
+    assert 0.0 <= web.mean_quality <= 1.0
+    books = got[("books", "de")]
+    assert books.n_docs == 1 and books.dup_rate == 0.0
+    # custom strata
+    per_lang = corpus_report(df, strata_cols=["lang"]).collect()
+    assert {r.lang for r in per_lang} == {"en", "de"}
