@@ -475,11 +475,13 @@ def dedup_clusters(
     threshold: float = 0.7,
     seed: int = 42,
     pairs: DataFrame | None = None,
+    keep: str = "min_id",
+    quality_col: str | None = None,
 ) -> DataFrame:
     """Full near-dup clustering: MinHash-LSH pairs → connected
-    components → one row per document with its cluster representative
-    (``keep = component == id``). Documents with no near-duplicate keep
-    themselves. This is the operator a curation job actually applies:
+    components → one row per document with its cluster representative.
+    Documents with no near-duplicate keep themselves. This is the
+    operator a curation job actually applies:
     ``df.join(dedup_clusters(...), id).where("keep")``.
 
     ``pairs`` (``(id_a, id_b, ...)``) skips the MinHash stage entirely —
@@ -488,6 +490,16 @@ def dedup_clusters(
     generator such as SimHash or embedding LSH); the signature and
     verification work is the dominant cost, so a job that needs both the
     pair list and the clustering should compute the pairs once.
+
+    ``keep`` picks each cluster's survivor, mirroring
+    :func:`~gcpde_spark.llm.curation.exact_dedup_keep`:
+
+    - ``"min_id"``      — smallest id (the component label itself; free)
+    - ``"longest"``     — longest raw text wins, ties → smallest id
+    - ``"max_quality"`` — highest ``quality_col`` wins, ties → smallest id
+
+    The non-default policies add one window over the (tiny) clustered
+    subset — singleton documents never enter the window.
     """
     if pairs is None:
         pairs = minhash_near_dup_pairs(
@@ -495,13 +507,38 @@ def dedup_clusters(
         )
     comp = connected_components(pairs.select("id_a", "id_b"))
     all_ids = df.select(F.col(id_col).alias("id")).distinct()
-    return (
+    labeled = (
         all_ids.join(comp, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce(F.col("component"), F.col("id")).alias("component"),
         )
-        .withColumn("keep", F.col("component") == F.col(id_col))
+    )
+    if keep == "min_id":
+        return labeled.withColumn("keep", F.col("component") == F.col(id_col))
+    order = {
+        "longest": [F.length(F.col(text_col)).desc(), F.col(id_col).asc()],
+        "max_quality": [
+            F.col(quality_col or "quality_score").desc(),
+            F.col(id_col).asc(),
+        ],
+    }
+    if keep not in order:
+        raise ValueError(
+            f"keep must be one of ['longest', 'max_quality', 'min_id'], got {keep!r}"
+        )
+    enriched = labeled.join(
+        df.select(
+            F.col(id_col).alias("_jid"),
+            *( [F.col(text_col)] if keep == "longest"
+               else [F.col(quality_col or "quality_score")] ),
+        ),
+        labeled[id_col] == F.col("_jid"),
+    ).drop("_jid")
+    w = Window.partitionBy("component").orderBy(*order[keep])
+    return (
+        enriched.withColumn("keep", F.row_number().over(w) == 1)
+        .select(id_col, "component", "keep")
     )
 
 

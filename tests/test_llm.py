@@ -1488,3 +1488,34 @@ def test_corpus_report_counts_and_dup_rate(spark):
     # custom strata
     per_lang = corpus_report(df, strata_cols=["lang"]).collect()
     assert {r.lang for r in per_lang} == {"en", "de"}
+
+
+def test_dedup_clusters_survivor_policies(spark):
+    from gcpde_spark.llm.dedup import dedup_clusters
+
+    rows = [
+        (1, "short", 0.2),
+        (2, "much longer text here", 0.9),
+        (3, "medium text", 0.5),
+        (10, "unrelated singleton", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality_score double")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    by_min = {r.doc_id: r.keep for r in dedup_clusters(df, "doc_id", pairs=pairs).collect()}
+    assert by_min == {1: True, 2: False, 3: False, 10: True}
+    by_len = {
+        r.doc_id: r.keep
+        for r in dedup_clusters(df, "doc_id", pairs=pairs, keep="longest").collect()
+    }
+    assert by_len == {1: False, 2: True, 3: False, 10: True}
+    by_q = {
+        r.doc_id: r.keep
+        for r in dedup_clusters(
+            df, "doc_id", pairs=pairs, keep="max_quality"
+        ).collect()
+    }
+    assert by_q == {1: False, 2: True, 3: False, 10: True}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dedup_clusters(df, "doc_id", pairs=pairs, keep="newest")
