@@ -29,8 +29,10 @@ from gcpde_spark.llm.curation import (
     exact_dedup_keep,
     pack_chunk_sequences,
     pack_token_budget,
+    sample_hash_fraction,
     sample_mixture,
     sample_stratified,
+    split_train_val,
 )
 from gcpde_spark.llm.dedup import (
     bloom_dedup_new,
@@ -82,8 +84,10 @@ __all__ = [
     "exact_dedup_keep",
     "pack_chunk_sequences",
     "pack_token_budget",
+    "sample_hash_fraction",
     "sample_mixture",
     "sample_stratified",
+    "split_train_val",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "simhash_near_dup_pairs",

@@ -287,3 +287,49 @@ def corpus_report(
             ).alias("dup_rate"),
         )
     )
+
+
+def sample_hash_fraction(
+    df: DataFrame,
+    fraction: float,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic Bernoulli sampling by id hash — the NO-SHUFFLE
+    scale path for approximate-fraction sampling: keep a row iff
+    ``pmod(xxhash64(id, seed), 2^20) < fraction·2^20``. A pure
+    map-side filter (contrast :func:`sample_stratified`'s exact-size
+    rank window, which sorts every stratum).
+
+    Membership is a function of the id alone, so it is reproducible
+    across runs and cluster sizes AND stable under corpus growth: a
+    document's verdict never changes as other documents come and go —
+    the property train/validation splits require (``df.sample`` gives
+    neither). Sample size is binomial around ``fraction·N``.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    scale = 1 << 20
+    return df.where(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(scale))
+        < int(fraction * scale)
+    )
+
+
+def split_train_val(
+    df: DataFrame,
+    val_fraction: float = 0.01,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic, growth-stable ``(train, val)`` split: the val set
+    is the :func:`sample_hash_fraction` bucket and train is its exact
+    complement (same hash expression, complementary predicate — no row
+    is in both, none is lost, and a doc never migrates between splits
+    as the corpus grows)."""
+    if not 0.0 <= val_fraction <= 1.0:
+        raise ValueError(f"val_fraction must be in [0,1], got {val_fraction}")
+    scale = 1 << 20
+    h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(scale))
+    cut = int(val_fraction * scale)
+    return df.where(h >= cut), df.where(h < cut)

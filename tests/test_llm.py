@@ -1519,3 +1519,30 @@ def test_dedup_clusters_survivor_policies(spark):
 
     with _pt.raises(ValueError):
         dedup_clusters(df, "doc_id", pairs=pairs, keep="newest")
+
+
+def test_sample_hash_fraction_and_split(docs, spark):
+    from gcpde_spark.llm.curation import sample_hash_fraction, split_train_val
+
+    n = docs.count()
+    s = sample_hash_fraction(docs, 0.3, seed=7)
+    ids_a = {r.doc_id for r in s.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in sample_hash_fraction(docs, 0.3, seed=7).collect()}
+    assert ids_a == ids_b  # deterministic
+    assert 0.15 * n < len(ids_a) < 0.45 * n  # binomial around 0.3N
+    # growth stability: membership unchanged on a subset of the corpus
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    ids_half = {r.doc_id for r in sample_hash_fraction(half, 0.3, seed=7).collect()}
+    assert ids_half == {i for i in ids_a if i % 2 == 0}
+    # split: disjoint, exhaustive, val matches the fraction bucket
+    train, val = split_train_val(docs, val_fraction=0.2, seed=7)
+    t_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    v_ids = {r.doc_id for r in val.select("doc_id").collect()}
+    assert t_ids.isdisjoint(v_ids) and len(t_ids) + len(v_ids) == n
+    # no shuffle: pure filter plan
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sample_hash_fraction(docs, 1.5)
