@@ -69,6 +69,7 @@ from gcpde_spark.llm.text import (
     with_clean_text,
     with_fingerprint,
     with_language_id,
+    with_redacted_pii,
     with_text_stats,
 )
 
@@ -112,5 +113,6 @@ __all__ = [
     "with_clean_text",
     "with_fingerprint",
     "with_language_id",
+    "with_redacted_pii",
     "with_text_stats",
 ]

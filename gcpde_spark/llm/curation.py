@@ -268,7 +268,11 @@ def corpus_report(
     from gcpde_spark.llm.text import normalize_text, with_text_stats
 
     strata = strata_cols if strata_cols is not None else ["source", "lang"]
-    enriched = with_text_stats(df, text_col=text_col).withColumn(
+    # project to just the needed columns first: the input may already
+    # carry stats columns from an earlier with_text_stats pass, and
+    # re-adding them would make every reference ambiguous
+    keep = list(dict.fromkeys([*strata, id_col, text_col]))
+    enriched = with_text_stats(df.select(*keep), text_col=text_col).withColumn(
         "_fp", F.md5(normalize_text(text_col))
     )
     q_scaled = F.round(F.col("quality_score") * 10000).cast("bigint")
