@@ -1546,3 +1546,28 @@ def test_sample_hash_fraction_and_split(docs, spark):
 
     with _pt.raises(ValueError):
         sample_hash_fraction(docs, 1.5)
+
+
+def test_round4_operators_null_text_behavior(spark):
+    """NULL-text rows: projections pass NULL through, exploding
+    operators drop or zero the row — never crash, never fabricate."""
+    from gcpde_spark.llm.curation import corpus_report
+    from gcpde_spark.llm.dedup import dedup_paragraphs
+    from gcpde_spark.llm.text import chunk_documents, unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "some real text here", "web", "en"), (2, None, "web", "en")],
+        "doc_id int, text string, source string, lang string",
+    )
+    # paragraph dedup: NULL-text doc keeps an empty-output row
+    p = {r.doc_id: r for r in dedup_paragraphs(df, id_col="doc_id").collect()}
+    assert (p[2].text_deduped, p[2].n_paras_total) == ("", 0)
+    # log-prob: NULL-text doc gets NULL stats via the left join
+    s = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert s[2].mean_logprob is None and s[1].mean_logprob is not None
+    # chunking: NULL-text doc yields no chunks (explode of NULL range)
+    c = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    assert {r.doc_id for r in c} == {1}
+    # corpus report: NULL text still counts as a document in its stratum
+    rep = corpus_report(df).collect()[0]
+    assert rep.n_docs == 2
