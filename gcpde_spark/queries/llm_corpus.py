@@ -999,3 +999,33 @@ def l28(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return corpus_report(docs).orderBy("source", "lang")
+
+
+@_q(
+    "c49_group_quantiles",
+    """SELECT c_nationkey,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(quantile_cont(c_acctbal, 0.25) * 10000) / 10000 AS q1,
+              ROUND(quantile_cont(c_acctbal, 0.5) * 10000) / 10000 AS med,
+              ROUND(quantile_cont(c_acctbal, 0.75) * 10000) / 10000 AS q3
+       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "exact ordered-set aggregates (§2B-6 variant): per-group exact "
+    "interpolated quartiles via percentile() — the deterministic "
+    "counterpart to x02's approx sketch (same linear-interpolation "
+    "definition as DuckDB's quantile_cont, bit-identical under round4). "
+    "Exact percentiles buffer each group's values — right below "
+    "memory-bound group sizes; x02's percentile_approx is the "
+    "unbounded-cardinality path",
+)
+def c49(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.round(F.expr("percentile(c_acctbal, 0.25)") * 10000) / 10000).alias("q1"),
+            (F.round(F.expr("percentile(c_acctbal, 0.5)") * 10000) / 10000).alias("med"),
+            (F.round(F.expr("percentile(c_acctbal, 0.75)") * 10000) / 10000).alias("q3"),
+        )
+        .orderBy("c_nationkey")
+    )
