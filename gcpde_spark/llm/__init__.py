@@ -32,6 +32,7 @@ from gcpde_spark.llm.curation import (
     sample_hash_fraction,
     sample_mixture,
     sample_stratified,
+    select_top_fraction,
     split_train_val,
 )
 from gcpde_spark.llm.dedup import (
@@ -88,6 +89,7 @@ __all__ = [
     "sample_hash_fraction",
     "sample_mixture",
     "sample_stratified",
+    "select_top_fraction",
     "split_train_val",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",

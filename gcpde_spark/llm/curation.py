@@ -320,6 +320,45 @@ def sample_hash_fraction(
     )
 
 
+def select_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    strata_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``frac`` of each stratum by ``score_col`` — the
+    quality-gate step of a curation pipeline (e.g. a perplexity filter:
+    score with :func:`gcpde_spark.llm.text.unigram_logprob`, keep the
+    best half of every source).
+
+    Deterministic: descending score with NULLS LAST, tie-broken on
+    ``id_col``, and the cut is ``rank ≤ ceil(frac · stratum_size)`` so
+    every stratum keeps at least one row when non-empty. The rank and
+    count windows share the same partition spec — Catalyst evaluates
+    both in one Window node over ONE exchange on the strata key; the
+    shuffle carries only the projected frame, so at 100 TB project to
+    (id, strata, score) first and join survivors back by id if the
+    full rows are needed (what l29 does).
+
+    A skewed giant stratum is one sort partition — same caveat and
+    remedy as :func:`sample_stratified`.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0,1], got {frac}")
+    w = Window.partitionBy(*strata_cols)
+    rank = F.row_number().over(
+        w.orderBy(F.col(score_col).desc_nulls_last(), F.col(id_col))
+    )
+    cut = F.ceil(F.count(F.lit(1)).over(w) * F.lit(frac)).cast("bigint")
+    return (
+        df.withColumn("_rn", rank)
+        .withColumn("_cut", cut)
+        .where(F.col("_rn") <= F.col("_cut"))
+        .drop("_rn", "_cut")
+    )
+
+
 def split_train_val(
     df: DataFrame,
     val_fraction: float = 0.01,

@@ -11,6 +11,7 @@ import decimal
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from gcpde_spark.queries import CORPUS
 from tests.conftest import SF_ORACLE
@@ -88,3 +89,31 @@ def test_percentile_approx_tolerance(spark, oracle):
         "SELECT MEDIAN(l_quantity) FROM lineitem"
     ).fetchone()[0]
     assert abs(approx - exact) <= 1
+
+
+def test_builtin_moments_match_exact_form(spark):
+    """Certify Spark's builtin corr()/stddev_samp() against c50's exact
+    integer-moment form: same definition, so agreement to ~1e-9 relative
+    (the builtins' double accumulators merge in partition order; the
+    exact form is order-independent — see ext_corpus.c50)."""
+    from gcpde_spark.catalog import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    built = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_discount").alias("corr_b"),
+            F.stddev_samp("l_discount").alias("sd_b"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    exact = {
+        r["l_returnflag"]: r
+        for r in CORPUS["c50_stats_moments"].build(spark, SF_ORACLE).collect()
+    }
+    for r in built:
+        e = exact[r["l_returnflag"]]
+        # c50's outputs are rounded to 6dp, so compare at that granularity
+        assert math.isclose(r["corr_b"], e["corr_qty_disc"], abs_tol=1e-6)
+        assert math.isclose(r["sd_b"], e["stddev_disc"], abs_tol=1e-6)

@@ -1571,3 +1571,56 @@ def test_round4_operators_null_text_behavior(spark):
     # corpus report: NULL text still counts as a document in its stratum
     rep = corpus_report(df).collect()[0]
     assert rep.n_docs == 2
+
+
+def test_select_top_fraction_sizes_and_determinism(spark):
+    from gcpde_spark.llm.curation import select_top_fraction
+
+    rows = [
+        # stratum "a": 5 docs, scores 5..1 → keep ceil(5*0.4)=2 best
+        *[(i, "a", float(5 - i)) for i in range(5)],
+        # stratum "b": 3 docs, one NULL score → NULLS LAST, keep ceil(3*0.4)=2
+        (10, "b", 1.0),
+        (11, "b", None),
+        (12, "b", 2.0),
+        # stratum "c": singleton always survives (ceil(1*0.4)=1)
+        (20, "c", -5.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = select_top_fraction(
+        df, score_col="score", frac=0.4, strata_cols=["source"]
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    # a: top-2 scores are doc 0 (5.0) and doc 1 (4.0); b: 12 (2.0), 10 (1.0);
+    # the NULL-scored doc 11 is cut; c: the singleton survives.
+    assert got == {0, 1, 12, 10, 20}
+    again = {r["doc_id"] for r in out.collect()}
+    assert again == got
+
+
+def test_select_top_fraction_tie_break_is_id(spark):
+    from gcpde_spark.llm.curation import select_top_fraction
+
+    df = spark.createDataFrame(
+        [(i, "s", 1.0) for i in range(4)],
+        "doc_id long, source string, score double",
+    )
+    out = select_top_fraction(df, "score", 0.5, ["source"])
+    assert {r["doc_id"] for r in out.collect()} == {0, 1}
+
+
+def test_select_top_fraction_single_window_exchange(spark):
+    """The rank and count windows share one partition spec → ONE
+    Exchange on the strata key in the optimized plan."""
+    from gcpde_spark.llm.curation import select_top_fraction
+
+    df = spark.createDataFrame(
+        [(1, "s", 1.0)], "doc_id long, source string, score double"
+    )
+    plan = (
+        select_top_fraction(df, "score", 0.5, ["source"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
