@@ -20,6 +20,14 @@ New operator classes certified here:
   source stratum by unigram-LM score (l22's signal composed with a
   per-stratum rank gate), the standard "perplexity filter" step of a
   training-data pipeline.
+- c55: array higher-order functions (transform/filter/aggregate lambdas)
+  — in-row codegen, no explode.
+- c56: time-series gap fill + ignore-nulls forward fill over a
+  distributed per-user date spine.
+- c57: recursive CTE (Spark 4 WITH RECURSIVE) — hierarchy depth
+  labelling as a UNION ALL fixpoint.
+- l30: per-label embedding centroids via quantized exact integer sums —
+  distributed vector aggregation with no float order-dependence.
 
 Like the rest of the corpus (corpus.py module docstring), every entry
 carries a total ORDER BY and quantizes doubles with the
@@ -304,3 +312,196 @@ def l29(spark: SparkSession, sf: str) -> DataFrame:
     return select_top_fraction(
         scored, score_col="mean_logprob", frac=0.5, strata_cols=["source"]
     ).select("doc_id", "source", "mean_logprob").orderBy("doc_id")
+
+
+@_q(
+    "c55_array_hofs",
+    f"""SELECT doc_id,
+               array_to_string(list_transform(toks[1:3], t -> upper(t)), '-')
+                 AS first3,
+               CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT)
+                 AS n_long,
+               CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+                 AS BIGINT) AS total_chars
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ORDER BY doc_id""",
+    "array higher-order functions (§2B-12 depth): transform / filter / "
+    "aggregate lambdas ↔ DuckDB list_transform / list_filter / "
+    "list_sum. All three evaluate inside whole-stage codegen over the "
+    "in-row array — no explode, no shuffle, one projection; the scale "
+    "profile is identical to any narrow map. NULL text propagates NULL "
+    "through transform/filter on both engines (Spark size(NULL) is NULL "
+    "with default non-legacy config); the aggregate sum coalesces to 0.",
+)
+def c55(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda t: F.upper(t)), "-"
+        ).alias("first3"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4))
+        .cast("bigint")
+        .alias("n_long"),
+        F.coalesce(
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("total_chars"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "c56_gapfill",
+    """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),
+        daily AS (SELECT user_id, d,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 4)
+                           AS DOUBLE) AS sv
+                  FROM b GROUP BY user_id, d),
+        span AS (SELECT user_id, MIN(d) AS mn, MAX(d) AS mx
+                 FROM b GROUP BY user_id),
+        spine AS (SELECT user_id,
+                         CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+                           AS DATE) AS d
+                  FROM span)
+       SELECT s.user_id, s.d AS day,
+              COALESCE(dl.n, 0) AS n_events,
+              LAST_VALUE(dl.sv IGNORE NULLS) OVER (
+                PARTITION BY s.user_id ORDER BY s.d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv_filled
+       FROM spine s LEFT JOIN daily dl
+         ON s.user_id = dl.user_id AND s.d = dl.d
+       ORDER BY 1, 2""",
+    "time-series gap fill + forward fill (§2B-8/6 composition): per-user "
+    "daily date spine (sequence+explode — generated distributed, sized "
+    "by each user's own span), left join of the daily aggregate, then "
+    "ignore-nulls last() to carry the prior observation across gap days. "
+    "The missing operator class for resampling/as-of-style reporting. "
+    "Scale: the spine is O(users·days) rows of three columns, built "
+    "map-side from the span aggregate — never materialized on the "
+    "driver; spine⋈daily is an equi-join on (user, day); the fill "
+    "window shuffles once on user_id. Every day's first value is "
+    "observed (spans start at each user's first event), so the fill "
+    "has no leading-NULL case.",
+)
+def c56(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "value"
+    )
+    daily = e.groupBy("user_id", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), dsum("value", "sv")
+    )
+    spine = (
+        e.groupBy("user_id")
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("d"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.col("d").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("sv", ignorenulls=True).over(w).alias("sv_filled"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@_q(
+    "c57_recursive_cte",
+    """WITH RECURSIVE
+        e AS (SELECT s_suppkey AS k,
+                     CAST(FLOOR((s_suppkey - 1) / 2) AS BIGINT) AS p
+              FROM supplier WHERE s_suppkey > 0),
+        d(k, depth) AS (
+          SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT e.k, d.depth + 1 FROM e JOIN d ON e.p = d.k)
+       SELECT depth, CAST(COUNT(*) AS BIGINT) AS n,
+              MIN(k) AS min_key, MAX(k) AS max_key
+       FROM d GROUP BY depth ORDER BY depth""",
+    "recursive CTE (§2B-13 extension; Spark 4 WITH RECURSIVE): "
+    "hierarchy traversal over an edge table derived from supplier — "
+    "parent(k) = floor((k-1)/2) forms a binary tree rooted at 0, and "
+    "the recursion labels every node with its depth. Identical "
+    "UNION ALL fixpoint semantics on both engines. Scale: each "
+    "iteration is one equi-join of the frontier against the edge "
+    "table — O(depth) Spark jobs, fine for the O(log N)-deep "
+    "hierarchies this models (org charts, category trees); for "
+    "unbounded-depth graphs use the dedicated connected-components "
+    "operator (llm/dedup.py) instead.",
+)
+def c57(spark: SparkSession, sf: str) -> DataFrame:
+    sup = load_table(spark, sf, "supplier")
+    sup.createOrReplaceTempView("_c57_supplier")
+    return spark.sql(
+        """WITH RECURSIVE
+            e AS (SELECT s_suppkey AS k,
+                         CAST(FLOOR((s_suppkey - 1) / 2) AS BIGINT) AS p
+                  FROM _c57_supplier WHERE s_suppkey > 0),
+            d(k, depth) AS (
+              SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION ALL
+              SELECT e.k, d.depth + 1 FROM e JOIN d ON e.p = d.k)
+           SELECT depth, CAST(COUNT(*) AS BIGINT) AS n,
+                  MIN(k) AS min_key, MAX(k) AS max_key
+           FROM d GROUP BY depth ORDER BY depth"""
+    )
+
+
+@_q(
+    "l30_label_centroids",
+    """WITH x AS (SELECT label,
+                         generate_subscripts(embedding, 1) - 1 AS dim,
+                         unnest(embedding) AS v
+                  FROM embeddings),
+        q AS (SELECT label, dim,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(ROUND(v * 1000000) AS BIGINT)) AS sq
+              FROM x GROUP BY label, dim)
+       SELECT label, CAST(dim AS BIGINT) AS dim, n,
+              ROUND(CAST(sq AS DOUBLE) / n / 1000000 * 10000) / 10000
+                AS centroid
+       FROM q ORDER BY label, dim""",
+    "distributed vector aggregation (§2D): per-label elementwise "
+    "centroid of the embedding column — the building block of corpus "
+    "clustering stats, class prototypes, and IVF retraining. Values "
+    "quantize to integer micro-units BEFORE summing (the cents()/l22 "
+    "trick), so the per-(label,dim) sum is exact BIGINT arithmetic — "
+    "order-independent across engines and partitionings — and the one "
+    "double division at the end is identical IEEE ops. Scale: one "
+    "posexplode (64 rows per vector) into one map-side-combinable agg "
+    "keyed by (label, dim) — uniform keys, no skew; no driver state.",
+)
+def l30(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    q = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("v") * 1000000).cast("bigint")).alias("sq"),
+        )
+    )
+    return q.select(
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        (
+            F.round(F.col("sq").cast("double") / F.col("n") / 1000000 * 10000)
+            / 10000
+        ).alias("centroid"),
+    ).orderBy("label", "dim")

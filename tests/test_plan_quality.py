@@ -133,3 +133,28 @@ def test_new_llm_entries_have_no_python_and_bounded_shuffles(spark):
         assert "ArrowEvalPython" not in plan, name
         n_ex = plan.count("Exchange") - plan.count("BroadcastExchange")
         assert n_ex <= max_exchanges, f"{name}: {n_ex} shuffles"
+
+
+def test_ext_entries_stay_on_codegen_path(spark):
+    """c55 is a pure in-row HOF projection (no shuffle beyond the
+    presentation sort); c50/c54 are single map-side-combinable hash
+    aggregates; c56's spine+fill stays within join/window exchanges; l30
+    is one explode feeding one keyed aggregate. None touch Python."""
+    for name, max_exchanges in (
+        ("c50_stats_moments", 2),   # agg + presentation sort
+        ("c54_argminmax", 2),       # agg + presentation sort
+        ("c55_array_hofs", 2),      # spread fan-out + presentation sort
+        ("c56_gapfill", 5),         # daily agg, span agg, join, window, sort
+        ("l30_label_centroids", 2), # (label,dim) agg + presentation sort
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        n_ex = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n_ex <= max_exchanges, f"{name}: {n_ex} shuffles"
+
+
+def test_c50_aggregates_partially_map_side(spark):
+    plan = _plan(spark, "c50_stats_moments")
+    # partial_ aggregate functions below the exchange = map-side combine
+    assert plan.count("partial_") >= 1
