@@ -60,6 +60,7 @@ from gcpde_spark.llm.similarity import (
     with_lsh_buckets,
 )
 from gcpde_spark.llm.text import (
+    bm25_topk,
     chunk_documents,
     normalize_text,
     repetition_stats,
@@ -112,6 +113,7 @@ __all__ = [
     "strip_html",
     "top_ngrams",
     "unigram_logprob",
+    "bm25_topk",
     "with_clean_text",
     "with_fingerprint",
     "with_language_id",

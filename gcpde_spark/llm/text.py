@@ -753,3 +753,84 @@ def top_ngrams(
         .where(F.col("rank") <= k)
         .select(F.col("_s").alias("ngram"), "n_occurrences", "n_docs", "rank")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` documents for a bag-of-words query under BM25 —
+    the classical sparse-retrieval scorer (the lexical half of a RAG /
+    hybrid-search stack).
+
+    Returns ``(id_col, bm25)`` ordered best-first.
+
+    Numerics (cross-engine determinism): per-term ``idf`` is quantized
+    to integer micro-nats immediately after the ``ln`` (libm output is
+    the only platform-dependent input — same discipline as
+    :func:`unigram_logprob`), the tf-saturation fraction is one fixed
+    double expression over exact integers (tf, dl, N, total), and the
+    per-(doc, term) score is re-quantized to BIGINT micro-units before
+    the per-doc SUM — so ranking compares exact integers and the
+    result is identical across engines and partitionings.
+
+    Scale: ONE explode of the corpus feeds both doc-length and term
+    frequencies (l15's structure); ``df``/``idf`` are
+    |query|-row tables and the corpus-wide (N, total-token) pair is a
+    2-column scalar — all broadcast; the only big shuffles are the two
+    id-keyed aggregations. Top-k is a TakeOrdered on the exact integer
+    score, not a global sort.
+    """
+    ex = spread(df).select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_term")
+    )
+    dl = ex.groupBy("_id").agg(F.count(F.lit(1)).cast("bigint").alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
+        F.sum("_dl").alias("_total"),
+    )
+    tf = (
+        ex.where(F.col("_term").isin(query_terms))
+        .groupBy("_id", "_term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_tf"))
+    )
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "_term",
+            F.expr(
+                "CAST(ROUND(ln((CAST(_n_docs - _df AS DOUBLE) + 0.5)"
+                " / (CAST(_df AS DOUBLE) + 0.5) + 1.0) * 1000000) AS BIGINT)"
+            ).alias("_idf_micro"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "_term")
+        .join(dl, "_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s_micro",
+            F.expr(
+                f"CAST(ROUND(_idf_micro * (CAST(_tf AS DOUBLE) * {k1 + 1.0}"
+                f" / (CAST(_tf AS DOUBLE) + {k1} * (1.0 - {b} + {b}"
+                " * CAST(_dl AS DOUBLE)"
+                " / (CAST(_total AS DOUBLE) / _n_docs))))) AS BIGINT)"
+            ),
+        )
+        .groupBy("_id")
+        .agg(F.sum("_s_micro").alias("_sum_micro"))
+    )
+    return (
+        scored.orderBy(F.col("_sum_micro").desc(), "_id")
+        .limit(top_k)
+        .select(
+            F.col("_id").alias(id_col),
+            round4(F.col("_sum_micro").cast("double") / 1e6).alias("bm25"),
+        )
+    )

@@ -505,3 +505,156 @@ def l30(spark: SparkSession, sf: str) -> DataFrame:
             / 10000
         ).alias("centroid"),
     ).orderBy("label", "dim")
+
+
+@_q(
+    "c58_rolling_time_window",
+    """SELECT event_id, user_id, ts,
+              CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+              CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+                / 100.0 AS sv_24h
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+       ORDER BY event_id""",
+    "time-interval RANGE window frames (§2B-8 variant): trailing-24h "
+    "count and exact-cents sum per user — the rolling time-window "
+    "aggregate (rate limiting, rolling revenue, burst detection). "
+    "RANGE frames bound by an INTERVAL are value-based, so duplicate "
+    "timestamps are peers and the result is deterministic without a "
+    "tie-break (unlike ROWS frames); both engines compare µs-precision "
+    "timestamps (load_table truncates the parquet nanos exactly like "
+    "DuckDB). One exchange+sort on user_id evaluates both frames.",
+)
+def c58(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    # Interval-bounded RANGE frames are SQL-only (DataFrame
+    # rangeBetween takes long offsets); selectExpr keeps the identical
+    # frame spec on both engines.
+    return e.selectExpr(
+        "event_id",
+        "user_id",
+        "ts",
+        "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts"
+        " RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS n_24h",
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER"
+        " (PARTITION BY user_id ORDER BY ts"
+        " RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)"
+        " AS DOUBLE) / 100.0 AS sv_24h",
+    ).orderBy("event_id")
+
+
+@_q(
+    "c59_nullsafe_join",
+    """WITH k AS (SELECT doc_id, NULLIF(lang, 'en') AS lk FROM documents),
+        d AS (SELECT NULLIF(lang, 'en') AS lk,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1)
+       SELECT k.doc_id, d.n AS lang_cohort
+       FROM k JOIN d ON k.lk IS NOT DISTINCT FROM d.lk
+       ORDER BY doc_id""",
+    "null-safe equality join (§2B-5 variant): Spark `<=>` ↔ SQL IS NOT "
+    "DISTINCT FROM. NULLIF manufactures NULL keys (the dominant 'en' "
+    "cohort) so the null-matches-null semantics are actually exercised. "
+    "Plan note: EqualNullSafe is a legal equi-join key, so Catalyst "
+    "still plans a broadcast/shuffled HASH join — the `= OR (IS NULL "
+    "AND IS NULL)` rewrite a user might hand-write degenerates to a "
+    "nested-loop join instead; this entry certifies the fast form.",
+)
+def c59(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    lk = F.nullif(F.col("lang"), F.lit("en")).alias("lk")
+    k = docs.select("doc_id", lk)
+    d = (
+        docs.select(lk)
+        .groupBy("lk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        k.join(F.broadcast(d), k["lk"].eqNullSafe(d["lk"]))
+        .select("doc_id", F.col("n").alias("lang_cohort"))
+        .orderBy("doc_id")
+    )
+
+
+# DuckDB fragment mirroring llm.text.normalize_text (same as _NORM above,
+# kept alongside the entries that use it on the fingerprint path).
+
+
+@_q(
+    "l31_bloom_incremental",
+    f"""WITH f AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+        newb AS (SELECT * FROM f WHERE doc_id % 3 = 0),
+        oldb AS (SELECT * FROM f WHERE doc_id % 3 <> 0)
+       SELECT n.doc_id FROM newb n
+       WHERE NOT EXISTS (SELECT 1 FROM oldb o WHERE o.fp = n.fp)
+       ORDER BY doc_id""",
+    "incremental crawl-batch dedup (§2D): new batch (doc_id % 3 = 0) "
+    "vs the existing corpus WITHOUT a new×old join — a relational "
+    "Bloom filter over the old fingerprints prefilters, and exact=True "
+    "re-checks flagged docs with an anti-join, so the output is "
+    "EXACTLY the anti-join (what the oracle computes) while the "
+    "expensive join's left side shrinks to true-dups + fpp·novel. At "
+    "100 TB the filter table is MBs (broadcast) and the old side is "
+    "scanned once to build it, not per batch.",
+)
+def l31(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.dedup import bloom_dedup_new
+
+    docs = load_table(spark, sf, "documents")
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    return (
+        bloom_dedup_new(new, old, exact=True)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "l32_bm25_topk",
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        e AS (SELECT doc_id AS _id, unnest(toks) AS _term FROM t),
+        dl AS (SELECT _id, CAST(COUNT(*) AS BIGINT) AS _dl
+               FROM e GROUP BY _id),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS _n_docs,
+                         SUM(_dl) AS _total FROM dl),
+        tf AS (SELECT _id, _term, CAST(COUNT(*) AS BIGINT) AS _tf
+               FROM e WHERE _term IN ('hash', 'join', 'merge')
+               GROUP BY _id, _term),
+        dfreq AS (SELECT _term, CAST(COUNT(*) AS BIGINT) AS _df
+                  FROM tf GROUP BY _term),
+        idf AS (SELECT _term,
+                  CAST(ROUND(ln((CAST(_n_docs - _df AS DOUBLE) + 0.5)
+                    / (CAST(_df AS DOUBLE) + 0.5) + 1.0) * 1000000)
+                    AS BIGINT) AS _idf_micro
+                FROM dfreq CROSS JOIN stats),
+        sc AS (SELECT tf._id,
+                 SUM(CAST(ROUND(_idf_micro * (CAST(_tf AS DOUBLE) * 2.2
+                   / (CAST(_tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75
+                      * CAST(_dl AS DOUBLE)
+                      / (CAST(_total AS DOUBLE) / _n_docs)))))
+                   AS BIGINT)) AS _sum_micro
+               FROM tf JOIN idf USING (_term) JOIN dl USING (_id)
+               CROSS JOIN stats
+               GROUP BY tf._id)
+       SELECT _id AS doc_id,
+              ROUND(CAST(_sum_micro AS DOUBLE) / 1000000 * 10000) / 10000
+                AS bm25
+       FROM sc ORDER BY _sum_micro DESC, _id LIMIT 10""",
+    "BM25 sparse retrieval (§2D): top-10 docs for the query "
+    "{hash, join, merge} — the lexical half of a RAG / hybrid-search "
+    "stack, as one relational plan (llm/text.py bm25_topk). idf "
+    "quantizes to micro-nats straight after the ln (libm is the only "
+    "platform-dependent input) and per-(doc,term) scores re-quantize "
+    "to BIGINT before the per-doc sum, so the ranking compares exact "
+    "integers — deterministic across engines and partitionings. One "
+    "corpus explode feeds dl and tf; idf/stats broadcast; top-k is a "
+    "TakeOrdered, not a global sort.",
+)
+def l32(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.text import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    return bm25_topk(docs, ["hash", "join", "merge"], top_k=10)

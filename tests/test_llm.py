@@ -1624,3 +1624,37 @@ def test_select_top_fraction_single_window_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_ranks_planted_relevant_doc_first(spark):
+    from gcpde_spark.llm.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " * 30),            # no query terms
+            (2, "needle alpha beta " * 10),     # some hits, long doc
+            (3, "needle needle needle alpha"),  # dense hits, short doc
+            (4, "beta gamma delta " * 20),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(docs, ["needle"], top_k=4).collect()
+    # Only the two matching docs score at all, with positive scores.
+    # (tf=10 in doc 2 saturates under k1=1.2 but still edges out doc 3's
+    # tf=3 — BM25's saturation is asymptotic, not a hard cap.)
+    assert {r["doc_id"] for r in got} == {2, 3}
+    assert all(r["bm25"] > 0 for r in got)
+
+
+def test_bm25_idf_downweights_ubiquitous_terms(spark):
+    from gcpde_spark.llm.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "common word filler") for i in range(9)]
+        + [(100, "rare common word")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, ["rare", "common"], top_k=10).collect()}
+    # doc 100 matches both terms; its 'rare' contribution must dominate
+    # any common-only doc's score.
+    assert got[100] > max(v for k, v in got.items() if k != 100)
