@@ -658,3 +658,60 @@ def l32(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return bm25_topk(docs, ["hash", "join", "merge"], top_k=10)
+
+
+@_q(
+    "c60_streaming_tumbling",
+    """SELECT CAST(DATE_TRUNC('HOUR', ts) AS TIMESTAMP) AS h,
+              event_type, COUNT(*) AS n
+       FROM events GROUP BY 1, 2 ORDER BY h, event_type""",
+    "Structured Streaming certified by the batch oracle (§2B-15): the "
+    "events table consumed as a bounded file STREAM (availableNow "
+    "trigger, complete-mode memory sink) through the same tumbling "
+    "hourly aggregation as batch c32 — on bounded input the drained "
+    "stream must equal the batch result exactly, so the driver's hash "
+    "gate now covers the streaming execution path, not just "
+    "tests/test_streaming.py's parity suite. The entry returns the "
+    "drained sink table; re-builds stop the prior query first, so the "
+    "entry is idempotent within a session. At scale the same query "
+    "runs unbounded with a watermark (streaming.tumbling_counts); "
+    "availableNow is the backfill/catch-up mode of that deployment.",
+)
+def c60(spark: SparkSession, sf: str) -> DataFrame:
+    # load_table sets the nanos conf and proves the path readable; the
+    # stream re-reads the same file with the batch-inferred raw schema.
+    load_table(spark, sf, "events")
+    path = f"{sf}/events.parquet"
+    raw = spark.read.parquet(path)
+    name = "_c60_stream_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+            q.awaitTermination()
+    # The file stream source needs a DIRECTORY; stream the sf dir with a
+    # glob pinned to the one table file.
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    ts = F.col("ts")
+    if dict(raw.dtypes).get("ts") == "bigint":  # int64 nanos (catalog.py)
+        ts = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    agg = (
+        stream.select(ts.alias("_ts"), "event_type")
+        .groupBy(
+            F.date_trunc("HOUR", "_ts").cast("timestamp_ntz").alias("h"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("h", "event_type")
