@@ -9,14 +9,18 @@ coverage (published specs, no imaging/audio library):
 
 - header decode (``decode="real"``): PNG/GIF/BMP/JPEG dimensions +
   channels, WAV + animated-GIF durations
-- pixel decode + resize: uncompressed 24/32-bpp BMP and 8-bit
+- pixel decode + resize: uncompressed 24/32-bpp BMP, 8-bit
   non-interlaced PNG (full unfilter incl. Paeth, palette expansion,
-  ``zlib``) — ``resize_applied`` marks which rows got real pixel work
+  ``zlib``), and baseline JPEG (T.81 Huffman entropy decode incl.
+  restart markers + subsampling, float IDCT, YCbCr; encoder with
+  Annex K tables for the re-encode) — ``resize_applied`` marks which
+  rows got real pixel work
 - sample decode + features (``features="real"``): 8/16-bit PCM WAV →
-  RMS/zero-crossings/FFT bands; BMP/PNG → pixel stats/histogram
+  RMS/zero-crossings/FFT bands; BMP/PNG/JPEG → pixel stats/histogram
 - frame inventory: animated-GIF per-frame delays/offsets (GCE parse)
 
-Everything outside that coverage (JPEG/GIF-LZW pixels, MP3, H.264) is
+Everything outside that coverage (progressive JPEG, GIF-LZW pixels,
+MP3, H.264) is
 STUBBED with deterministic content-hash stand-ins, each flagged per row
 (``resize_applied`` / ``features_real``) — swapping in PIL/pyav is a
 body-only change to the batch functions.
@@ -219,14 +223,14 @@ def _real_features(content: bytes, media_type: str, dim: int) -> "list[float] | 
     """Real content features for stdlib-decodable media, zero-padded to
     ``dim``:
 
-    - images (BMP/PNG pixel decode): per-channel mean+std (4+4 slots),
-      16-bin grayscale histogram, log-scaled width/height
+    - images (BMP/PNG/baseline-JPEG pixel decode): per-channel mean+std
+      (4+4 slots), 16-bin grayscale histogram, log-scaled width/height
     - audio (8/16-bit PCM WAV): RMS, peak, zero-crossing rate, 8
       log-spaced FFT band energy fractions, log duration
 
-    None when no stdlib codec covers the content (JPEG/GIF pixels,
-    compressed audio, video) — callers fall back to the hash stub and
-    flag the row."""
+    None when no spec codec covers the content (progressive JPEG, GIF
+    pixels, compressed audio, video) — callers fall back to the hash
+    stub and flag the row."""
     import numpy as np
 
     b = bytes(content or b"")
@@ -234,6 +238,8 @@ def _real_features(content: bytes, media_type: str, dim: int) -> "list[float] | 
         px = _png_decode(b)
         if px is None:
             px = _bmp_decode(b)
+        if px is None:
+            px = _jpeg_decode(b)
         if px is None:
             return None
         h, w = px.shape[:2]
@@ -333,10 +339,11 @@ def extract_features(
     (Arrow-batched ``mapInPandas``).
 
     ``features="real"`` computes true content statistics for everything
-    the stdlib codecs cover — image pixel stats/histogram for BMP + PNG
-    (:func:`_real_features`), PCM RMS/zero-crossings/FFT band energies
-    for WAV — and adds a ``features_real`` boolean column; rows outside
-    codec coverage (JPEG pixels, MP3, video) fall back to the hash stub
+    the spec codecs cover — image pixel stats/histogram for BMP, PNG
+    and baseline JPEG (:func:`_real_features`), PCM RMS/zero-crossings/
+    FFT band energies for WAV — and adds a ``features_real`` boolean
+    column; rows outside codec coverage (progressive JPEG, MP3, video)
+    fall back to the hash stub
     with ``features_real = false``. ``features="fake"`` (default) is the
     deterministic content-hash expansion — a STUB for a learned
     vision/audio encoder, kept because downstream ANN tests/oracles need
@@ -595,19 +602,511 @@ def _bmp_resize(b: bytes, tw: int, th: int) -> bytes | None:
     return _bmp_encode(px[ys][:, xs])
 
 
+# --- JPEG baseline codec (ITU-T T.81, spec + numpy only) -------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K "typical" quantization tables (luminance, chrominance).
+_QLUM = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QCHR = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K typical Huffman specs: (BITS[1..16], HUFFVAL).
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    a[0, :] /= np.sqrt(2.0)
+    return a  # forward: A @ block @ A.T ; inverse: A.T @ coeff @ A
+
+
+def _huff_decode_table(bits, vals):
+    """Canonical Huffman (T.81 C.2): {(length, code): value}."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits, vals):
+    dec = _huff_decode_table(bits, vals)
+    return {v: (ln, code) for (ln, code), v in dec.items()}
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded bytes with 0xFF00 unstuffing
+    and byte-aligned RSTn handling (T.81 F.2.2.5)."""
+
+    def __init__(self, data: bytes, start: int):
+        self.d = data
+        self.pos = start
+        self.bit = 0
+
+    def _byte(self) -> int:
+        return self.d[self.pos]
+
+    def read_bit(self) -> int:
+        b = self._byte()
+        if b == 0xFF:
+            nxt = self.d[self.pos + 1]
+            if nxt != 0x00:  # a real marker terminates entropy data
+                raise EOFError
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if b == 0xFF else 1
+        return v
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Skip to and over a byte-aligned RSTn marker."""
+        if self.bit:
+            self.bit = 0
+            self.pos += 2 if self._byte() == 0xFF else 1
+        if self.d[self.pos] == 0xFF and 0xD0 <= self.d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+    def decode_huff(self, table) -> int:
+        ln, code = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.read_bit()
+            ln += 1
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("bad huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _jpeg_decode(b: bytes) -> "Any | None":
+    """Real baseline JPEG pixel decode from the published spec
+    (ITU-T T.81): segment walk, canonical Huffman entropy decode with
+    restart markers, dequantize, zigzag, float IDCT, nearest chroma
+    upsampling, JFIF YCbCr→RGB. Returns an ``(h, w, channels)`` uint8
+    array (channels 1 or 3), or None outside scope (progressive SOF2,
+    arithmetic coding, 12-bit precision) — callers degrade to
+    passthrough exactly like the PNG/BMP paths.
+
+    The entropy loop is per-coefficient Python (numpy does the IDCT) —
+    fine for thumbnails/tests; swap a codec into the SAME mapInPandas
+    slot for production volumes.
+    """
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, Any] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None  # [(cid, hsamp, vsamp, qid)]
+    h = w = None
+    restart = 0
+    pos = 2
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            ln = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            seg = b[pos + 4 : pos + 2 + ln]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    prec, qid = seg[i] >> 4, seg[i] & 0xF
+                    n = 64 * (2 if prec else 1)
+                    raw = seg[i + 1 : i + 1 + n]
+                    tbl = np.zeros(64, dtype=np.float64)
+                    for z in range(64):
+                        tbl[_ZIGZAG[z]] = (
+                            int.from_bytes(raw[2 * z : 2 * z + 2], "big")
+                            if prec
+                            else raw[z]
+                        )
+                    qt[qid] = tbl.reshape(8, 8)
+                    i += 1 + n
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th_ = seg[i] >> 4, seg[i] & 0xF
+                    bits = list(seg[i + 1 : i + 17])
+                    nv = sum(bits)
+                    vals = list(seg[i + 17 : i + 17 + nv])
+                    huff[(tc, th_)] = _huff_decode_table(bits, vals)
+                    i += 17 + nv
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+                if seg[0] != 8:
+                    return None
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                comps = []
+                for c in range(nc):
+                    cid = seg[6 + 3 * c]
+                    samp = seg[7 + 3 * c]
+                    comps.append((cid, samp >> 4, samp & 0xF, seg[8 + 3 * c]))
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                return None  # progressive / extended — out of scope
+            elif marker == 0xDD:  # DRI
+                restart = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if comps is None or h is None:
+                    return None
+                ns = seg[0]
+                scan = {}
+                for c in range(ns):
+                    scan[seg[1 + 2 * c]] = (
+                        seg[2 + 2 * c] >> 4,
+                        seg[2 + 2 * c] & 0xF,
+                    )
+                data_start = pos + 2 + ln
+                return _jpeg_entropy_decode(
+                    b, data_start, h, w, comps, scan, qt, huff, restart
+                )
+            pos += 2 + ln
+    except (IndexError, KeyError, ValueError, EOFError):
+        return None
+    return None
+
+
+def _jpeg_entropy_decode(b, start, h, w, comps, scan, qt, huff, restart):
+    import numpy as np
+
+    a = _dct_matrix()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+        for cid, hs, vs, _ in comps
+    }
+    pred = {cid: 0 for cid, *_ in comps}
+    r = _BitReader(b, start)
+    n_mcu = 0
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and n_mcu and n_mcu % restart == 0:
+                    r.sync_restart()
+                    pred = {cid: 0 for cid, *_ in comps}
+                n_mcu += 1
+                for cid, hs, vs, qid in comps:
+                    dc_t = huff[(0, scan[cid][0])]
+                    ac_t = huff[(1, scan[cid][1])]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            zz = np.zeros(64, dtype=np.float64)
+                            t = r.decode_huff(dc_t)
+                            diff = _extend(r.read_bits(t), t) if t else 0
+                            pred[cid] += diff
+                            zz[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                rs = r.decode_huff(ac_t)
+                                rl, sz = rs >> 4, rs & 0xF
+                                if sz == 0:
+                                    if rl == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += rl
+                                if k > 63:
+                                    raise ValueError("AC overflow")
+                                zz[k] = _extend(r.read_bits(sz), sz)
+                                k += 1
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[_ZIGZAG] = zz
+                            blk = a.T @ (coef.reshape(8, 8) * qt[qid]) @ a
+                            y0 = (my * vs + by) * 8
+                            x0 = (mx * hs + bx) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk + 128.0
+    except (IndexError, KeyError, ValueError, EOFError):
+        return None
+    out = []
+    for cid, hs, vs, _ in comps:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:  # nearest upsample to the luma grid
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        px = np.clip(out[0], 0, 255) + 0.5
+        return px.astype(np.uint8)[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return (np.clip(rgb, 0, 255) + 0.5).astype(np.uint8)
+
+
+def _jpeg_encode(
+    px: "Any",
+    quality: int = 85,
+    restart_interval: int = 0,
+    subsampling: int = 1,
+) -> bytes:
+    """Encode an ``(h, w, 1|3)`` uint8 array as a baseline JFIF JPEG
+    (T.81 + Annex K tables): level shift, float DCT, quality-scaled
+    quantization, canonical Huffman with optional restart markers.
+    ``subsampling=1`` → 4:4:4; ``subsampling=2`` → 4:2:0 (2×2 box-mean
+    chroma, interleaved 16×16 MCUs — the in-the-wild default, and the
+    test vector for the decoder's upsampling path). Spec + numpy only;
+    the roundtrip ``_jpeg_decode(_jpeg_encode(px))`` is exact up to
+    quantization error (asserted in tests)."""
+    import numpy as np
+
+    h, w, nc = px.shape
+    samp = subsampling if nc == 3 else 1
+    if samp not in (1, 2):
+        raise ValueError("subsampling must be 1 (4:4:4) or 2 (4:2:0)")
+    scale = (5000 // quality if quality < 50 else 200 - 2 * quality) / 100.0
+    qtabs = []
+    for base in (_QLUM, _QCHR)[: (2 if nc == 3 else 1)]:
+        q = np.clip(np.round(np.array(base, dtype=np.float64) * scale), 1, 255)
+        qtabs.append(q)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for qid, q in enumerate(qtabs):
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([qid])
+        out += bytes(int(q[_ZIGZAG[z]]) for z in range(64))
+    # SOF0
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for c in range(nc):
+        sf_byte = (samp << 4) | samp if c == 0 else 0x11
+        sof += bytes([c + 1, sf_byte, 0 if c == 0 else 1])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    specs = [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
+    if nc == 3:
+        specs += [(0, 1, _DC_CHR), (1, 1, _AC_CHR)]
+    enc_tabs = {}
+    for tc, th_, (bits, vals) in specs:
+        seg = bytes([(tc << 4) | th_]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+        enc_tabs[(tc, th_)] = _huff_encode_table(bits, vals)
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+    sos = bytes([nc])
+    for c in range(nc):
+        t = 0 if c == 0 else 1
+        sos += bytes([c + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    if nc == 3:  # JFIF RGB → YCbCr
+        f = px.astype(np.float64)
+        r_, g, b_ = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [
+            0.299 * r_ + 0.587 * g + 0.114 * b_,
+            -0.168736 * r_ - 0.331264 * g + 0.5 * b_ + 128.0,
+            0.5 * r_ - 0.418688 * g - 0.081312 * b_ + 128.0,
+        ]
+    else:
+        planes = [px[:, :, 0].astype(np.float64)]
+    if samp == 2:  # 4:2:0 — chroma planes 2×2 box-mean downsampled
+        he, we = -(-h // 2) * 2, -(-w // 2) * 2
+        for c in (1, 2):
+            p = np.full((he, we), 128.0)
+            p[:h, :w] = planes[c]
+            p[:h, w:we] = planes[c][:, -1:]  # edge-replicate padding
+            p[h:he, :] = p[h - 1 : h, :]
+            planes[c] = (
+                p.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            )
+    a = _dct_matrix()
+    mcux, mcuy = -(-w // (8 * samp)), -(-h // (8 * samp))
+
+    bitbuf = bytearray()
+    acc = [0, 0]  # value, nbits
+
+    def put(code: int, ln: int) -> None:
+        acc[0] = (acc[0] << ln) | code
+        acc[1] += ln
+        while acc[1] >= 8:
+            byte = (acc[0] >> (acc[1] - 8)) & 0xFF
+            bitbuf.append(byte)
+            if byte == 0xFF:
+                bitbuf.append(0x00)
+            acc[1] -= 8
+            acc[0] &= (1 << acc[1]) - 1
+
+    def put_val(v: int) -> None:
+        t = v if v >= 0 else -v
+        sz = t.bit_length()
+        if sz:
+            put(v if v >= 0 else v + (1 << sz) - 1, sz)
+
+    def flush(rst: int | None) -> None:
+        if acc[1]:
+            pad = 8 - acc[1]
+            put((1 << pad) - 1, pad)  # 1-pad to byte boundary
+        if rst is not None:
+            bitbuf.extend(b"\xff" + bytes([0xD0 + (rst & 7)]))
+
+    pred = [0] * nc
+    n_mcu = 0
+    n_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                flush(n_rst)
+                n_rst += 1
+                pred = [0] * nc
+            n_mcu += 1
+
+            def encode_block(plane, y0, x0, c):
+                blk = np.full((8, 8), 128.0)
+                ph, pw = plane.shape
+                ys, xs = max(0, min(8, ph - y0)), max(0, min(8, pw - x0))
+                blk[:ys, :xs] = plane[y0 : y0 + ys, x0 : x0 + xs]
+                q = qtabs[0 if c == 0 else 1].reshape(8, 8)
+                coef = np.round((a @ (blk - 128.0) @ a.T) / q).astype(int)
+                zz = coef.reshape(-1)[_ZIGZAG]
+                tid = 0 if c == 0 else 1
+                dc_t, ac_t = enc_tabs[(0, tid)], enc_tabs[(1, tid)]
+                diff = int(zz[0]) - pred[c]
+                pred[c] = int(zz[0])
+                sz = abs(diff).bit_length()
+                put(*reversed(dc_t[sz]))
+                put_val(diff)
+                run = 0
+                last = max((i for i in range(1, 64) if zz[i]), default=0)
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        put(*reversed(ac_t[0xF0]))  # ZRL
+                        run -= 16
+                    sz = abs(v).bit_length()
+                    put(*reversed(ac_t[(run << 4) | sz]))
+                    put_val(v)
+                    run = 0
+                if last < 63:
+                    put(*reversed(ac_t[0x00]))  # EOB
+
+            # Interleaved MCU: samp×samp luma blocks, then one block per
+            # chroma component (T.81 A.2.3 data-unit order).
+            for by in range(samp):
+                for bx in range(samp):
+                    encode_block(
+                        planes[0], (my * samp + by) * 8, (mx * samp + bx) * 8, 0
+                    )
+            for c in range(1, nc):
+                encode_block(planes[c], my * 8, mx * 8, c)
+    flush(None)
+    out += bitbuf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_resize(b: bytes, tw: int, th: int) -> bytes | None:
+    """Real nearest-neighbor resize of a baseline JPEG — decode →
+    resample → re-encode (quality 85, 4:4:4)."""
+    import numpy as np
+
+    px = _jpeg_decode(b)
+    if px is None:
+        return None
+    h, w = px.shape[:2]
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return _jpeg_encode(px[ys][:, xs])
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize image rows to ``width``×``height`` with Arrow-batched
     ``mapInPandas``; non-image rows pass through untouched with null
     resize metadata.
 
     Pixel semantics are explicit per row via ``resize_applied``:
-    uncompressed 24/32-bpp BMPs (:func:`_bmp_resize`) and 8-bit
+    uncompressed 24/32-bpp BMPs (:func:`_bmp_resize`), 8-bit
     non-interlaced PNGs (:func:`_png_resize` — full spec decode, all five
-    scanline filters, palette expansion; ``zlib``+numpy only) are REALLY
-    resampled (nearest-neighbor) and their ``content`` bytes replaced;
-    formats with no stdlib codec (JPEG/GIF-LZW) pass through UNCHANGED
-    with ``resize_applied = false`` — only the metadata records the
-    target box. Plugging in PIL for those is a body-only change to
+    scanline filters, palette expansion; ``zlib``+numpy only) and
+    baseline JPEGs (:func:`_jpeg_resize` — T.81 Huffman entropy decode
+    incl. 4:2:0 subsampling and restart markers, float IDCT, Annex-K
+    re-encode) are REALLY resampled (nearest-neighbor) and their
+    ``content`` bytes replaced; formats with no spec codec here
+    (progressive JPEG, GIF-LZW) pass through UNCHANGED with
+    ``resize_applied = false`` — only the metadata records the target
+    box. Plugging in PIL for those is a body-only change to
     ``_resize_batch``. The Spark-side contract is a single map-side pass
     with no shuffle.
     """
@@ -633,8 +1132,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                     contents.append(content)
                     continue
                 raw = bytes(content or b"")
-                resized = _bmp_resize(raw, width, height) or _png_resize(
-                    raw, width, height
+                resized = (
+                    _bmp_resize(raw, width, height)
+                    or _png_resize(raw, width, height)
+                    or _jpeg_resize(raw, width, height)
                 )
                 rw.append(width), rh.append(height)
                 applied.append(resized is not None)

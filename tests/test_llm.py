@@ -1658,3 +1658,92 @@ def test_bm25_idf_downweights_ubiquitous_terms(spark):
     # doc 100 matches both terms; its 'rare' contribution must dominate
     # any common-only doc's score.
     assert got[100] > max(v for k, v in got.items() if k != 100)
+
+
+def test_jpeg_codec_roundtrip_variants():
+    """The baseline JPEG codec is real both ways: solid blocks decode
+    bit-exact, gradients within quantization error, and the decoder
+    handles 4:2:0 subsampling and restart markers (the two structures
+    in-the-wild baseline files actually use)."""
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import _jpeg_decode, _jpeg_encode
+
+    solid = np.full((16, 16, 3), 100, dtype=np.uint8)
+    solid[:, :, 2] = 200
+    assert np.array_equal(
+        _jpeg_decode(_jpeg_encode(solid, quality=90)), solid
+    )
+    assert np.array_equal(
+        _jpeg_decode(_jpeg_encode(solid, quality=90, subsampling=2)), solid
+    )
+    gray = np.full((8, 8, 1), 128, dtype=np.uint8)
+    assert np.array_equal(_jpeg_decode(_jpeg_encode(gray, quality=90)), gray)
+
+    h, w = 13, 21  # non-multiple-of-8 edges exercise partial blocks
+    grad = np.zeros((h, w, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    grad[:, :, 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    grad[:, :, 2] = 77
+    for kw, tol in (
+        (dict(quality=95), 16),
+        (dict(quality=95, restart_interval=2), 16),
+        (dict(quality=95, subsampling=2), 30),
+    ):
+        out = _jpeg_decode(_jpeg_encode(grad, **kw))
+        assert out.shape == grad.shape, kw
+        err = np.abs(out.astype(int) - grad.astype(int)).max()
+        assert err <= tol, (kw, err)
+    # progressive SOF2 is out of scope and must degrade to None, not crash
+    b = bytearray(_jpeg_encode(grad))
+    b[b.index(b"\xff\xc0") + 1] = 0xC2
+    assert _jpeg_decode(bytes(b)) is None
+
+
+def test_resize_images_real_jpeg_pixels(spark, tmp_path):
+    """JPEG rows are REALLY resampled now: resize_applied flips to True
+    and the output decodes at target geometry with the source colors."""
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode,
+        read_binary_files,
+        resize_images,
+    )
+
+    src = np.zeros((2, 2, 3), dtype=np.uint8)
+    src[0, 0] = (250, 10, 10)
+    src[0, 1] = (10, 250, 10)
+    src[1, 0] = (10, 10, 250)
+    src[1, 1] = (250, 250, 250)
+    (tmp_path / "tiny.jpg").write_bytes(_jpeg_encode(src, quality=95))
+    df = read_binary_files(spark, str(tmp_path))
+    row = resize_images(df, 4, 4).collect()[0]
+    assert row.resize_applied is True
+    assert (row.resized_width, row.resized_height) == (4, 4)
+    out = _jpeg_decode(bytes(row.content))
+    assert out.shape == (4, 4, 3)
+    # nearest-neighbor: each source pixel becomes a 2x2 block (tolerate
+    # quantization error from the two lossy passes)
+    up = np.repeat(np.repeat(src, 2, axis=0), 2, axis=1).astype(int)
+    assert np.abs(out.astype(int) - up).max() <= 40
+
+
+def test_extract_features_real_jpeg(spark, tmp_path):
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import (
+        _jpeg_encode,
+        extract_features,
+        read_binary_files,
+    )
+
+    px = np.full((16, 16, 3), 60, dtype=np.uint8)
+    (tmp_path / "img.jpg").write_bytes(_jpeg_encode(px, quality=95))
+    row = extract_features(
+        read_binary_files(spark, str(tmp_path)), features="real"
+    ).collect()[0]
+    assert row.features_real is True
+    # channel means land on the solid value (normalized to [0,1])
+    assert abs(row.features[0] - 60 / 255) < 0.02
