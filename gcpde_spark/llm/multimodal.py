@@ -9,18 +9,19 @@ coverage (published specs, no imaging/audio library):
 
 - header decode (``decode="real"``): PNG/GIF/BMP/JPEG dimensions +
   channels, WAV + animated-GIF durations
-- pixel decode + resize: uncompressed 24/32-bpp BMP, 8-bit
+- pixel decode + resize: uncompressed 24/32-bpp BMP; 8-bit
   non-interlaced PNG (full unfilter incl. Paeth, palette expansion,
-  ``zlib``), and baseline JPEG (T.81 Huffman entropy decode incl.
+  ``zlib``); baseline JPEG (T.81 Huffman entropy decode incl.
   restart markers + subsampling, float IDCT, YCbCr; encoder with
-  Annex K tables for the re-encode) — ``resize_applied`` marks which
-  rows got real pixel work
+  Annex K tables for the re-encode); GIF (real LZW incl. table growth
+  + interlace reorder; index-space resize keeps the palette verbatim)
+  — ``resize_applied`` marks which rows got real pixel work
 - sample decode + features (``features="real"``): 8/16-bit PCM WAV →
-  RMS/zero-crossings/FFT bands; BMP/PNG/JPEG → pixel stats/histogram
+  RMS/zero-crossings/FFT bands; BMP/PNG/JPEG/GIF → pixel
+  stats/histogram
 - frame inventory: animated-GIF per-frame delays/offsets (GCE parse)
 
-Everything outside that coverage (progressive JPEG, GIF-LZW pixels,
-MP3, H.264) is
+Everything outside that coverage (progressive JPEG, MP3, H.264) is
 STUBBED with deterministic content-hash stand-ins, each flagged per row
 (``resize_applied`` / ``features_real``) — swapping in PIL/pyav is a
 body-only change to the batch functions.
@@ -228,9 +229,9 @@ def _real_features(content: bytes, media_type: str, dim: int) -> "list[float] | 
     - audio (8/16-bit PCM WAV): RMS, peak, zero-crossing rate, 8
       log-spaced FFT band energy fractions, log duration
 
-    None when no spec codec covers the content (progressive JPEG, GIF
-    pixels, compressed audio, video) — callers fall back to the hash
-    stub and flag the row."""
+    None when no spec codec covers the content (progressive JPEG,
+    compressed audio, video) — callers fall back to the hash stub and
+    flag the row."""
     import numpy as np
 
     b = bytes(content or b"")
@@ -240,6 +241,8 @@ def _real_features(content: bytes, media_type: str, dim: int) -> "list[float] | 
             px = _bmp_decode(b)
         if px is None:
             px = _jpeg_decode(b)
+        if px is None:
+            px = _gif_decode(b)
         if px is None:
             return None
         h, w = px.shape[:2]
@@ -1077,6 +1080,214 @@ def _jpeg_encode(
     return bytes(out)
 
 
+# --- GIF codec (GIF89a spec, LZW) ------------------------------------------
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, n_pixels: int) -> "bytearray | None":
+    """GIF-variant LZW decode (spec appendix): LSB-first variable-width
+    codes, clear/EOI, table growth to 12 bits."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code + 1
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def _gif_decode_indexed(b: bytes) -> "tuple[Any, Any] | None":
+    """First-frame GIF pixel decode to ``(canvas_indices, palette)`` —
+    real LZW (variable-width codes, table resets), interlace reorder,
+    local/global palettes; the frame rect composites onto a canvas
+    filled with the background index. None outside scope (no palette,
+    corrupt stream) — callers degrade to passthrough."""
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    cw = int.from_bytes(b[6:8], "little")
+    ch = int.from_bytes(b[8:10], "little")
+    packed, bg = b[10], b[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    try:
+        while pos < len(b):
+            tag = b[pos]
+            if tag == 0x3B:
+                return None  # trailer before any image
+            if tag == 0x21:  # extension — skip
+                pos += 2
+                while b[pos]:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif tag == 0x2C:  # image descriptor
+                fx = int.from_bytes(b[pos + 1 : pos + 3], "little")
+                fy = int.from_bytes(b[pos + 3 : pos + 5], "little")
+                fw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+                fh = int.from_bytes(b[pos + 7 : pos + 9], "little")
+                ip = b[pos + 9]
+                pos += 10
+                pal = gct
+                if ip & 0x80:
+                    n = 2 << (ip & 0x07)
+                    pal = np.frombuffer(
+                        b[pos : pos + 3 * n], dtype=np.uint8
+                    ).reshape(-1, 3)
+                    pos += 3 * n
+                if pal is None:
+                    return None
+                min_code = b[pos]
+                pos += 1
+                chunks = []
+                while b[pos]:
+                    ln = b[pos]
+                    chunks.append(b[pos + 1 : pos + 1 + ln])
+                    pos += 1 + ln
+                idx = _gif_lzw_decode(min_code, b"".join(chunks), fw * fh)
+                if idx is None or len(idx) < fw * fh:
+                    return None
+                frame = np.frombuffer(
+                    bytes(idx[: fw * fh]), dtype=np.uint8
+                ).reshape(fh, fw)
+                if ip & 0x40:  # interlaced: reorder passes
+                    de = np.empty_like(frame)
+                    rows = [
+                        *range(0, fh, 8),
+                        *range(4, fh, 8),
+                        *range(2, fh, 4),
+                        *range(1, fh, 2),
+                    ]
+                    de[rows] = frame
+                    frame = de
+                canvas = np.full(
+                    (ch, cw), bg if gct is not None and bg < len(gct) else 0,
+                    dtype=np.uint8,
+                )
+                canvas[fy : fy + fh, fx : fx + fw] = frame[
+                    : max(0, ch - fy), : max(0, cw - fx)
+                ]
+                return canvas, pal
+            else:
+                return None
+    except IndexError:
+        return None
+    return None
+
+
+def _gif_decode(b: bytes) -> "Any | None":
+    """First-frame GIF pixels as an ``(h, w, 3)`` uint8 RGB array."""
+    r = _gif_decode_indexed(b)
+    if r is None:
+        return None
+    canvas, pal = r
+    idx = canvas.copy()
+    idx[idx >= len(pal)] = 0
+    return pal[idx]
+
+
+def _gif_encode_indexed(indices: "Any", palette: "Any") -> bytes:
+    """Single-frame GIF89a writer: the palette verbatim, pixel indices
+    LZW-coded at fixed initial width with a CLEAR before each table
+    growth (spec-legal, simpler than a growing dictionary — every
+    decoder accepts it)."""
+    import numpy as np
+
+    h, w = indices.shape
+    n_pal = max(2, 1 << max(1, int(len(palette) - 1).bit_length()))
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    pbits = max(1, (n_pal - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (pbits - 1), 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + b"\x00" * 4
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    min_code = max(2, pbits)
+    clear = 1 << min_code
+    width = min_code + 1
+    out += bytes([min_code])
+    acc = [0, 0]
+    body = bytearray()
+
+    def put(code: int) -> None:  # LSB-first
+        acc[0] |= code << acc[1]
+        acc[1] += width
+        while acc[1] >= 8:
+            body.append(acc[0] & 0xFF)
+            acc[0] >>= 8
+            acc[1] -= 8
+
+    put(clear)
+    budget = clear - 2  # codes before the table would grow past `width`
+    for v in indices.reshape(-1):
+        if budget == 0:
+            put(clear)
+            budget = clear - 2
+        put(int(v))
+        budget -= 1
+    put(clear + 1)  # EOI
+    if acc[1]:
+        body.append(acc[0] & 0xFF)
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_resize(b: bytes, tw: int, th: int) -> bytes | None:
+    """Real nearest-neighbor GIF resize in INDEX space — the palette is
+    carried verbatim, so unlike a decode→RGB→requantize path this is
+    lossless per retained pixel."""
+    import numpy as np
+
+    r = _gif_decode_indexed(b)
+    if r is None:
+        return None
+    idx, pal = r
+    h, w = idx.shape
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return _gif_encode_indexed(idx[ys][:, xs], pal)
+
+
 def _jpeg_resize(b: bytes, tw: int, th: int) -> bytes | None:
     """Real nearest-neighbor resize of a baseline JPEG — decode →
     resample → re-encode (quality 85, 4:4:4)."""
@@ -1102,9 +1313,11 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     scanline filters, palette expansion; ``zlib``+numpy only) and
     baseline JPEGs (:func:`_jpeg_resize` — T.81 Huffman entropy decode
     incl. 4:2:0 subsampling and restart markers, float IDCT, Annex-K
-    re-encode) are REALLY resampled (nearest-neighbor) and their
-    ``content`` bytes replaced; formats with no spec codec here
-    (progressive JPEG, GIF-LZW) pass through UNCHANGED with
+    re-encode) and GIFs (:func:`_gif_resize` — real LZW, resampled in
+    INDEX space so the palette carries verbatim) are REALLY resampled
+    (nearest-neighbor) and their ``content`` bytes replaced; formats
+    with no spec codec here (progressive JPEG) pass through UNCHANGED
+    with
     ``resize_applied = false`` — only the metadata records the target
     box. Plugging in PIL for those is a body-only change to
     ``_resize_batch``. The Spark-side contract is a single map-side pass
@@ -1136,6 +1349,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                     _bmp_resize(raw, width, height)
                     or _png_resize(raw, width, height)
                     or _jpeg_resize(raw, width, height)
+                    or _gif_resize(raw, width, height)
                 )
                 rw.append(width), rh.append(height)
                 applied.append(resized is not None)

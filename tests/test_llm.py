@@ -1747,3 +1747,109 @@ def test_extract_features_real_jpeg(spark, tmp_path):
     assert row.features_real is True
     # channel means land on the solid value (normalized to [0,1])
     assert abs(row.features[0] - 60 / 255) < 0.02
+
+
+def _lzw_gif_compress(min_code, data):
+    """Reference GROWING-dictionary GIF-LZW compressor (spec appendix) —
+    exercises the decoder's table-growth path, which the library's own
+    clear-heavy encoder never emits."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_codes = []
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, min_code + 1
+    out_codes.append((clear, width))
+    cur = b""
+    for byte in bytes(data):
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        out_codes.append((table[cur], width))
+        if next_code < 4096:
+            table[nxt] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            out_codes.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = eoi + 1, min_code + 1
+        cur = bytes([byte])
+    if cur:
+        out_codes.append((table[cur], width))
+    out_codes.append((eoi, width))
+    acc = nbits = 0
+    body = bytearray()
+    for code, w_ in out_codes:
+        acc |= code << nbits
+        nbits += w_
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        body.append(acc & 0xFF)
+    return bytes(body)
+
+
+def test_gif_codec_roundtrip_and_growing_lzw():
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import (
+        _gif_decode,
+        _gif_decode_indexed,
+        _gif_encode_indexed,
+        _gif_lzw_decode,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (32, 17), dtype=np.uint8)
+    b = _gif_encode_indexed(idx, pal)
+    got = _gif_decode_indexed(b)
+    assert got is not None and np.array_equal(got[0], idx)
+    assert np.array_equal(_gif_decode(b), pal[idx])
+
+    # decoder must handle real growing-dictionary streams (with repeats
+    # so the dictionary actually builds multi-byte entries)
+    data = bytes((np.arange(4096) % 5).astype(np.uint8) % 8)
+    comp = _lzw_gif_compress(3, data)
+    out = _gif_lzw_decode(3, comp, len(data))
+    assert bytes(out) == data
+
+    # 256-entry palette → 9-bit initial code width
+    pal256 = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    i256 = rng.integers(0, 256, (20, 20), dtype=np.uint8)
+    assert np.array_equal(
+        _gif_decode_indexed(_gif_encode_indexed(i256, pal256))[0], i256
+    )
+
+
+def test_gif_interlace_and_resize(spark, tmp_path):
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import (
+        _gif_decode_indexed,
+        _gif_encode_indexed,
+        read_binary_files,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (11, 7), dtype=np.uint8)
+    # hand-build an interlaced stream: rows in pass order + the flag bit
+    h = 11
+    rows = [*range(0, h, 8), *range(4, h, 8), *range(2, h, 4), *range(1, h, 2)]
+    bi = bytearray(_gif_encode_indexed(idx[rows], pal))
+    bi[13 + 3 * 8 + 9] |= 0x40
+    assert np.array_equal(_gif_decode_indexed(bytes(bi))[0], idx)
+
+    # resize happens in INDEX space: surviving pixels keep exact colors
+    (tmp_path / "img.gif").write_bytes(_gif_encode_indexed(idx, pal))
+    row = resize_images(read_binary_files(spark, str(tmp_path)), 4, 4).collect()[0]
+    assert row.resize_applied is True
+    out_idx, out_pal = _gif_decode_indexed(bytes(row.content))
+    ys = (np.arange(4) * 11) // 4
+    xs = (np.arange(4) * 7) // 4
+    assert np.array_equal(out_pal[out_idx], pal[idx[ys][:, xs]])
