@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -1363,26 +1364,134 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(_resize_batch, out_schema)
 
 
+def _gif_frames(b: bytes, wanted: "set[int] | None" = None):
+    """Composited RGB frames of an animated GIF: ``[(frame_idx,
+    rgb_canvas)]`` for the requested frame indices (all when None).
+    Real GIF89a animation semantics: GCE transparency masks the blit,
+    disposal 2 restores the background rect, disposal 3 restores the
+    pre-frame canvas; frames composite in order, so earlier frames are
+    decoded even when only later ones are wanted."""
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    cw = int.from_bytes(b[6:8], "little")
+    ch = int.from_bytes(b[8:10], "little")
+    packed, bg = b[10], b[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.tile(bg_rgb, (ch, cw, 1)).astype(np.uint8)
+    out = []
+    fidx = 0
+    transparent = None
+    disposal = 0
+    try:
+        while pos < len(b):
+            tag = b[pos]
+            if tag == 0x3B:
+                break
+            if tag == 0x21:
+                if b[pos + 1] == 0xF9 and pos + 7 <= len(b):
+                    flags = b[pos + 3]
+                    disposal = (flags >> 2) & 0x7
+                    transparent = b[pos + 6] if flags & 1 else None
+                pos += 2
+                while b[pos]:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif tag == 0x2C:
+                fx = int.from_bytes(b[pos + 1 : pos + 3], "little")
+                fy = int.from_bytes(b[pos + 3 : pos + 5], "little")
+                fw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+                fh = int.from_bytes(b[pos + 7 : pos + 9], "little")
+                ip = b[pos + 9]
+                pos += 10
+                pal = gct
+                if ip & 0x80:
+                    n = 2 << (ip & 0x07)
+                    pal = np.frombuffer(
+                        b[pos : pos + 3 * n], dtype=np.uint8
+                    ).reshape(-1, 3)
+                    pos += 3 * n
+                min_code = b[pos]
+                pos += 1
+                chunks = []
+                while b[pos]:
+                    ln = b[pos]
+                    chunks.append(b[pos + 1 : pos + 1 + ln])
+                    pos += 1 + ln
+                pos += 1  # block terminator
+                if pal is None:
+                    return None
+                idx = _gif_lzw_decode(min_code, b"".join(chunks), fw * fh)
+                if idx is None or len(idx) < fw * fh:
+                    return None
+                frame = np.frombuffer(
+                    bytes(idx[: fw * fh]), dtype=np.uint8
+                ).reshape(fh, fw)
+                if ip & 0x40:
+                    de = np.empty_like(frame)
+                    rows = [
+                        *range(0, fh, 8),
+                        *range(4, fh, 8),
+                        *range(2, fh, 4),
+                        *range(1, fh, 2),
+                    ]
+                    de[rows] = frame
+                    frame = de
+                saved = canvas.copy() if disposal == 3 else None
+                ye, xe = min(ch, fy + fh), min(cw, fx + fw)
+                sub = frame[: ye - fy, : xe - fx]
+                fidx_pal = np.clip(sub, 0, len(pal) - 1)
+                rgb = pal[fidx_pal]
+                region = canvas[fy:ye, fx:xe]
+                if transparent is not None:
+                    mask = sub != transparent
+                    region[mask] = rgb[mask]
+                else:
+                    region[:, :] = rgb
+                if wanted is None or fidx in wanted:
+                    out.append((fidx, canvas.copy()))
+                if disposal == 2:
+                    canvas[fy:ye, fx:xe] = bg_rgb
+                elif disposal == 3 and saved is not None:
+                    canvas = saved
+                disposal, transparent = 0, None
+                fidx += 1
+            else:
+                break
+    except IndexError:
+        return None
+    return out
+
+
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Explode each video / animated-GIF row into up to ``n_frames``
     evenly-spaced frame rows ``(path, media_type, frame_idx,
-    frame_offset_ms)``.
+    frame_offset_ms, frame_png)``.
 
-    For animated GIFs the frame inventory is REAL: per-frame Graphic
-    Control Extension delays are parsed from the container
-    (:func:`_gif_frame_delays`), ``frame_idx`` is the actual frame number
-    and ``frame_offset_ms`` its true cumulative display offset. For video
-    containers there is no stdlib codec, so offsets come from the
-    deterministic stub duration and the schema deliberately carries no
-    pixel payload — rows are (offset, idx) plans a real decoder (pyav)
-    would fill by yielding a ``frame: binary`` column from the same batch
-    iterator."""
+    For animated GIFs the frames are REAL: per-frame Graphic Control
+    Extension delays come from the container (:func:`_gif_frame_delays`),
+    and ``frame_png`` carries the sampled frame's composited pixels
+    (:func:`_gif_frames` — LZW decode, transparency masking, disposal
+    handling) re-encoded as PNG. For video containers there is no
+    stdlib codec, so offsets come from the deterministic stub duration
+    and ``frame_png`` is NULL — rows are (offset, idx) plans a real
+    decoder (pyav) would fill via the same batch iterator."""
     out_schema = StructType(
         [
             StructField("path", StringType(), True),
             StructField("media_type", StringType(), True),
             StructField("frame_idx", IntegerType(), True),
             StructField("frame_offset_ms", LongType(), True),
+            StructField("frame_png", BinaryType(), True),
         ]
     )
 
@@ -1394,17 +1503,20 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                 delays = (
                     _gif_frame_delays(raw) if r["media_type"] == "image" else []
                 )
-                if len(delays) > 1:  # animated GIF: real frame inventory
+                if len(delays) > 1:  # animated GIF: real frames
                     offsets = [sum(delays[:i]) for i in range(len(delays))]
                     n = min(n_frames, len(delays))
-                    for j in range(n):
-                        idx = j * len(delays) // n
+                    picked = [j * len(delays) // n for j in range(n)]
+                    decoded = _gif_frames(raw, wanted=set(picked)) or []
+                    pngs = {i: _png_encode(px) for i, px in decoded}
+                    for idx in picked:
                         rows.append(
                             {
                                 "path": r["path"],
                                 "media_type": r["media_type"],
                                 "frame_idx": idx,
                                 "frame_offset_ms": offsets[idx],
+                                "frame_png": pngs.get(idx),
                             }
                         )
                 elif r["media_type"] == "video":
@@ -1416,6 +1528,7 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                                 "media_type": r["media_type"],
                                 "frame_idx": i,
                                 "frame_offset_ms": int(dur * i / n_frames),
+                                "frame_png": None,
                             }
                         )
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])

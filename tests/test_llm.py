@@ -1853,3 +1853,72 @@ def test_gif_interlace_and_resize(spark, tmp_path):
     ys = (np.arange(4) * 11) // 4
     xs = (np.arange(4) * 7) // 4
     assert np.array_equal(out_pal[out_idx], pal[idx[ys][:, xs]])
+
+
+def _make_real_anim_gif(frames, pal, delays_cs, transparent=None, disposal=0):
+    """Animated GIF with REAL LZW pixel data: reuse the library writer's
+    image block per frame, prepend a GCE carrying delay/transparency."""
+    from gcpde_spark.llm.multimodal import _gif_encode_indexed
+
+    first = _gif_encode_indexed(frames[0], pal)
+    n_pal = 2 ** max(1, (len(pal) - 1).bit_length())
+    head_len = 13 + 3 * n_pal
+    out = bytearray(first[:head_len])
+    for f, d in zip(frames, delays_cs):
+        flags = (disposal & 0x7) << 2 | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 0x04, flags]) + d.to_bytes(2, "little")
+        out += bytes([transparent or 0, 0x00])
+        enc = _gif_encode_indexed(f, pal)
+        out += enc[head_len:-1]  # image descriptor + LZW data, no trailer
+    return bytes(out) + b"\x3b"
+
+
+def test_sample_frames_real_gif_pixels(spark, tmp_path):
+    """Animated-GIF frame sampling now yields REAL composited pixels:
+    each sampled row carries the frame re-encoded as PNG."""
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import (
+        _png_decode,
+        read_binary_files,
+        sample_frames,
+    )
+
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255]], dtype=np.uint8
+    )
+    f0 = np.zeros((4, 4), dtype=np.uint8)          # all red
+    f1 = np.full((4, 4), 1, dtype=np.uint8)        # all green
+    f2 = np.full((4, 4), 2, dtype=np.uint8)        # all blue
+    (tmp_path / "anim.gif").write_bytes(
+        _make_real_anim_gif([f0, f1, f2], pal, [5, 10, 20])
+    )
+    rows = sorted(
+        sample_frames(read_binary_files(spark, str(tmp_path)), 3).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_offset_ms for r in rows] == [0, 50, 150]
+    for r, f in zip(rows, (f0, f1, f2)):
+        px = _png_decode(bytes(r.frame_png))
+        assert px is not None and np.array_equal(px, pal[f]), r.frame_idx
+
+
+def test_gif_frames_transparency_composites_over_previous():
+    """A transparent index in frame 2 must leave frame 1's pixels
+    showing through (GIF89a GCE transparency semantics)."""
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import _gif_frames
+
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8
+    )
+    f0 = np.zeros((2, 2), dtype=np.uint8)  # red
+    f1 = np.array([[3, 1], [3, 1]], dtype=np.uint8)  # idx 3 = transparent
+    b = _make_real_anim_gif([f0, f1], pal, [10, 10], transparent=3)
+    frames = dict(_gif_frames(b))
+    # left column keeps frame 0's red; right column takes frame 1's green
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[255, 0, 0], [0, 255, 0]]], dtype=np.uint8
+    )
+    assert np.array_equal(frames[1], expect)
