@@ -11,9 +11,10 @@ coverage (published specs, no imaging/audio library):
   channels, WAV + animated-GIF durations
 - pixel decode + resize: uncompressed 24/32-bpp BMP; 8-bit
   non-interlaced PNG (full unfilter incl. Paeth, palette expansion,
-  ``zlib``); baseline JPEG (T.81 Huffman entropy decode incl.
-  restart markers + subsampling, float IDCT, YCbCr; encoder with
-  Annex K tables for the re-encode); GIF (real LZW incl. table growth
+  ``zlib``); JPEG — baseline AND progressive (T.81 Huffman entropy decode incl.
+  restart markers + subsampling + SOF2 spectral-selection/successive-
+  approximation scans with EOB runs, float IDCT, YCbCr; baseline and
+  progressive encoders for the re-encode/test vectors); GIF (real LZW incl. table growth
   + interlace reorder; index-space resize keeps the palette verbatim)
   — ``resize_applied`` marks which rows got real pixel work
 - sample decode + features (``features="real"``): 8/16-bit PCM WAV →
@@ -21,7 +22,7 @@ coverage (published specs, no imaging/audio library):
   stats/histogram
 - frame inventory: animated-GIF per-frame delays/offsets (GCE parse)
 
-Everything outside that coverage (progressive JPEG, MP3, H.264) is
+Everything outside that coverage (MP3, H.264) is
 STUBBED with deterministic content-hash stand-ins, each flagged per row
 (``resize_applied`` / ``features_real``) — swapping in PIL/pyav is a
 body-only change to the batch functions.
@@ -225,13 +226,13 @@ def _real_features(content: bytes, media_type: str, dim: int) -> "list[float] | 
     """Real content features for stdlib-decodable media, zero-padded to
     ``dim``:
 
-    - images (BMP/PNG/baseline-JPEG pixel decode): per-channel mean+std
+    - images (BMP/PNG/JPEG-incl.-progressive pixel decode): per-channel mean+std
       (4+4 slots), 16-bin grayscale histogram, log-scaled width/height
     - audio (8/16-bit PCM WAV): RMS, peak, zero-crossing rate, 8
       log-spaced FFT band energy fractions, log duration
 
-    None when no spec codec covers the content (progressive JPEG,
-    compressed audio, video) — callers fall back to the hash stub and
+    None when no spec codec covers the content (compressed audio,
+    video) — callers fall back to the hash stub and
     flag the row."""
     import numpy as np
 
@@ -346,8 +347,8 @@ def extract_features(
     the spec codecs cover — image pixel stats/histogram for BMP, PNG
     and baseline JPEG (:func:`_real_features`), PCM RMS/zero-crossings/
     FFT band energies for WAV — and adds a ``features_real`` boolean
-    column; rows outside codec coverage (progressive JPEG, MP3, video)
-    fall back to the hash stub
+    column; rows outside codec coverage (MP3, video) fall back to the
+    hash stub
     with ``features_real = false``. ``features="fake"`` (default) is the
     deterministic content-hash expansion — a STUB for a learned
     vision/audio encoder, kept because downstream ANN tests/oracles need
@@ -764,9 +765,11 @@ def _jpeg_decode(b: bytes) -> "Any | None":
     (ITU-T T.81): segment walk, canonical Huffman entropy decode with
     restart markers, dequantize, zigzag, float IDCT, nearest chroma
     upsampling, JFIF YCbCr→RGB. Returns an ``(h, w, channels)`` uint8
-    array (channels 1 or 3), or None outside scope (progressive SOF2,
-    arithmetic coding, 12-bit precision) — callers degrade to
-    passthrough exactly like the PNG/BMP paths.
+    array (channels 1 or 3) for BOTH baseline (SOF0/1) and progressive
+    (SOF2 — spectral selection, successive approximation, EOB runs)
+    streams, or None outside scope (arithmetic coding, lossless,
+    12-bit precision) — callers degrade to passthrough exactly like
+    the PNG/BMP paths.
 
     The entropy loop is per-coefficient Python (numpy does the IDCT) —
     fine for thumbnails/tests; swap a codec into the SAME mapInPandas
@@ -781,12 +784,16 @@ def _jpeg_decode(b: bytes) -> "Any | None":
     comps = None  # [(cid, hsamp, vsamp, qid)]
     h = w = None
     restart = 0
+    progressive = False
+    coefs: dict[int, Any] = {}  # cid -> (blocks_v, blocks_h, 64) zigzag ints
     pos = 2
     try:
         while pos + 4 <= len(b):
             if b[pos] != 0xFF:
                 return None
             marker = b[pos + 1]
+            if marker == 0xD9:  # EOI — progressive reconstruction point
+                break
             ln = int.from_bytes(b[pos + 2 : pos + 4], "big")
             seg = b[pos + 4 : pos + 2 + ln]
             if marker == 0xDB:  # DQT
@@ -813,9 +820,10 @@ def _jpeg_decode(b: bytes) -> "Any | None":
                     vals = list(seg[i + 17 : i + 17 + nv])
                     huff[(tc, th_)] = _huff_decode_table(bits, vals)
                     i += 17 + nv
-            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
                 if seg[0] != 8:
                     return None
+                progressive = marker == 0xC2
                 h = int.from_bytes(seg[1:3], "big")
                 w = int.from_bytes(seg[3:5], "big")
                 nc = seg[5]
@@ -824,27 +832,53 @@ def _jpeg_decode(b: bytes) -> "Any | None":
                     cid = seg[6 + 3 * c]
                     samp = seg[7 + 3 * c]
                     comps.append((cid, samp >> 4, samp & 0xF, seg[8 + 3 * c]))
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-                return None  # progressive / extended — out of scope
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                return None  # lossless / arithmetic / extended — out of scope
             elif marker == 0xDD:  # DRI
                 restart = int.from_bytes(seg[0:2], "big")
             elif marker == 0xDA:  # SOS — entropy data follows
                 if comps is None or h is None:
                     return None
                 ns = seg[0]
-                scan = {}
-                for c in range(ns):
-                    scan[seg[1 + 2 * c]] = (
-                        seg[2 + 2 * c] >> 4,
-                        seg[2 + 2 * c] & 0xF,
-                    )
                 data_start = pos + 2 + ln
-                return _jpeg_entropy_decode(
-                    b, data_start, h, w, comps, scan, qt, huff, restart
+                if not progressive:
+                    scan = {}
+                    for c in range(ns):
+                        scan[seg[1 + 2 * c]] = (
+                            seg[2 + 2 * c] >> 4,
+                            seg[2 + 2 * c] & 0xF,
+                        )
+                    return _jpeg_entropy_decode(
+                        b, data_start, h, w, comps, scan, qt, huff, restart
+                    )
+                scan_list = [
+                    (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+                    for c in range(ns)
+                ]
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+                if not coefs:
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    for cid, hs, vs, _ in comps:
+                        coefs[cid] = np.zeros(
+                            (mcuy * vs, mcux * hs, 64), dtype=np.int64
+                        )
+                end = _jpeg_prog_scan(
+                    b, data_start, scan_list, ss, se, ah, al,
+                    comps, coefs, huff, restart, w, h,
                 )
+                if end is None:
+                    return None
+                pos = end
+                continue
             pos += 2 + ln
     except (IndexError, KeyError, ValueError, EOFError):
         return None
+    if progressive and coefs:
+        return _jpeg_reconstruct(coefs, comps, qt, w, h)
     return None
 
 
@@ -1081,6 +1115,192 @@ def _jpeg_encode(
     return bytes(out)
 
 
+def _jpeg_prog_scan(
+    b, start, scan_list, ss, se, ah, al, comps, coefs, huff, restart, w, h
+):
+    """Decode ONE progressive scan (T.81 G.2) into the persistent
+    per-component zigzag coefficient arrays. Handles all four scan
+    kinds — DC first/refine (interleaved or single-component) and AC
+    first/refine (spectral selection + successive approximation with
+    EOB runs) — plus restart markers. Returns the byte offset of the
+    marker that ends the scan, or None on corruption."""
+    info = {cid: (hs, vs) for cid, hs, vs, _ in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    r = _BitReader(b, start)
+    pred = {cid: 0 for cid, _, _ in scan_list}
+    eobrun = 0
+
+    def dc_unit(cid, dc_tid, by, bx):
+        coef = coefs[cid][by, bx]
+        if ah == 0:
+            t = r.decode_huff(huff[(0, dc_tid)])
+            diff = _extend(r.read_bits(t), t) if t else 0
+            pred[cid] += diff
+            coef[0] = pred[cid] << al
+        else:  # refinement: one bit
+            if r.read_bit():
+                coef[0] |= 1 << al
+
+    def ac_unit(cid, ac_tid, by, bx):
+        nonlocal eobrun
+        coef = coefs[cid][by, bx]
+        tbl = huff[(1, ac_tid)]
+        if ah == 0:  # first pass for this band
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = r.decode_huff(tbl)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("AC overflow")
+                coef[k] = _extend(r.read_bits(size), size) << al
+                k += 1
+        else:  # refinement (libjpeg decode_mcu_AC_refine structure)
+            p1, m1 = 1 << al, -1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = r.decode_huff(tbl)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run < 15:
+                            # full count — the current block still owes
+                            # its trailing correction bits below, and
+                            # the decrement there covers it
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += r.read_bits(run)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history positions
+                    else:
+                        if size != 1:
+                            raise ValueError("bad refine size")
+                        val = p1 if r.read_bit() else m1
+                    while k <= se:
+                        this = coef[k]
+                        if this != 0:
+                            if r.read_bit() and (this & p1) == 0:
+                                coef[k] += p1 if this >= 0 else m1
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if val and k <= se:
+                        coef[k] = val
+                    k += 1
+            if eobrun > 0:  # correction bits through the band's end
+                while k <= se:
+                    this = coef[k]
+                    if this != 0:
+                        if r.read_bit() and (this & p1) == 0:
+                            coef[k] += p1 if this >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+    def decode_unit(cid, dc_tid, ac_tid, by, bx):
+        if ss == 0:
+            dc_unit(cid, dc_tid, by, bx)
+        else:
+            ac_unit(cid, ac_tid, by, bx)
+
+    try:
+        if len(scan_list) == 1:  # non-interleaved: true block raster order
+            cid, dc_tid, ac_tid = scan_list[0]
+            hs, vs = info[cid]
+            bw = -(-(-(-(w * hs) // hmax)) // 8)  # ceil(ceil(w·hs/hmax)/8)
+            bh = -(-(-(-(h * vs) // vmax)) // 8)
+            n_unit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and n_unit and n_unit % restart == 0:
+                        r.sync_restart()
+                        pred.update({c: 0 for c in pred})
+                        eobrun = 0
+                    n_unit += 1
+                    decode_unit(cid, dc_tid, ac_tid, by, bx)
+        else:  # interleaved MCU order (DC scans)
+            n_mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and n_mcu and n_mcu % restart == 0:
+                        r.sync_restart()
+                        pred.update({c: 0 for c in pred})
+                        eobrun = 0
+                    n_mcu += 1
+                    for cid, dc_tid, ac_tid in scan_list:
+                        hs, vs = info[cid]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                decode_unit(
+                                    cid, dc_tid, ac_tid,
+                                    my * vs + by, mx * hs + bx,
+                                )
+    except (IndexError, KeyError, ValueError, EOFError):
+        return None
+    pos = r.pos
+    if r.bit:  # skip the partially-consumed byte (and its stuffing)
+        pos += 2 if b[pos] == 0xFF else 1
+    while pos + 1 < len(b):  # tolerate pad bytes / stray RST before marker
+        if b[pos] == 0xFF and b[pos + 1] != 0x00 and not (
+            0xD0 <= b[pos + 1] <= 0xD7
+        ):
+            break
+        pos += 1
+    return pos
+
+
+def _jpeg_reconstruct(coefs, comps, qt, w, h):
+    """Shared inverse path for the progressive decoder: dequantize each
+    component's accumulated zigzag coefficients, IDCT per block,
+    upsample to the luma grid, YCbCr→RGB."""
+    import numpy as np
+
+    a = _dct_matrix()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out = []
+    for cid, hs, vs, qid in comps:
+        arr = coefs[cid]
+        bv, bh_ = arr.shape[:2]
+        plane = np.zeros((bv * 8, bh_ * 8), dtype=np.float64)
+        q = qt[qid]
+        for by in range(bv):
+            for bx in range(bh_):
+                nat = np.zeros(64, dtype=np.float64)
+                nat[_ZIGZAG] = arr[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    a.T @ (nat.reshape(8, 8) * q) @ a + 128.0
+                )
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        out.append(plane[:h, :w])
+    if len(out) == 1:
+        return (np.clip(out[0], 0, 255) + 0.5).astype(np.uint8)[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return (np.clip(rgb, 0, 255) + 0.5).astype(np.uint8)
+
+
 # --- GIF codec (GIF89a spec, LZW) ------------------------------------------
 
 
@@ -1289,9 +1509,248 @@ def _gif_resize(b: bytes, tw: int, th: int) -> bytes | None:
     return _gif_encode_indexed(idx[ys][:, xs], pal)
 
 
+def _jpeg_encode_progressive(px: "Any", quality: int = 85) -> bytes:
+    """Encode an ``(h, w, 1|3)`` uint8 array as a PROGRESSIVE JPEG
+    (SOF2, 4:4:4): a DC-first scan at Al=1, per-component AC spectral
+    scans at Al=1 with cross-block EOB runs, then DC and AC successive-
+    approximation refinement scans to Al=0 — the same four scan kinds
+    libjpeg's default progressive script uses, so every branch of the
+    progressive decoder has a test vector. Lossy exactly like the
+    baseline encoder at equal quality (identical quantized
+    coefficients ⇒ bit-identical decode, asserted in tests)."""
+    import numpy as np
+
+    h, w, nc = px.shape
+    scale = (5000 // quality if quality < 50 else 200 - 2 * quality) / 100.0
+    qtabs = []
+    for base in (_QLUM, _QCHR)[: (2 if nc == 3 else 1)]:
+        q = np.clip(np.round(np.array(base, dtype=np.float64) * scale), 1, 255)
+        qtabs.append(q)
+    if nc == 3:
+        f = px.astype(np.float64)
+        r_, g, b_ = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        planes = [
+            0.299 * r_ + 0.587 * g + 0.114 * b_,
+            -0.168736 * r_ - 0.331264 * g + 0.5 * b_ + 128.0,
+            0.5 * r_ - 0.418688 * g - 0.081312 * b_ + 128.0,
+        ]
+    else:
+        planes = [px[:, :, 0].astype(np.float64)]
+    a = _dct_matrix()
+    bx_n, by_n = -(-w // 8), -(-h // 8)
+    coefs = []  # per comp: (by_n, bx_n, 64) zigzag ints
+    for c in range(nc):
+        q = qtabs[0 if c == 0 else 1].reshape(8, 8)
+        arr = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                blk = np.full((8, 8), 128.0)
+                ys, xs = min(8, h - by * 8), min(8, w - bx * 8)
+                blk[:ys, :xs] = planes[c][
+                    by * 8 : by * 8 + ys, bx * 8 : bx * 8 + xs
+                ]
+                coef = np.round((a @ (blk - 128.0) @ a.T) / q).astype(int)
+                arr[by, bx] = coef.reshape(-1)[_ZIGZAG]
+        coefs.append(arr)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for qid, q in enumerate(qtabs):
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([qid])
+        out += bytes(int(q[_ZIGZAG[z]]) for z in range(64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+    # Progressive scans need EOBn symbols (run<<4|0 for n up to 14),
+    # which the Annex K BASELINE tables do not contain — define full-
+    # coverage tables instead: every (run, size) pair for sizes 0..10
+    # at a flat 8-bit code (176 symbols < 255, all-ones code unused),
+    # DC categories 0..11 at 4 bits. Suboptimal codes, full coverage.
+    ac_full = (
+        [0] * 7 + [176] + [0] * 8,
+        [(r << 4) | sz for r in range(16) for sz in range(11)],
+    )
+    dc_full = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+    specs = [(0, 0, dc_full), (1, 0, ac_full)]
+    if nc == 3:
+        specs += [(0, 1, dc_full), (1, 1, ac_full)]
+    enc_tabs = {}
+    for tc, th_, (bits, vals) in specs:
+        seg = bytes([(tc << 4) | th_]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+        enc_tabs[(tc, th_)] = _huff_encode_table(bits, vals)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        seg = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            t = 0 if cid == 1 else 1
+            seg += bytes([cid, (t << 4) | t])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + (len(seg) + 2).to_bytes(2, "big") + seg
+
+    class _Scan:
+        def __init__(self):
+            self.body = bytearray()
+            self.acc = 0
+            self.nbits = 0
+
+        def put(self, code: int, ln: int) -> None:
+            if ln == 0:
+                return
+            self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
+            self.nbits += ln
+            while self.nbits >= 8:
+                byte = (self.acc >> (self.nbits - 8)) & 0xFF
+                self.body.append(byte)
+                if byte == 0xFF:
+                    self.body.append(0x00)
+                self.nbits -= 8
+                self.acc &= (1 << self.nbits) - 1
+
+        def put_sym(self, tab, sym: int) -> None:
+            ln, code = tab[sym]
+            self.put(code, ln)
+
+        def put_val(self, v: int) -> None:
+            sz = abs(v).bit_length()
+            if sz:
+                self.put(v if v >= 0 else v + (1 << sz) - 1, sz)
+
+        def flush(self) -> bytes:
+            if self.nbits:
+                pad = 8 - self.nbits
+                self.put((1 << pad) - 1, pad)
+            return bytes(self.body)
+
+    al = 1  # first-pass point transform
+
+    # --- scan 1: DC first, interleaved, Ah=0 Al=1 ---
+    s = _Scan()
+    pred = [0] * nc
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for c in range(nc):
+                dc = int(coefs[c][by, bx, 0]) >> al
+                diff = dc - pred[c]
+                pred[c] = dc
+                s.put_sym(enc_tabs[(0, 0 if c == 0 else 1)], abs(diff).bit_length())
+                s.put_val(diff)
+    out += sos_header(list(range(1, nc + 1)), 0, 0, 0, al) + s.flush()
+
+    # --- per-component AC first scans, Ss=1..63, Ah=0 Al=1 ---
+    for c in range(nc):
+        s = _Scan()
+        ac_t = enc_tabs[(1, 0 if c == 0 else 1)]
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun > 0:
+                nb = eobrun.bit_length() - 1
+                s.put_sym(ac_t, nb << 4)
+                if nb:
+                    s.put(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        for by in range(by_n):
+            for bx in range(bx_n):
+                zz = coefs[c][by, bx]
+                r = 0
+                for k in range(1, 64):
+                    t = abs(int(zz[k])) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eobrun()
+                    while r > 15:
+                        s.put_sym(ac_t, 0xF0)
+                        r -= 16
+                    sz = t.bit_length()
+                    s.put_sym(ac_t, (r << 4) | sz)
+                    s.put_val(t if zz[k] >= 0 else -t)
+                    r = 0
+                if r:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+        out += sos_header([c + 1], 1, 63, 0, al) + s.flush()
+
+    # --- DC refinement, interleaved, Ah=1 Al=0 ---
+    s = _Scan()
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for c in range(nc):
+                s.put(int(coefs[c][by, bx, 0]) & 1, 1)
+    out += sos_header(list(range(1, nc + 1)), 0, 0, al, 0) + s.flush()
+
+    # --- per-component AC refinement, Ss=1..63, Ah=1 Al=0 ---
+    for c in range(nc):
+        s = _Scan()
+        ac_t = enc_tabs[(1, 0 if c == 0 else 1)]
+        eobrun = 0
+        pending = []  # correction bits owed with the next EOB-run flush
+
+        def flush_eobrun2():
+            nonlocal eobrun, pending
+            if eobrun > 0:
+                nb = eobrun.bit_length() - 1
+                s.put_sym(ac_t, nb << 4)
+                if nb:
+                    s.put(eobrun - (1 << nb), nb)
+                eobrun = 0
+            for bit in pending:
+                s.put(bit, 1)
+            pending = []
+
+        for by in range(by_n):
+            for bx in range(bx_n):
+                zz = coefs[c][by, bx]
+                absv = [abs(int(zz[k])) for k in range(64)]
+                eob = 0  # last NEWLY-significant index (libjpeg)
+                for k in range(1, 64):
+                    if absv[k] == 1:
+                        eob = k
+                r = 0
+                corr = []  # corrections since last emitted symbol
+                for k in range(1, 64):
+                    t = absv[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        flush_eobrun2()
+                        s.put_sym(ac_t, 0xF0)
+                        r -= 16
+                        for bit in corr:
+                            s.put(bit, 1)
+                        corr = []
+                    if t > 1:
+                        corr.append(t & 1)
+                        continue
+                    flush_eobrun2()
+                    s.put_sym(ac_t, (r << 4) | 1)
+                    s.put(1 if zz[k] >= 0 else 0, 1)
+                    for bit in corr:
+                        s.put(bit, 1)
+                    corr = []
+                    r = 0
+                if r > 0 or corr:
+                    eobrun += 1
+                    pending.extend(corr)
+                    if eobrun == 0x7FFF:
+                        flush_eobrun2()
+        flush_eobrun2()
+        out += sos_header([c + 1], 1, 63, al, 0) + s.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _jpeg_resize(b: bytes, tw: int, th: int) -> bytes | None:
-    """Real nearest-neighbor resize of a baseline JPEG — decode →
-    resample → re-encode (quality 85, 4:4:4)."""
+    """Real nearest-neighbor resize of a baseline or progressive JPEG —
+    decode → resample → re-encode (quality 85, baseline 4:4:4)."""
     import numpy as np
 
     px = _jpeg_decode(b)
@@ -1316,9 +1775,8 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     incl. 4:2:0 subsampling and restart markers, float IDCT, Annex-K
     re-encode) and GIFs (:func:`_gif_resize` — real LZW, resampled in
     INDEX space so the palette carries verbatim) are REALLY resampled
-    (nearest-neighbor) and their ``content`` bytes replaced; formats
-    with no spec codec here (progressive JPEG) pass through UNCHANGED
-    with
+    (nearest-neighbor) and their ``content`` bytes replaced; arithmetic-coded/lossless
+    JPEG variants pass through UNCHANGED with
     ``resize_applied = false`` — only the metadata records the target
     box. Plugging in PIL for those is a body-only change to
     ``_resize_batch``. The Spark-side contract is a single map-side pass

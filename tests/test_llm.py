@@ -1694,9 +1694,9 @@ def test_jpeg_codec_roundtrip_variants():
         assert out.shape == grad.shape, kw
         err = np.abs(out.astype(int) - grad.astype(int)).max()
         assert err <= tol, (kw, err)
-    # progressive SOF2 is out of scope and must degrade to None, not crash
+    # arithmetic-coded SOF9 is out of scope and must degrade to None
     b = bytearray(_jpeg_encode(grad))
-    b[b.index(b"\xff\xc0") + 1] = 0xC2
+    b[b.index(b"\xff\xc0") + 1] = 0xC9
     assert _jpeg_decode(bytes(b)) is None
 
 
@@ -1922,3 +1922,59 @@ def test_gif_frames_transparency_composites_over_previous():
         [[[255, 0, 0], [0, 255, 0]], [[255, 0, 0], [0, 255, 0]]], dtype=np.uint8
     )
     assert np.array_equal(frames[1], expect)
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Progressive (SOF2) decode support, cross-checked the strongest
+    way available: progressive and baseline encodes of the same array
+    at the same quality quantize to IDENTICAL coefficients, so the two
+    decodes must be bit-identical — any drift in the spectral-
+    selection / successive-approximation / EOB-run logic breaks
+    equality immediately."""
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode,
+        _jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(9)
+    cases = [
+        rng.integers(0, 256, (13, 21, 3), dtype=np.uint8),  # noisy, ragged
+        rng.integers(0, 256, (24, 16, 1), dtype=np.uint8),  # grayscale
+        np.full((24, 24, 3), 77, dtype=np.uint8),           # pure EOB runs
+    ]
+    grad = np.zeros((40, 40, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.linspace(0, 255, 40, dtype=np.uint8)[None, :]
+    cases.append(grad)                                       # long zero tails
+    for px in cases:
+        for q in (60, 85, 95):
+            base = _jpeg_decode(_jpeg_encode(px, quality=q))
+            prog = _jpeg_decode(_jpeg_encode_progressive(px, quality=q))
+            assert prog is not None, (px.shape, q)
+            assert np.array_equal(base, prog), (px.shape, q)
+
+
+def test_resize_and_features_cover_progressive_jpeg(spark, tmp_path):
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode_progressive,
+        extract_features,
+        read_binary_files,
+        resize_images,
+    )
+
+    px = np.full((16, 16, 3), 200, dtype=np.uint8)
+    (tmp_path / "p.jpg").write_bytes(_jpeg_encode_progressive(px, quality=95))
+    df = read_binary_files(spark, str(tmp_path))
+    row = resize_images(df, 4, 4).collect()[0]
+    assert row.resize_applied is True
+    out = _jpeg_decode(bytes(row.content))
+    assert out.shape == (4, 4, 3)
+    assert np.abs(out.astype(int) - 200).max() <= 8
+    feat = extract_features(df, features="real").collect()[0]
+    assert feat.features_real is True
+    assert abs(feat.features[0] - 200 / 255) < 0.02
