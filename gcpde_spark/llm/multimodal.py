@@ -8,7 +8,8 @@ signatures, batch shapes) is real and tested. Real stdlib-only codec
 coverage (published specs, no imaging/audio library):
 
 - header decode (``decode="real"``): PNG/GIF/BMP/JPEG dimensions +
-  channels, WAV + animated-GIF durations
+  channels, WAV + animated-GIF + MP3 (frame walk) + MP4 (mvhd/tkhd)
+  durations and dimensions
 - pixel decode + resize: uncompressed 24/32-bpp BMP; 8-bit
   non-interlaced PNG (full unfilter incl. Paeth, palette expansion,
   ``zlib``); JPEG — baseline AND progressive (T.81 Huffman entropy decode incl.
@@ -99,6 +100,10 @@ def _real_decode(content: bytes, media_type: str) -> dict[str, Any]:
     - BMP: BITMAPINFOHEADER width/height/bpp
     - JPEG: SOF0/1/2 frame header (height, width, components)
     - WAV: stdlib ``wave`` (channels, frame rate → duration_ms)
+    - MP3: MPEG-1 frame-header walk (ID3v2 skip, bitrate/sample-rate
+      tables, per-frame sample counts → channels + true duration)
+    - MP4: ISO BMFF box walk (moov/mvhd timescale → duration;
+      tkhd 16.16 fixed-point width/height)
 
     Unrecognized content degrades to all-null metadata rather than
     failing the batch (a 100 TB corpus always contains junk rows; route
@@ -146,11 +151,120 @@ def _real_decode(content: bytes, media_type: str) -> dict[str, Any]:
                 rate = w.getframerate()
                 if rate:
                     out["duration_ms"] = int(w.getnframes() * 1000 / rate)
+        elif _mp3_info(b) is not None:
+            out.update(_mp3_info(b))
+        elif _mp4_info(b) is not None:
+            out.update(_mp4_info(b))
     except Exception:
         return {
             "width": None, "height": None, "n_channels": None, "duration_ms": None
         }
     return out
+
+
+_MP3_BITRATES = {  # kbps, MPEG-1: (layer → table); index 1..14, 0/15 invalid
+    1: [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    2: [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    3: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+}
+_MP3_RATES = [44100, 48000, 32000]  # MPEG-1 sample-rate index
+
+
+def _mp3_info(b: bytes) -> "dict[str, Any] | None":
+    """Real MPEG-1 audio frame-header walk (ISO 11172-3): skip an ID3v2
+    tag, then step frame to frame via the header's bitrate/sample-rate
+    tables, summing samples-per-frame for the true duration. Returns
+    ``{n_channels, duration_ms}`` or None if the content is not a
+    well-formed MPEG-1 stream (≥2 coherent frames required, so random
+    bytes with a lucky sync word don't false-positive)."""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) > 10:  # ID3v2: syncsafe 28-bit size
+        pos = 10 + (
+            (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        )
+    frames = 0
+    samples = 0
+    rate = None
+    channels = None
+    per_frame = {1: 384, 2: 1152, 3: 1152}
+    while pos + 4 <= len(b):
+        h = b[pos : pos + 4]
+        if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+            break
+        version = (h[1] >> 3) & 0x3  # 3 = MPEG-1 (only version handled)
+        layer = 4 - ((h[1] >> 1) & 0x3)  # 1..3; (h>>1)&3==0 reserved
+        if version != 3 or layer not in (1, 2, 3):
+            break
+        br_idx = h[2] >> 4
+        sr_idx = (h[2] >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            break
+        bitrate = _MP3_BITRATES[layer][br_idx] * 1000
+        rate = _MP3_RATES[sr_idx]
+        pad = (h[2] >> 1) & 1
+        channels = 1 if (h[3] >> 6) == 3 else 2
+        if layer == 1:
+            size = (12 * bitrate // rate + pad) * 4
+        else:
+            size = 144 * bitrate // rate + pad
+        if size <= 4:
+            break
+        frames += 1
+        samples += per_frame[layer]
+        pos += size
+    if frames < 2 or not rate:
+        return None
+    return {
+        "n_channels": channels,
+        "duration_ms": int(samples * 1000 / rate),
+    }
+
+
+def _mp4_info(b: bytes) -> "dict[str, Any] | None":
+    """Real ISO BMFF (MP4) box walk: find ``moov/mvhd`` and return the
+    movie duration from its timescale (version 0 and 1 layouts), plus
+    width/height from the first ``tkhd`` when present. None when the
+    content is not a box stream with an ``ftyp``/``moov``."""
+    def boxes(lo: int, hi: int):
+        p = lo
+        while p + 8 <= hi:
+            size = int.from_bytes(b[p : p + 4], "big")
+            typ = b[p + 4 : p + 8]
+            body = p + 8
+            if size == 1:  # 64-bit largesize
+                size = int.from_bytes(b[p + 8 : p + 16], "big")
+                body = p + 16
+            if size < 8 or p + size > hi:
+                return
+            yield typ, body, p + size
+            p += size
+
+    if len(b) < 16 or b[4:8] not in (b"ftyp", b"moov", b"wide", b"free"):
+        return None
+    out: dict[str, Any] = {}
+    for typ, lo, hi in boxes(0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, lo2, hi2 in boxes(lo, hi):
+            if t2 == b"mvhd":
+                ver = b[lo2]
+                if ver == 1:
+                    scale = int.from_bytes(b[lo2 + 20 : lo2 + 24], "big")
+                    dur = int.from_bytes(b[lo2 + 24 : lo2 + 32], "big")
+                else:
+                    scale = int.from_bytes(b[lo2 + 12 : lo2 + 16], "big")
+                    dur = int.from_bytes(b[lo2 + 16 : lo2 + 20], "big")
+                if scale:
+                    out["duration_ms"] = int(dur * 1000 / scale)
+            elif t2 == b"trak" and "width" not in out:
+                for t3, lo3, hi3 in boxes(lo2, hi2):
+                    if t3 == b"tkhd":
+                        # width/height: last 8 bytes, 16.16 fixed point
+                        w_ = int.from_bytes(b[hi3 - 8 : hi3 - 4], "big") >> 16
+                        h_ = int.from_bytes(b[hi3 - 4 : hi3], "big") >> 16
+                        if w_ and h_:
+                            out["width"], out["height"] = w_, h_
+    return out if "duration_ms" in out else None
 
 
 def _gif_frame_delays(b: bytes) -> list[int]:

@@ -1978,3 +1978,52 @@ def test_resize_and_features_cover_progressive_jpeg(spark, tmp_path):
     feat = extract_features(df, features="real").collect()[0]
     assert feat.features_real is True
     assert abs(feat.features[0] - 200 / 255) < 0.02
+
+
+def _make_mp3(n_frames=3):
+    """MPEG-1 Layer III, 128 kbps, 44.1 kHz stereo, behind an ID3v2 tag."""
+    frame = bytes([0xFF, 0xFB, (9 << 4) | (0 << 2), 0x00])
+    frame += b"\x00" * (144 * 128000 // 44100 - 4)
+    return b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + b"\x00" * 10 + frame * n_frames
+
+
+def _make_mp4(duration_ms=2500, w=320, h=240):
+    def box(t, body):
+        return (len(body) + 8).to_bytes(4, "big") + t + body
+
+    mvhd = box(
+        b"mvhd",
+        bytes(4) + b"\x00" * 8 + (1000).to_bytes(4, "big")
+        + duration_ms.to_bytes(4, "big") + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + b"\x00" * 76
+        + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"),
+    )
+    return box(b"ftyp", b"isom" + b"\x00" * 12) + box(
+        b"moov", mvhd + box(b"trak", tkhd)
+    )
+
+
+def test_decode_media_real_mp3_and_mp4(spark, tmp_path):
+    """Audio/video metadata is now real spec-level decode: MP3 duration
+    from the MPEG-1 frame walk (3 frames × 1152 samples @44.1 kHz =
+    78 ms), MP4 duration/dimensions from the mvhd/tkhd boxes. Junk
+    bytes with the right extension still degrade to null metadata."""
+    from gcpde_spark.llm.multimodal import decode_media, read_binary_files
+
+    (tmp_path / "song.mp3").write_bytes(_make_mp3())
+    (tmp_path / "clip.mp4").write_bytes(_make_mp4())
+    (tmp_path / "junk.mp3").write_bytes(b"\xff\xfbnot really frames")
+    rows = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in decode_media(
+            read_binary_files(spark, str(tmp_path)), decode="real"
+        ).collect()
+    }
+    assert rows["song.mp3"].duration_ms == 78
+    assert rows["song.mp3"].n_channels == 2
+    assert rows["clip.mp4"].duration_ms == 2500
+    assert (rows["clip.mp4"].width, rows["clip.mp4"].height) == (320, 240)
+    assert rows["junk.mp3"].duration_ms is None
