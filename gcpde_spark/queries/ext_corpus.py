@@ -715,3 +715,26 @@ def c60(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("h", "event_type")
+
+
+@_q(
+    "c61_union_by_name",
+    """SELECT doc_id, n_chars, lang FROM (
+         SELECT * FROM (SELECT doc_id, n_chars FROM documents
+                        WHERE doc_id % 2 = 0)
+         UNION ALL BY NAME
+         SELECT * FROM (SELECT doc_id, lang FROM documents
+                        WHERE doc_id % 2 = 1))
+       ORDER BY doc_id""",
+    "schema-evolution union (§2B-10 variant): unionByName with "
+    "allowMissingColumns ↔ DuckDB UNION ALL BY NAME — columns align by "
+    "NAME, absent columns fill NULL. The operation a corpus of "
+    "heterogeneous snapshot schemas needs (positional UNION silently "
+    "mis-aligns after a column add); pure narrow union, no shuffle "
+    "beyond the presentation sort.",
+)
+def c61(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+    bdf = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang")
+    return a.unionByName(bdf, allowMissingColumns=True).orderBy("doc_id")
