@@ -738,3 +738,40 @@ def c61(spark: SparkSession, sf: str) -> DataFrame:
     a = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
     bdf = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang")
     return a.unionByName(bdf, allowMissingColumns=True).orderBy("doc_id")
+
+
+@_q(
+    "x10_hll_sketch_rollup",
+    None,  # sketch binary/estimate is engine-specific — rows-only + pytest
+    "mergeable distinct-count sketches (§2B-7 scale path): per-nation "
+    "DataSketches HLL over c_custkey (hll_sketch_agg), UNIONED up to "
+    "regions (hll_union_agg) and estimated there — the pre-aggregate-"
+    "once/merge-anywhere pattern that replaces COUNT(DISTINCT) at "
+    "100 TB: sketches are small fixed-size state, re-aggregable along "
+    "any rollup path without touching raw data again. Output carries "
+    "the exact per-region distinct alongside (custkeys are unique, so "
+    "the per-nation exact counts sum), and tests/test_corpus.py bounds "
+    "the sketch error and checks merge associativity.",
+)
+def x10(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact"),
+    )
+    return (
+        per_nation.join(
+            F.broadcast(nat), per_nation.c_nationkey == nat.n_nationkey
+        )
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr(
+                "CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)"
+            ).alias("est_distinct"),
+            F.sum("exact").cast("bigint").alias("exact_distinct"),
+        )
+        .orderBy("r_name")
+    )

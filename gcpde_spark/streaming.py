@@ -375,3 +375,76 @@ def curate_document_stream(
         .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
     )
+
+
+def running_corpus_totals(
+    df: DataFrame,
+    key_col: str = "source",
+    token_col: str = "n_tokens",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running document/token totals via Spark 4's
+    ``transformWithStateInPandas`` — the arbitrary-stateful-processing
+    API that succeeds ``applyInPandasWithState`` (see
+    :func:`stateful_running_counts` for the older form): state is
+    declared as named, typed handles on a ``StatefulProcessor`` (here
+    one ValueState holding ``(n_docs, n_tokens)``), with per-state TTL
+    instead of a single processor-wide timeout.
+
+    Emits ``(key, n_docs, n_tokens)`` with the updated running totals
+    for every key seen in each micro-batch — the live ingest counter a
+    crawl pipeline renders into its dashboard. State shards by key
+    across executors exactly like any keyed shuffle; TTL bounds state
+    for keys that stop arriving.
+
+    Runtime requirement: the transformWithState worker protocol needs
+    ``google.protobuf`` (not bundled with pyspark). Environments
+    without it should use :func:`stateful_running_counts` — the
+    processor logic itself is identical and is unit-tested directly
+    (tests/test_streaming.py) so the operator stays verified even
+    where the engine path can't run.
+    """
+    return df.groupBy(F.col(key_col)).transformWithStateInPandas(
+        CorpusTotalsProcessor(token_col, state_ttl_ms),
+        outputStructType="key string, n_docs bigint, n_tokens bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _stateful_processor_base():
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    return StatefulProcessor
+
+
+class CorpusTotalsProcessor(_stateful_processor_base()):
+    """The :func:`running_corpus_totals` processor, module-level so its
+    contract (accumulate across batches, emit running totals) is
+    directly unit-testable with a stub handle."""
+
+    def __init__(self, token_col: str = "n_tokens", state_ttl_ms: int | None = None):
+        self._token_col = token_col
+        self._ttl = state_ttl_ms
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "totals", "n_docs bigint, n_tokens bigint", self._ttl
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        docs = toks = 0
+        for pdf in rows:
+            docs += len(pdf)
+            toks += int(pdf[self._token_col].fillna(0).sum())
+        prev = self._state.get() if self._state.exists() else (0, 0)
+        total = (prev[0] + docs, prev[1] + toks)
+        self._state.update(total)
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_docs": [total[0]], "n_tokens": [total[1]]}
+        )
+
+    def close(self) -> None:
+        pass

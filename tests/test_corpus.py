@@ -117,3 +117,46 @@ def test_builtin_moments_match_exact_form(spark):
         # c50's outputs are rounded to 6dp, so compare at that granularity
         assert math.isclose(r["corr_b"], e["corr_qty_disc"], abs_tol=1e-6)
         assert math.isclose(r["sd_b"], e["stddev_disc"], abs_tol=1e-6)
+
+
+def test_hll_sketch_rollup_error_bound_and_associativity(spark):
+    """The x10 sketch pipeline: per-region estimates within 5% of the
+    exact distinct, and union-of-partial-sketches estimates the same
+    cardinality as one direct sketch (mergeability — the property that
+    makes sketches re-aggregable along any rollup path)."""
+    from gcpde_spark.catalog import load_table
+
+    rows = CORPUS["x10_hll_sketch_rollup"].build(spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r.est_distinct - r.exact_distinct) <= 0.05 * r.exact_distinct
+
+    cust = load_table(spark, SF_ORACLE, "customer")
+    merged = (
+        cust.groupBy("c_nationkey")
+        .agg(F.expr("hll_sketch_agg(c_custkey)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = cust.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(c_custkey))").alias("est")
+    ).collect()[0]["est"]
+    assert abs(merged - direct) <= 0.02 * max(direct, 1)
+
+
+def test_count_min_sketch_overestimates_only(spark):
+    """count_min_sketch: point estimates are never BELOW the true count
+    (CMS guarantee) and stay within eps·N above it."""
+    df = spark.range(2000).selectExpr("id % 10 AS g")
+    blob = bytes(
+        df.agg(
+            F.expr("count_min_sketch(g, 0.001d, 0.99d, 42)").alias("s")
+        ).collect()[0]["s"]
+    )
+    jvm = spark._jvm
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(blob)
+    )
+    for g in range(10):
+        est = sk.estimateCount(jvm.java.lang.Long(g))
+        assert 200 <= est <= 200 + int(0.001 * 2000) + 1, (g, est)

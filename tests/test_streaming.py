@@ -365,3 +365,94 @@ def test_curate_document_stream_equals_batch(spark, tmp_path):
     assert set(got_fps) == expected_fps
     # markup is gone from survivors
     assert got.where(F.col("clean_text").contains("<p>")).count() == 0
+
+
+def test_running_corpus_totals_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas (the Spark-4 arbitrary-state API):
+    per-source running doc/token totals must survive across micro-
+    batches. The engine path needs google.protobuf (the worker
+    protocol), absent in this container — skipped here; the processor
+    contract is unit-tested below either way."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from gcpde_spark.streaming import running_corpus_totals
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("n_tokens")
+    )
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    docs.coalesce(1).write.parquet(str(src_dir / "b1"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    totals = running_corpus_totals(stream, "source", "n_tokens")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.key: (r.n_docs, r.n_tokens)
+        for r in spark.table("t_tws").collect()
+    }
+    expected = {
+        r.source: (r.n, r.t)
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_corpus_totals_processor_accumulates_across_batches():
+    """The CorpusTotalsProcessor contract, driven directly with a stub
+    state handle: totals accumulate across handleInputRows calls (state
+    survives between micro-batches) and each call emits the updated
+    running total."""
+    import pandas as pd
+
+    from gcpde_spark.streaming import CorpusTotalsProcessor
+
+    class _StubState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def clear(self):
+            self._v = None
+
+    class _StubHandle:
+        def __init__(self):
+            self.state = _StubState()
+            self.ttl = "unset"
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.ttl = ttlDurationMs
+            return self.state
+
+    proc = CorpusTotalsProcessor("n_tokens", state_ttl_ms=60000)
+    handle = _StubHandle()
+    proc.init(handle)
+    assert handle.ttl == 60000
+
+    b1 = pd.DataFrame({"n_tokens": [10, 20, None]})
+    out1 = list(proc.handleInputRows(("web",), iter([b1]), None))[0]
+    assert (out1.n_docs[0], out1.n_tokens[0]) == (3, 30)
+
+    b2 = pd.DataFrame({"n_tokens": [5]})
+    out2 = list(proc.handleInputRows(("web",), iter([b2]), None))[0]
+    assert (out2.n_docs[0], out2.n_tokens[0]) == (4, 35)
