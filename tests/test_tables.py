@@ -493,3 +493,81 @@ def test_get_table_returns_catalog_metadata(store):
 
     with _pt.raises(TableNotFoundError):
         store.get_table("meta_ds", "nope")
+
+
+def test_replace_table_df_zorder_localizes_both_dimensions(spark, store):
+    """Z-order clustering: with two independent uniform columns, every
+    output file's min/max span must be materially narrower than the
+    full domain on BOTH columns — the multi-dimensional locality a
+    single-column range sort cannot give (its trailing column spans
+    the whole domain in every file)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("x"),
+        # decorrelated second dimension, uniform over [0, n)
+        F.pmod(F.xxhash64("id"), F.lit(n)).alias("y"),
+    )
+
+    def file_spans(ds, t):
+        loc = next(
+            r.data_type
+            for r in spark.sql(f"DESCRIBE FORMATTED `{ds}`.`{t}`").collect()
+            if r.col_name == "Location"
+        ).replace("file:", "")
+        spans = {"x": [], "y": []}
+        for f in sorted(glob.glob(f"{loc}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for col in range(2):  # x, y
+                name = md.row_group(0).column(col).path_in_schema
+                lo = min(
+                    md.row_group(i).column(col).statistics.min
+                    for i in range(md.num_row_groups)
+                )
+                hi = max(
+                    md.row_group(i).column(col).statistics.max
+                    for i in range(md.num_row_groups)
+                )
+                spans[name].append(hi - lo)
+        return spans
+
+    store.replace_table_df(
+        "z_ds", "zt", df.repartition(8),
+        cluster_by=["x", "y"], cluster_files=16, cluster_method="zorder",
+    )
+    z = file_spans("z_ds", "zt")
+    assert len(z["x"]) >= 8
+    # Z-order: BOTH dimensions localized — average file span well under
+    # the full domain (16 files over a 256x256 grid → ~1/4 per dim)
+    assert sum(z["x"]) / len(z["x"]) < 0.45 * n
+    assert sum(z["y"]) / len(z["y"]) < 0.45 * n
+
+    # control: range sort on x localizes x but leaves y full-span
+    store.replace_table_df(
+        "z_ds", "rt", df.repartition(8),
+        cluster_by=["x", "y"], cluster_files=16, cluster_method="range",
+    )
+    r = file_spans("z_ds", "rt")
+    assert sum(r["x"]) / len(r["x"]) < 0.1 * n        # x: near-perfect
+    assert sum(r["y"]) / len(r["y"]) > 0.9 * n        # y: no locality
+    # and z-order's x locality is (deliberately) coarser than pure range
+    assert sum(z["x"]) / len(z["x"]) > sum(r["x"]) / len(r["x"])
+
+
+def test_replace_table_df_zorder_handles_nulls_and_constants(spark, store):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("x"),
+        F.lit(7).alias("const"),
+        F.when(F.col("id") % 3 == 0, F.col("id")).alias("with_nulls"),
+    )
+    store.replace_table_df(
+        "z_ds", "edge", df,
+        cluster_by=["x", "const", "with_nulls"], cluster_method="zorder",
+    )
+    assert store.query("SELECT COUNT(*) AS n FROM z_ds.edge")[0]["n"] == 1000
