@@ -54,6 +54,7 @@ from gcpde_spark.llm.similarity import (
     embedding_near_dup_pairs,
     ivf_topk,
     lsh_topk,
+    profile_neighbors,
     quantize_embeddings,
     train_ivf_centroids,
     with_ivf_cells,
@@ -94,6 +95,7 @@ __all__ = [
     "split_train_val",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "profile_neighbors",
     "simhash_near_dup_pairs",
     "with_minhash_signature",
     "with_simhash",

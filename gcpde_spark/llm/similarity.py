@@ -444,3 +444,80 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+def profile_neighbors(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    top_k: int = 1,
+) -> DataFrame:
+    """Behavioral nearest neighbors: build each key's categorical
+    activity profile (count vector over ``cat_col``) and return its
+    ``top_k`` most cosine-similar other keys — "users who behave like
+    this user", the interaction-profile analog of document similarity
+    (cf. the distributed similarity-search literature, e.g. EDBT'19
+    streaming time-series search; pattern only).
+
+    Numerics: counts are exact BIGINTs, so dot products and squared
+    norms are exact; the one double expression (dot/√·/√·) is identical
+    IEEE ops on both engines, then quantized to micro-units so ranking
+    compares exact integers with a key tie-break — fully deterministic
+    (the corpus entry l33 hash-matches a DuckDB oracle).
+
+    Scale: the profile table is |keys|·|cats| rows; candidate pairs
+    come from an equi-join on the category (sparse dot product — only
+    overlapping categories pair), grouped once. Cost is bounded by
+    Σ_cat freq(cat)² — fine for bounded category vocabularies
+    (event types, domains, labels); for unbounded/high-cardinality
+    profiles route through the LSH/IVF paths (lsh_topk / ivf_topk)
+    over a hashed-feature vector instead.
+    """
+    from pyspark.sql import Window
+
+    p = df.groupBy(key_col, cat_col).agg(F.count(F.lit(1)).alias("_n"))
+    nrm = p.groupBy(key_col).agg(F.sum(F.col("_n") * F.col("_n")).alias("_s2"))
+    a = p.select(
+        F.col(key_col).alias("_ka"), F.col(cat_col).alias("_c"), F.col("_n").alias("_na")
+    )
+    b = p.select(
+        F.col(key_col).alias("_kb"), F.col(cat_col).alias("_c"), F.col("_n").alias("_nb")
+    )
+    dots = (
+        a.join(b, "_c")
+        .where(F.col("_ka") != F.col("_kb"))
+        .groupBy("_ka", "_kb")
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_dot"))
+    )
+    na = nrm.select(F.col(key_col).alias("_ka"), F.col("_s2").alias("_s2a"))
+    nb = nrm.select(F.col(key_col).alias("_kb"), F.col("_s2").alias("_s2b"))
+    sims = (
+        dots.join(na, "_ka")
+        .join(nb, "_kb")
+        .select(
+            "_ka",
+            "_kb",
+            F.round(
+                F.col("_dot").cast("double")
+                / F.sqrt(F.col("_s2a").cast("double"))
+                / F.sqrt(F.col("_s2b").cast("double"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("_sim_micro"),
+        )
+    )
+    w = Window.partitionBy("_ka").orderBy(
+        F.col("_sim_micro").desc(), F.col("_kb")
+    )
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_k)
+        .select(
+            F.col("_ka").alias(key_col),
+            F.col("_kb").alias("neighbor"),
+            F.col("_rn").cast("bigint").alias("rank"),
+            (F.round(F.col("_sim_micro").cast("double") / 1000000 * 10000) / 10000)
+            .alias("sim"),
+        )
+    )

@@ -775,3 +775,46 @@ def x10(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@_q(
+    "l33_profile_neighbors",
+    """WITH p AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1, 2),
+        nrm AS (SELECT user_id, SUM(n * n) AS s2 FROM p GROUP BY 1),
+        d AS (SELECT a.user_id AS ua, b.user_id AS ub,
+                     SUM(a.n * b.n) AS dot
+              FROM p a JOIN p b
+                ON a.event_type = b.event_type AND a.user_id <> b.user_id
+              GROUP BY 1, 2),
+        s AS (SELECT ua, ub,
+                     CAST(ROUND(CAST(dot AS DOUBLE)
+                                / sqrt(CAST(na.s2 AS DOUBLE))
+                                / sqrt(CAST(nb.s2 AS DOUBLE))
+                                * 1000000) AS BIGINT) AS sim_micro
+              FROM d JOIN nrm na ON na.user_id = ua
+                     JOIN nrm nb ON nb.user_id = ub),
+        r AS (SELECT ua, ub, sim_micro,
+                     ROW_NUMBER() OVER (PARTITION BY ua
+                       ORDER BY sim_micro DESC, ub) AS rn
+              FROM s)
+       SELECT ua AS user_id, ub AS neighbor, CAST(rn AS BIGINT) AS rank,
+              ROUND(CAST(sim_micro AS DOUBLE) / 1000000 * 10000) / 10000
+                AS sim
+       FROM r WHERE rn <= 1 ORDER BY user_id""",
+    "behavioral similarity search (§2D): each user's event-type count "
+    "profile, cosine nearest neighbor over the sparse dot-product join "
+    "(llm/similarity.py profile_neighbors) — the interaction-profile "
+    "analog of document similarity. Counts are exact BIGINTs; the one "
+    "double expression quantizes to micro-units before ranking, so the "
+    "top-1 is deterministic and hash-matches DuckDB. Candidate pairs "
+    "come only from shared categories (bounded vocabulary); unbounded "
+    "profiles route through lsh_topk/ivf_topk instead.",
+)
+def l33(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.similarity import profile_neighbors
+
+    e = load_table(spark, sf, "events")
+    return profile_neighbors(e, "user_id", "event_type", top_k=1).orderBy(
+        "user_id"
+    )

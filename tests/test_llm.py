@@ -2027,3 +2027,20 @@ def test_decode_media_real_mp3_and_mp4(spark, tmp_path):
     assert rows["clip.mp4"].duration_ms == 2500
     assert (rows["clip.mp4"].width, rows["clip.mp4"].height) == (320, 240)
     assert rows["junk.mp3"].duration_ms is None
+
+
+def test_profile_neighbors_planted_twin(spark):
+    """A user whose profile is an exact scaled copy of another's must be
+    their cosine-1.0 nearest neighbor; orthogonal profiles never pair."""
+    from gcpde_spark.llm.similarity import profile_neighbors
+
+    rows = (
+        [(1, "a")] * 4 + [(1, "b")] * 2      # user 1: (4, 2)
+        + [(2, "a")] * 8 + [(2, "b")] * 4    # user 2: (8, 4) = 2x user 1
+        + [(3, "c")] * 5                     # user 3: orthogonal
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {r.user_id: r for r in profile_neighbors(df, "user_id", "event_type").collect()}
+    assert got[1].neighbor == 2 and got[1].sim == 1.0
+    assert got[2].neighbor == 1 and got[2].sim == 1.0
+    assert 3 not in got  # no shared category → no candidate pair at all
