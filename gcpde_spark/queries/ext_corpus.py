@@ -818,3 +818,51 @@ def l33(spark: SparkSession, sf: str) -> DataFrame:
     return profile_neighbors(e, "user_id", "event_type", top_k=1).orderBy(
         "user_id"
     )
+
+
+@_q(
+    "c62_quality_checks",
+    """WITH agg AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c0,
+                CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                               AND (l_quantity < 1 OR l_quantity > 50)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                               AND l_returnflag NOT IN ('A', 'N', 'R')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                               AND (l_discount < 0 OR l_discount > 0.08)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c3
+         FROM lineitem)
+       SELECT chk.check, chk.n_violations, agg.n_rows
+       FROM agg, (SELECT 'not_null(l_quantity)' AS check, c0 AS n_violations FROM agg
+                  UNION ALL
+                  SELECT 'in_range(l_quantity,1,50)', c1 FROM agg
+                  UNION ALL
+                  SELECT 'accepted_values(l_returnflag)', c2 FROM agg
+                  UNION ALL
+                  SELECT 'in_range(l_discount,0,0.08)', c3 FROM agg) chk
+       ORDER BY chk.check""",
+    "data-quality constraint report (§2D extension): not-null / range / "
+    "accepted-values checks evaluated in ONE aggregation pass "
+    "(gcpde_spark/checks.py run_checks — every check is a conditional "
+    "count in the same hash-agg buffer, so N constraints cost one table "
+    "scan at 100 TB). The discount bound is deliberately tighter than "
+    "the data (0.08 < max 0.10) so the report carries real non-zero "
+    "violation counts the hash check certifies.",
+)
+def c62(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark import checks as ck
+
+    li = load_table(spark, sf, "lineitem")
+    return ck.run_checks(
+        li,
+        [
+            ck.not_null("l_quantity"),
+            ck.in_range("l_quantity", 1, 50),
+            ck.accepted_values("l_returnflag", ["A", "N", "R"]),
+            ck.in_range("l_discount", 0, 0.08),
+        ],
+    ).orderBy("check")
