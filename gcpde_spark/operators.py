@@ -253,3 +253,101 @@ def asof_join(
             F.when(within, F.col(rts)).otherwise(F.lit(None)).alias(rts),
         )
     return out
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis: how many users reach each step of
+    ``steps`` IN ORDER — step i counts only if it happens strictly
+    after the user's step i-1 (and, with ``within`` e.g. ``"7 days"``,
+    no later than that interval after it). The product-analytics
+    staple (view → click → purchase).
+
+    Returns ``(step: bigint, step_name, n_users: bigint)`` with one row
+    per step, n_users non-increasing.
+
+    Scale: one pass per step — filter to that step's events (predicate
+    pushdown to the scan), aggregate the per-user earliest qualifying
+    timestamp, join on user_id to the previous stage's result. Each
+    stage's state is one row per surviving user (shrinking), never the
+    raw event stream; no windows over the whole table, no sorts.
+    """
+    cur = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t0"))
+    )
+    counts = [("0", steps[0], cur.count())]
+    prev_t = "_t0"
+    for i, s in enumerate(steps[1:], start=1):
+        ev = df.where(F.col(type_col) == s).select(
+            F.col(user_col), F.col(ts_col).alias("_ts")
+        )
+        cond = F.col("_ts") > F.col(prev_t)
+        if within is not None:
+            cond = cond & (
+                F.col("_ts") <= F.col(prev_t) + F.expr(f"INTERVAL {within}")
+            )
+        nxt = f"_t{i}"
+        cur = (
+            cur.join(ev, user_col)
+            .where(cond)
+            .groupBy(user_col, prev_t)
+            .agg(F.min("_ts").alias(nxt))
+        )
+        prev_t = nxt
+        counts.append((str(i), s, cur.count()))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(i), name, int(n)) for i, name, n in counts],
+        "step bigint, step_name string, n_users bigint",
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    anchor: F.Column | None = None,
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    FIRST event (or first ``anchor``-matching event), counted as active
+    in each subsequent week offset — the (cohort, weeks-since) matrix
+    behind every retention curve.
+
+    Returns ``(cohort_week: date, week_offset: bigint,
+    n_active: bigint)``.
+
+    Scale: two keyed aggregations — per-user first-ts (shuffle on
+    user), then a distinct count per (cohort, offset) over the
+    activity projection joined to it. The cohort table is one row per
+    user; AQE broadcasts it when small, and both shuffles key on
+    uniform ids.
+    """
+    first = df
+    if anchor is not None:
+        first = df.where(anchor)
+    cohorts = first.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("_cohort")
+    )
+    acts = df.select(
+        F.col(user_col),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("_week"),
+    ).distinct()
+    return (
+        acts.join(cohorts, user_col)
+        .where(F.col("_week") >= F.col("_cohort"))
+        .groupBy(
+            F.col("_cohort").alias("cohort_week"),
+            (F.datediff("_week", "_cohort") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )

@@ -866,3 +866,71 @@ def c62(spark: SparkSession, sf: str) -> DataFrame:
             ck.in_range("l_discount", 0, 0.08),
         ],
     ).orderBy("check")
+
+
+@_q(
+    "c63_funnel",
+    """WITH s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        s1 AS (SELECT e.user_id, MIN(e.ts) AS t1
+               FROM events e JOIN s0 ON e.user_id = s0.user_id
+               WHERE e.event_type = 'click' AND e.ts > s0.t0
+                 AND e.ts <= s0.t0 + INTERVAL 7 DAY
+               GROUP BY e.user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+               FROM events e JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+                 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+               GROUP BY e.user_id)
+       SELECT * FROM (
+         SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_users
+         UNION ALL
+         SELECT 1, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)
+         UNION ALL
+         SELECT 2, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2))
+       ORDER BY step""",
+    "ordered funnel analysis (§2D events analytics): users reaching "
+    "view → click → purchase IN ORDER, each step within 7 days of the "
+    "previous one (operators.funnel_counts). Sequential-pattern "
+    "matching as per-stage filter+agg+join — each stage's state is one "
+    "row per surviving user, no whole-table window sorts; step "
+    "predicates push to the scan.",
+)
+def c63(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.operators import funnel_counts
+
+    e = load_table(spark, sf, "events")
+    return funnel_counts(
+        e, ["view", "click", "purchase"], within="7 days"
+    ).orderBy("step")
+
+
+@_q(
+    "c64_cohort_retention",
+    """WITH f AS (SELECT user_id,
+                         CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+                  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS DATE) AS wk
+              FROM events)
+       SELECT cohort AS cohort_week,
+              CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+              CAST(COUNT(*) AS BIGINT) AS n_active
+       FROM a JOIN f USING (user_id)
+       WHERE wk >= cohort
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+    "weekly cohort retention (§2D events analytics): users bucketed by "
+    "the ISO week of their first signup, counted as active per "
+    "subsequent week offset (operators.cohort_retention) — the matrix "
+    "behind every retention curve. Two keyed aggregations, cohort "
+    "table one row per user (broadcastable); both engines truncate "
+    "weeks to ISO Monday so the cohorts align exactly.",
+)
+def c64(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.operators import cohort_retention
+
+    e = load_table(spark, sf, "events")
+    return cohort_retention(
+        e, anchor=F.col("event_type") == "signup"
+    ).orderBy("cohort_week", "week_offset")

@@ -220,3 +220,55 @@ def test_interval_join_matches_naive_reference_on_random_inputs(spark):
         assert got == expected, (lefts, rights)
 
     check()
+
+
+def test_funnel_counts_order_and_window_semantics(spark):
+    """Step i counts only when strictly AFTER step i-1 and inside the
+    conversion window; out-of-order or too-late events don't convert."""
+    from datetime import datetime as dt
+
+    from gcpde_spark.operators import funnel_counts
+
+    rows = [
+        # user 1: full ordered funnel inside windows
+        (1, "view", dt(2024, 1, 1)), (1, "click", dt(2024, 1, 2)),
+        (1, "purchase", dt(2024, 1, 3)),
+        # user 2: click BEFORE view → stops after view
+        (2, "click", dt(2024, 1, 1)), (2, "view", dt(2024, 1, 2)),
+        # user 3: click too late (> 7 days after view)
+        (3, "view", dt(2024, 1, 1)), (3, "click", dt(2024, 1, 10)),
+        # user 4: never viewed → not even stage 0
+        (4, "purchase", dt(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r.step_name: r.n_users
+        for r in funnel_counts(
+            df, ["view", "click", "purchase"], within="7 days"
+        ).collect()
+    }
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from datetime import datetime as dt
+
+    from gcpde_spark.operators import cohort_retention
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1 signs up Mon 2024-01-01 week; active weeks 0 and 2
+        (1, "signup", dt(2024, 1, 2)), (1, "click", dt(2024, 1, 16)),
+        # user 2 same cohort, active week 0 only
+        (2, "signup", dt(2024, 1, 3)),
+        # user 3 never signs up → no cohort
+        (3, "click", dt(2024, 1, 4)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        (str(r.cohort_week), r.week_offset): r.n_active
+        for r in cohort_retention(
+            df, anchor=F.col("event_type") == "signup"
+        ).collect()
+    }
+    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 2): 1}
