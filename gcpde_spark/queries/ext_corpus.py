@@ -934,3 +934,192 @@ def c64(spark: SparkSession, sf: str) -> DataFrame:
     return cohort_retention(
         e, anchor=F.col("event_type") == "signup"
     ).orderBy("cohort_week", "week_offset")
+
+
+@_q(
+    "l34_outlier_days",
+    """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1, 2),
+        m AS (SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS nd,
+                     SUM(n) AS s1, SUM(n * n) AS s2
+              FROM d GROUP BY user_id)
+       SELECT d.user_id, d.day, d.n
+       FROM d JOIN m ON d.user_id = m.user_id
+       WHERE m.nd >= 3
+         AND CAST((m.nd * d.n - m.s1) * (m.nd * d.n - m.s1) AS DOUBLE)
+             > 4.0 * CAST(m.nd * m.s2 - m.s1 * m.s1 AS DOUBLE)
+       ORDER BY 1, 2""",
+    "per-entity anomaly days (§2D monitoring): a user's days whose "
+    "event count sits more than 2 population-σ from that user's own "
+    "mean. The z-score test |n−μ| > 2σ is algebraically rearranged to "
+    "(nd·n − s1)² > 4·(nd·s2 − s1²) — every term an EXACT BIGINT power "
+    "sum (the c50 discipline), so the comparison is exact integer "
+    "arithmetic cast to double only at the final compare: no sqrt, no "
+    "division, no order-dependence, bit-identical across engines. Two "
+    "keyed aggregations; the per-user moment table is one row per "
+    "user.",
+)
+def l34(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    d = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    m = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    dev = m["nd"] * d["n"] - m["s1"]
+    var_num = m["nd"] * m["s2"] - m["s1"] * m["s1"]
+    return (
+        d.join(m, "user_id")
+        .where(
+            (m["nd"] >= 3)
+            & ((dev * dev).cast("double") > F.lit(4.0) * var_num.cast("double"))
+        )
+        .select("user_id", "day", "n")
+        .orderBy("user_id", "day")
+    )
+
+
+@_q(
+    "c65_gaps_islands",
+    """WITH o AS (SELECT DISTINCT o_custkey AS k FROM orders
+                   WHERE o_totalprice > 150000),
+        g AS (SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp FROM o)
+       SELECT MIN(k) AS island_start, MAX(k) AS island_end,
+              CAST(COUNT(*) AS BIGINT) AS island_len
+       FROM g GROUP BY grp ORDER BY island_start""",
+    "gaps & islands (§2B-8 classic): maximal runs of consecutive "
+    "custkeys present in orders — the value-minus-row_number grouping "
+    "idiom (missing-id detection, contiguous-range compaction). One "
+    "distinct + one global-order window + one aggregate; at 100 TB "
+    "partition the window by a bucket of k (islands can't cross "
+    "buckets when bucket boundaries are excluded values, or stitch "
+    "boundary islands in a cheap second pass).",
+)
+def c65(spark: SparkSession, sf: str) -> DataFrame:
+    o = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    w = W.orderBy("k")
+    g = o.withColumn("grp", F.col("k") - F.row_number().over(w))
+    return (
+        g.groupBy("grp")
+        .agg(
+            F.min("k").alias("island_start"),
+            F.max("k").alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("island_len"),
+        )
+        .drop("grp")
+        .orderBy("island_start")
+    )
+
+
+@_q(
+    "c66_ratio_to_report",
+    """WITH r AS (SELECT n.n_name,
+                         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                           AS cents
+                  FROM orders o
+                  JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+                  GROUP BY n.n_name)
+       SELECT n_name,
+              CAST(cents AS DOUBLE) / 100.0 AS revenue,
+              ROUND(CAST(cents AS DOUBLE)
+                    / CAST(SUM(cents) OVER () AS DOUBLE) * 1000000)
+                / 1000000 AS share
+       FROM r ORDER BY n_name""",
+    "ratio-to-report window (§2B-8 variant): each nation's share of "
+    "global revenue via SUM() OVER () on the aggregated rows — the "
+    "percent-of-total reporting shape. The window runs over the "
+    "25-row aggregate, not the fact table; revenue sums in exact "
+    "integer cents so numerator and denominator are identical exact "
+    "values on both engines before the one double division.",
+)
+def c66(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents("o_totalprice")).alias("cents"))
+    )
+    w = W.partitionBy()
+    return r.select(
+        "n_name",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (
+            F.round(
+                F.col("cents").cast("double")
+                / F.sum("cents").over(w).cast("double")
+                * 1000000
+            )
+            / 1000000
+        ).alias("share"),
+    ).orderBy("n_name")
+
+
+@_q(
+    "l35_psi_drift",
+    """WITH ref AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+        cur AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
+        tot AS (SELECT (SELECT SUM(c) FROM ref) AS na,
+                       (SELECT SUM(c) FROM cur) AS nb)
+       SELECT r.lang,
+              r.c AS n_ref, cu.c AS n_cur,
+              CAST(ROUND((CAST(r.c AS DOUBLE) / na
+                          - CAST(cu.c AS DOUBLE) / nb)
+                         * ln((CAST(r.c + 1 AS DOUBLE) * (nb + 5))
+                              / (CAST(cu.c + 1 AS DOUBLE) * (na + 5)))
+                         * 1000000) AS BIGINT) AS psi_micro
+       FROM ref r JOIN cur cu ON r.lang = cu.lang CROSS JOIN tot
+       ORDER BY r.lang""",
+    "distribution-drift monitoring (§2D): per-bin population stability "
+    "index between two corpus snapshots (reference = even doc_ids, "
+    "current = odd) over the lang distribution — the standard "
+    "drift-alarm metric for an ingest pipeline. Counts are exact "
+    "BIGINTs; each bin's (p−q)·ln(p/q) term (add-one smoothed) "
+    "quantizes to integer micro-nats, so the per-bin values — and any "
+    "downstream SUM of them — are exact integers, order-independent "
+    "and engine-identical. Two strata aggregations + a 5-row join.",
+)
+def l35(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    ref = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ref"))
+    )
+    cur = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_cur"))
+    )
+    tot = ref.agg(F.sum("c_ref").alias("na")).crossJoin(
+        cur.agg(F.sum("c_cur").alias("nb"))
+    )
+    j = ref.join(cur, "lang").crossJoin(F.broadcast(tot))
+    term = (
+        F.col("c_ref").cast("double") / F.col("na")
+        - F.col("c_cur").cast("double") / F.col("nb")
+    ) * F.log(
+        ((F.col("c_ref") + 1).cast("double") * (F.col("nb") + 5))
+        / ((F.col("c_cur") + 1).cast("double") * (F.col("na") + 5))
+    )
+    return j.select(
+        "lang",
+        F.col("c_ref").alias("n_ref"),
+        F.col("c_cur").alias("n_cur"),
+        F.round(term * 1000000).cast("bigint").alias("psi_micro"),
+    ).orderBy("lang")
