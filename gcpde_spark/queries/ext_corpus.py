@@ -1123,3 +1123,90 @@ def l35(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_cur").alias("n_cur"),
         F.round(term * 1000000).cast("bigint").alias("psi_micro"),
     ).orderBy("lang")
+
+
+@_q(
+    "l36_tokenizer_fertility",
+    """WITH t AS (SELECT lang,
+                         CAST(len(string_split(trim(regexp_replace(lower(text),
+                              '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS toks,
+                         CAST(length(text) AS BIGINT) AS chars
+                  FROM documents WHERE text IS NOT NULL)
+       SELECT lang,
+              CAST(SUM(toks) AS BIGINT) AS n_tokens,
+              CAST(SUM(chars) AS BIGINT) AS n_chars,
+              ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(toks) * 10000) / 10000
+                AS chars_per_token
+       FROM t GROUP BY lang ORDER BY lang""",
+    "tokenizer-fertility monitoring (§2D): characters per token by "
+    "language — the compression-ratio table that tells you which "
+    "languages a tokenizer serves badly (high chars/token = cheap "
+    "text, low = token-hungry). Exact integer char/token sums per "
+    "stratum; one projection + one keyed aggregation. Swap the "
+    "whitespace tokenizer for a real BPE via the same token-count "
+    "column (llm/text.py with_token_counts) without changing the "
+    "aggregation.",
+)
+def l36(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.text import tokens
+
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    t = docs.select(
+        "lang",
+        F.size(tokens("text")).cast("bigint").alias("toks"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.sum("chars").cast("bigint").alias("n_chars"),
+            (
+                F.round(
+                    F.sum("chars").cast("double") / F.sum("toks") * 10000
+                )
+                / 10000
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "l37_dup_cluster_sizes",
+    """WITH g AS (SELECT md5(array_to_string(
+                           (string_split(trim(regexp_replace(lower(text),
+                             '\\s+', ' ', 'g')), ' '))[1:5], ' ')) AS fp,
+                         CAST(COUNT(*) AS BIGINT) AS sz
+                  FROM documents WHERE text IS NOT NULL GROUP BY 1)
+       SELECT sz AS cluster_size,
+              CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              CAST(SUM(sz) AS BIGINT) AS n_docs,
+              CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
+       FROM g GROUP BY sz ORDER BY sz""",
+    "dedup diagnostics (§2D): the duplicate-cluster size distribution "
+    "on a 5-token PREFIX fingerprint — shared openings are the "
+    "boilerplate signal, and the histogram (how many clusters of size "
+    "1, 2, k; how many docs a collapse would remove) is what justifies "
+    "or kills a dedup pass before running it. Swap the prefix "
+    "fingerprint for the full-text md5 to get the exact-dup version "
+    "(l28's dup-rate denominator). Two keyed aggregations on uniform "
+    "hash keys; no joins.",
+)
+def l37(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    from gcpde_spark.llm.text import tokens
+
+    prefix = F.array_join(F.slice(tokens("text"), 1, 5), " ")
+    g = docs.groupBy(F.md5(prefix).alias("fp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        g.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            (F.sum("sz") - F.count(F.lit(1))).cast("bigint").alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
