@@ -1210,3 +1210,59 @@ def l37(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@_q(
+    "c67_streaming_sliding",
+    """WITH w AS (SELECT event_type,
+                         unnest([date_trunc('hour', ts),
+                                 date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                           AS wstart
+                  FROM events)
+       SELECT CAST(wstart AS TIMESTAMP) AS wstart, event_type,
+              COUNT(*) AS n
+       FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    "second streaming shape under the hash gate (§2B-15): SLIDING "
+    "2-hour/1-hour windows via Spark's window() aggregation, consumed "
+    "as a bounded availableNow stream into a complete-mode memory "
+    "sink. The oracle expands each event into its two covering window "
+    "starts explicitly — the same assignment window() performs — so "
+    "the drained stream must hash-equal it exactly. Overlap factor = "
+    "duration/slide = 2 rows per event into the aggregation; at scale "
+    "the watermark variant (streaming.sliding_counts) bounds state.",
+)
+def c67(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "events")  # sets the nanos conf
+    raw = spark.read.parquet(f"{sf}/events.parquet")
+    name = "_c67_stream_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+            q.awaitTermination()
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    ts = F.col("ts")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    agg = (
+        stream.select(ts.alias("_ts"), "event_type")
+        .groupBy(F.window("_ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("wstart"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("wstart", "event_type")
