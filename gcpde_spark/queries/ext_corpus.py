@@ -1266,3 +1266,91 @@ def c67(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("wstart", "event_type")
+
+
+def _drain_stream(spark, agg, name):
+    """availableNow → complete-mode memory sink, idempotent per session."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+            q.awaitTermination()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _events_stream(spark, sf):
+    """The bounded events file stream with the nanos→timestamp projection."""
+    load_table(spark, sf, "events")  # sets the nanos conf
+    raw = spark.read.parquet(f"{sf}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return stream
+
+
+@_q(
+    "c68_streaming_enrich",
+    """SELECT c.c_mktsegment,
+              COUNT(*) AS n,
+              CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 4) AS DOUBLE)
+                AS sv
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1 ORDER BY 1""",
+    "stream-STATIC enrichment join under the hash gate (§2B-15): the "
+    "bounded event stream joined to the static customer dimension "
+    "(user_id keys into c_custkey in the testdata) and aggregated per "
+    "market segment — the canonical streaming-enrichment pattern "
+    "(dimension broadcast per micro-batch, no stream-side state). "
+    "Money sums use the exact integer-cents path, so the drained "
+    "complete-mode result hash-equals the batch join oracle.",
+)
+def c68(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    stream = _events_stream(spark, sf)
+    agg = (
+        stream.join(
+            F.broadcast(cust), stream.user_id == cust.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sv"))
+    )
+    return _drain_stream(spark, agg, "_c68_stream_sink").orderBy(
+        "c_mktsegment"
+    )
+
+
+@_q(
+    "c69_streaming_dedup",
+    """WITH d AS (SELECT DISTINCT event_id, event_type FROM events)
+       SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1 ORDER BY 1""",
+    "streaming deduplication under the hash gate (§2B-15): "
+    "dropDuplicates on the event key over the bounded stream, counted "
+    "per type in the same continuous query — equals batch DISTINCT "
+    "exactly because the dedup key is unique-per-row deterministic. "
+    "The production variant bounds state with "
+    "dropDuplicatesWithinWatermark (streaming.dedup_within_watermark, "
+    "parity-tested); this entry certifies the unbounded-state exact "
+    "form on the driver's own gate.",
+)
+def c69(spark: SparkSession, sf: str) -> DataFrame:
+    stream = _events_stream(spark, sf)
+    agg = (
+        stream.select("event_id", "event_type")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _drain_stream(spark, agg, "_c69_stream_sink").orderBy("event_type")
