@@ -1354,3 +1354,46 @@ def c69(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return _drain_stream(spark, agg, "_c69_stream_sink").orderBy("event_type")
+
+
+@_q(
+    "c70_streaming_sessions",
+    """WITH o AS (SELECT user_id, ts,
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS prev_ts
+                  FROM events),
+        m AS (SELECT user_id,
+                     CASE WHEN prev_ts IS NULL
+                            OR ts - prev_ts >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM o)
+       SELECT user_id,
+              CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+              CAST(COUNT(*) AS BIGINT) AS n_events
+       FROM m GROUP BY user_id ORDER BY user_id""",
+    "streaming SESSION windows under the hash gate (§2B-15): "
+    "session_window(ts, 30 min) per user over the bounded stream, "
+    "reduced to per-user session/event counts — hash-equal to the "
+    "gap-based LAG sessionization oracle (c45's construction), because "
+    "both define a session break as a ≥30-minute silence. The fourth "
+    "window type certified on the driver's own gate (tumbling c60, "
+    "sliding c67, dedup c69); the unbounded form takes a watermark "
+    "(streaming.session_counts).",
+)
+def c70(spark: SparkSession, sf: str) -> DataFrame:
+    stream = _events_stream(spark, sf)
+    # ONE stateful operator in the stream (chaining a second stateful
+    # agg without a watermark trips Spark's correctness check); the
+    # per-user rollup runs in batch on the drained sink table.
+    sessions = stream.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    drained = _drain_stream(spark, sessions, "_c70_stream_sink")
+    return (
+        drained.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("_n").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
