@@ -30,6 +30,8 @@ def curate_documents(
     keep_langs: tuple[str, ...] = ("en",),
     clean_markup: bool = False,
     min_mean_logprob: float | None = None,
+    quality_top_fraction: float | None = None,
+    quality_strata: tuple[str, ...] = (),
 ) -> DataFrame:
     """Standard curation: exact-dedup (keep smallest id per normalized
     text), drop short/low-quality docs, keep target languages; output
@@ -45,6 +47,13 @@ def curate_documents(
       log-probability (self-scored on the post-dedup corpus) falls
       below the floor — the perplexity-style garble gate. Adds the
       LM subplan (one extra explode + term window + doc agg + join).
+    - ``quality_top_fraction``: RELATIVE quality gate — keep only the
+      top fraction by ``quality_score`` within each stratum of
+      ``quality_strata`` columns from the input (empty = one global
+      stratum). The select_top_fraction composition (llm/curation.py);
+      unlike the absolute ``min_quality`` floor it adapts to the
+      corpus's own quality distribution per source/language. Adds one
+      rank-window exchange on the strata key.
 
     Single-shuffle plan: the dedup window is the only exchange the
     pipeline itself requires — the stats, language-ID and token-count
@@ -144,4 +153,21 @@ def curate_documents(
             .where(F.col("mean_logprob") >= min_mean_logprob)
             .drop("mean_logprob")
         )
+    if quality_top_fraction is not None:
+        from gcpde_spark.llm.curation import select_top_fraction
+
+        strata = list(quality_strata)
+        if strata:
+            out = out.join(df.select(id_col, *strata), id_col)
+        else:
+            out = out.withColumn("_stratum", F.lit("all"))
+            strata = ["_stratum"]
+        out = select_top_fraction(
+            out,
+            score_col="quality_score",
+            frac=quality_top_fraction,
+            strata_cols=strata,
+            id_col=id_col,
+        )
+        out = out.drop("_stratum")
     return out

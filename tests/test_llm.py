@@ -2044,3 +2044,31 @@ def test_profile_neighbors_planted_twin(spark):
     assert got[1].neighbor == 2 and got[1].sim == 1.0
     assert got[2].neighbor == 1 and got[2].sim == 1.0
     assert 3 not in got  # no shared category → no candidate pair at all
+
+
+def test_curate_documents_relative_quality_gate(spark):
+    """quality_top_fraction keeps the best half per stratum by
+    quality_score — and leaving it unset keeps the certified l14 plan
+    untouched (same rows)."""
+    from gcpde_spark.llm.pipeline import curate_documents
+
+    texts = []
+    for i in range(8):
+        # all-english docs with varying repetition → quality spread
+        body = ("the quick brown fox jumps over the lazy dog and then " * (i + 2))
+        texts.append((i, "web" if i % 2 == 0 else "books", body))
+    df = spark.createDataFrame(texts, "doc_id long, source string, text string")
+    base = curate_documents(df, min_quality=0.0, keep_langs=("en",))
+    gated = curate_documents(
+        df, min_quality=0.0, keep_langs=("en",),
+        quality_top_fraction=0.5, quality_strata=("source",),
+    )
+    nb, ng = base.count(), gated.count()
+    assert 0 < ng < nb and ng == -(-nb // 2)  # ceil per 2 equal strata
+    # survivors are the per-stratum top scorers
+    scores = {r.doc_id: r.quality_score for r in base.collect()}
+    kept = {r.doc_id for r in gated.collect()}
+    for src_name in ("web", "books"):
+        ids = [i for i in scores if (i % 2 == 0) == (src_name == "web")]
+        topk = sorted(ids, key=lambda i: (-scores[i], i))[: -(-len(ids) // 2)]
+        assert kept & set(ids) == set(topk)
