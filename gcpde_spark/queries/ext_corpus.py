@@ -1397,3 +1397,69 @@ def c70(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@_q(
+    "l38_snapshot_diff",
+    """WITH a AS (SELECT doc_id, source,
+                         md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                             'g'))) AS fp
+                  FROM documents WHERE doc_id % 10 <> 0),
+        b AS (SELECT doc_id, source,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN md5(trim(regexp_replace(lower(text) || ' v2',
+                               '\\s+', ' ', 'g')))
+                          ELSE md5(trim(regexp_replace(lower(text), '\\s+',
+                               ' ', 'g'))) END AS fp
+              FROM documents WHERE doc_id % 10 <> 1),
+        j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     COALESCE(a.source, b.source) AS source,
+                     CASE WHEN a.doc_id IS NULL THEN 'added'
+                          WHEN b.doc_id IS NULL THEN 'removed'
+                          WHEN a.fp <> b.fp THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
+       FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+    "snapshot diff (§2D ops): added / removed / changed / unchanged "
+    "document counts per source between two corpus versions (old = "
+    "ids %10≠0, new = ids %10≠1 with every 7th text mutated) — the "
+    "data-regression gate run before promoting a new snapshot. One "
+    "full outer join on the id + content-fingerprint compare; at "
+    "100 TB both sides bucket by doc_id so the join co-locates, and "
+    "the fingerprint avoids comparing full text bytes through the "
+    "shuffle.",
+)
+def l38(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.text import normalize_text
+
+    docs = load_table(spark, sf, "documents")
+    fp = F.md5(normalize_text(F.col("text")))
+    a = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "source", fp.alias("fp")
+    )
+    fp_b = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.md5(normalize_text(F.concat(F.col("text"), F.lit(" v2")))),
+    ).otherwise(F.md5(normalize_text(F.col("text"))))
+    b = docs.where(F.col("doc_id") % 10 != 1).select(
+        "doc_id", "source", fp_b.alias("fp")
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("source", "status")
+    )
