@@ -1463,3 +1463,62 @@ def l38(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("source", "status")
     )
+
+
+@_q(
+    "l39_vocab_novelty",
+    f"""WITH ref AS (SELECT DISTINCT unnest({_TOKS}) AS term, lang
+                     FROM documents WHERE doc_id % 2 = 0),
+        cur AS (SELECT DISTINCT unnest({_TOKS}) AS term, lang
+                FROM documents WHERE doc_id % 2 = 1),
+        nv AS (SELECT c.lang, c.term,
+                      CASE WHEN r.term IS NULL THEN 1 ELSE 0 END AS is_new
+               FROM cur c LEFT JOIN ref r
+                 ON c.term = r.term AND c.lang = r.lang)
+       SELECT lang,
+              CAST(COUNT(*) AS BIGINT) AS n_terms,
+              CAST(SUM(is_new) AS BIGINT) AS n_new,
+              ROUND(CAST(SUM(is_new) AS DOUBLE) / COUNT(*) * 10000) / 10000
+                AS novelty_rate
+       FROM nv GROUP BY lang ORDER BY lang""",
+    "vocabulary-drift monitoring (§2D), the lexical complement to "
+    "l35's distribution PSI: per-language fraction of the current "
+    "snapshot's vocabulary unseen in the reference snapshot — a "
+    "novelty spike means new domains/spam entering the crawl before "
+    "any distribution shift shows. Exact distinct-term sets per "
+    "stratum, one left join on (term, lang), exact integer counts; "
+    "the rate is one double division of exact values.",
+)
+def l39(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.llm.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    ex = lambda pred: (  # noqa: E731
+        docs.where(pred)
+        .select("lang", F.explode(tokens("text")).alias("term"))
+        .distinct()
+    )
+    ref = ex(F.col("doc_id") % 2 == 0).withColumnRenamed("term", "rterm")
+    cur = ex(F.col("doc_id") % 2 == 1)
+    nv = cur.join(
+        ref,
+        (cur.term == ref.rterm) & (cur.lang == ref.lang),
+        "left",
+    ).select(
+        cur.lang,
+        F.when(F.col("rterm").isNull(), 1).otherwise(0).alias("is_new"),
+    )
+    return (
+        nv.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("is_new").cast("bigint").alias("n_new"),
+            (
+                F.round(
+                    F.sum("is_new").cast("double") / F.count(F.lit(1)) * 10000
+                )
+                / 10000
+            ).alias("novelty_rate"),
+        )
+        .orderBy("lang")
+    )
