@@ -101,6 +101,18 @@ def main() -> None:
             wsamples.append(time.perf_counter() - t0)
         warm[name] = round(statistics.median(wsamples), 4)
 
+    # No-op job floor: the cost of ONE bare Spark job round-trip on this
+    # VM right now. At sf0.1 the DuckDB median per query (~0.02 s) is
+    # BELOW this floor, so per-query cold ratios measure JVM latency,
+    # not plans — recording the floor with every bench makes that
+    # decomposition auditable from the artifact alone (VERDICT r4).
+    floor_samples = []
+    for _ in range(max(RUNS, 3)):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        floor_samples.append(time.perf_counter() - t0)
+    noop_floor = round(statistics.median(floor_samples), 4)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
@@ -110,6 +122,7 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 4),
+        "noop_floor_s": noop_floor,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": RUNS,
         "cpus": int(cpus),
@@ -123,6 +136,26 @@ def main() -> None:
     # whole series lives in BENCH_SELF.json, committed like
     # CORRECTNESS_SELF.json so the evidence survives regardless of the
     # stdout cap.
+    spark.stop()
+
+    # Same-session DuckDB pair (ADVICE/VERDICT r4 item 6): run the
+    # baseline in-process AFTER spark.stop() (idle box — the condition
+    # BASELINE.md's hand runs used) so every BENCH_r{N}.json carries its
+    # own denominator and ratios never depend on cross-day VM drift.
+    # Disable with SPARK_GRAFT_BENCH_NO_DUCKDB=1 (e.g. for quick smokes).
+    duck = None
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_DUCKDB"):
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
+        try:
+            import duckdb_baseline
+
+            duck = duckdb_baseline.run(sf_dir, runs=RUNS, only=ONLY)
+        except Exception as e:  # noqa: BLE001 — the engine series must
+            # still be reported even if the baseline half fails
+            duck = {"error": str(e)[:200]}
+    if duck is not None:
+        payload["duckdb"] = duck
+
     Path(__file__).resolve().parent.joinpath("BENCH_SELF.json").write_text(
         json.dumps(payload) + "\n"
     )
@@ -142,13 +175,27 @@ def main() -> None:
         "n_queries": len(timings),
         "subset_totals": subsets,
         "warm_total": payload["warm_total"],
+        "noop_floor_s": noop_floor,
         "sf": payload["sf"],
         "runs": RUNS,
         "cpus": int(cpus),
         "full": "BENCH_SELF.json",
     }
+    if duck is not None and "total_df" in duck:
+        compact["duckdb_total_df"] = duck["total_df"]
+        # cold/warm totals over the ORACLE-BACKED subset only, so the
+        # ratio numerator and denominator cover the same queries
+        oracle_cold = sum(v for k, v in timings.items() if k in duck["queries"])
+        warm_keys = [k for k in warm if k in duck["queries"]]
+        oracle_warm = sum(warm[k] for k in warm_keys)
+        if duck["total_df"]:
+            compact["ratio_cold"] = round(oracle_cold / duck["total_df"], 3)
+            dwarm = sum(
+                duck["queries"][k]["df"] for k in warm_keys
+            )
+            if dwarm:
+                compact["ratio_warm"] = round(oracle_warm / dwarm, 3)
     print(json.dumps(compact, separators=(",", ":")))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -57,19 +57,21 @@ def run_checks(df: DataFrame, checks: list[tuple[str, Column]]) -> DataFrame:
     conditional counts live in the same hash-agg buffer, so the plan is
     one scan + one (1-row) aggregate regardless of check count.
     """
+    if not checks:
+        raise ValueError("run_checks requires at least one check")
     aggs = [F.count(F.lit(1)).cast("bigint").alias("_n_rows")] + [
         F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(f"_c{i}")
         for i, (_, pred) in enumerate(checks)
     ]
     row = df.agg(*aggs)
-    pairs = ", ".join(
-        f"'{name}', _c{i}" for i, (name, _) in enumerate(checks)
-    )
-    return (
-        row.select(
-            F.explode(F.expr(f"map({pairs})")).alias("check", "n_violations"),
-            F.col("_n_rows").alias("n_rows"),
-        )
+    # names enter as literal Columns, never interpolated into SQL text —
+    # a quote (or anything else) in a custom check name stays data
+    entries = []
+    for i, (name, _) in enumerate(checks):
+        entries.extend([F.lit(name), F.col(f"_c{i}")])
+    return row.select(
+        F.explode(F.create_map(*entries)).alias("check", "n_violations"),
+        F.col("_n_rows").alias("n_rows"),
     )
 
 

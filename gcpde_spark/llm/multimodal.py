@@ -20,13 +20,16 @@ coverage (published specs, no imaging/audio library):
   — ``resize_applied`` marks which rows got real pixel work
 - sample decode + features (``features="real"``): 8/16-bit PCM WAV →
   RMS/zero-crossings/FFT bands; BMP/PNG/JPEG/GIF → pixel
-  stats/histogram
+  stats/histogram; MPEG-1 Layer III → per-frame loudness envelope from
+  the side-info ``global_gain`` fields (real frame content — level
+  mean/peak/std + 8-bin time-energy profile, no Huffman/IMDCT needed)
 - frame inventory: animated-GIF per-frame delays/offsets (GCE parse)
 
-Everything outside that coverage (MP3, H.264) is
-STUBBED with deterministic content-hash stand-ins, each flagged per row
-(``resize_applied`` / ``features_real``) — swapping in PIL/pyav is a
-body-only change to the batch functions.
+Everything outside that coverage (H.264/video sample data; full MP3
+PCM reconstruction) is STUBBED with deterministic content-hash
+stand-ins, each flagged per row (``resize_applied`` /
+``features_real``) — swapping in PIL/pyav is a body-only change to the
+batch functions.
 
 Scale notes: ``binaryFile`` gives one row per file with the content as a
 single cell — fine for images/short audio; for long video, store
@@ -151,10 +154,8 @@ def _real_decode(content: bytes, media_type: str) -> dict[str, Any]:
                 rate = w.getframerate()
                 if rate:
                     out["duration_ms"] = int(w.getnframes() * 1000 / rate)
-        elif _mp3_info(b) is not None:
-            out.update(_mp3_info(b))
-        elif _mp4_info(b) is not None:
-            out.update(_mp4_info(b))
+        elif (info := _mp3_info(b)) is not None or (info := _mp4_info(b)) is not None:
+            out.update(info)
     except Exception:
         return {
             "width": None, "height": None, "n_channels": None, "duration_ms": None
@@ -218,6 +219,79 @@ def _mp3_info(b: bytes) -> "dict[str, Any] | None":
         "n_channels": channels,
         "duration_ms": int(samples * 1000 / rate),
     }
+
+
+def _bits_at(buf: bytes, bitpos: int, n: int) -> int:
+    """MSB-first bit-field read used by the MP3 side-info parser."""
+    out = 0
+    for i in range(n):
+        p = bitpos + i
+        out = (out << 1) | ((buf[p >> 3] >> (7 - (p & 7))) & 1)
+    return out
+
+
+def _mp3_frame_gains(
+    b: bytes,
+) -> "tuple[list[float], int, int] | tuple[None, None, None]":
+    """Per-frame loudness envelope of an MPEG-1 Layer III stream, parsed
+    from each frame's side-info ``global_gain`` fields (ISO 11172-3
+    §2.4.1.7 / §2.4.2.7) — REAL per-frame content, not a hash stand-in.
+
+    ``global_gain`` is the granule's quantizer step exponent: decoded
+    samples scale by ``2^((gain-210)/4)``, so the side info alone yields
+    the stream's true loudness envelope without the (orders-of-magnitude
+    larger) Huffman + IMDCT + synthesis-filterbank reconstruction.
+    Returns ``(per-frame mean linear gains, sample_rate, n_samples)`` or
+    ``(None, None, None)`` when the content is not a coherent ≥2-frame
+    MPEG-1 Layer III stream.
+    """
+    pos = 0
+    if b[:3] == b"ID3" and len(b) > 10:
+        pos = 10 + ((b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9])
+    gains: list[float] = []
+    rate = None
+    samples = 0
+    while pos + 4 <= len(b):
+        h = b[pos : pos + 4]
+        if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+            break
+        version = (h[1] >> 3) & 0x3
+        layer = 4 - ((h[1] >> 1) & 0x3)
+        if version != 3 or layer != 3:  # MPEG-1 Layer III only
+            break
+        br_idx = h[2] >> 4
+        sr_idx = (h[2] >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            break
+        bitrate = _MP3_BITRATES[3][br_idx] * 1000
+        rate = _MP3_RATES[sr_idx]
+        pad = (h[2] >> 1) & 1
+        mono = (h[3] >> 6) == 3
+        nch = 1 if mono else 2
+        size = 144 * bitrate // rate + pad
+        if size <= 4:
+            break
+        # side info follows the header (+2 CRC bytes when protection=0);
+        # per (granule, channel) block is 59 bits: part2_3_length(12),
+        # big_values(9), THEN global_gain(8), ...
+        si = pos + 4 + (2 if (h[1] & 1) == 0 else 0)
+        si_len = 17 if mono else 32
+        if si + si_len > len(b):
+            break
+        sib = b[si : si + si_len]
+        head_bits = 9 + (5 if mono else 3) + 4 * nch
+        lin = 0.0
+        for gr in range(2):
+            for ch in range(nch):
+                base = head_bits + (gr * nch + ch) * 59 + 12 + 9
+                g = _bits_at(sib, base, 8)
+                lin += 2.0 ** ((g - 210) / 4.0)
+        gains.append(lin / (2 * nch))
+        samples += 1152
+        pos += size
+    if len(gains) < 2 or not rate:
+        return None, None, None
+    return gains, rate, samples
 
 
 def _mp4_info(b: bytes) -> "dict[str, Any] | None":
@@ -344,10 +418,13 @@ def _real_features(content: bytes, media_type: str, dim: int) -> "list[float] | 
       (4+4 slots), 16-bin grayscale histogram, log-scaled width/height
     - audio (8/16-bit PCM WAV): RMS, peak, zero-crossing rate, 8
       log-spaced FFT band energy fractions, log duration
+    - audio (MPEG-1 Layer III): per-frame loudness envelope from the
+      REAL side-info global_gain fields (:func:`_mp3_frame_gains`) —
+      mean/peak/std level plus an 8-bin time-energy profile and log
+      duration, mirroring the WAV layout slot-for-slot
 
-    None when no spec codec covers the content (compressed audio,
-    video) — callers fall back to the hash stub and
-    flag the row."""
+    None when no spec codec covers the content (video) — callers fall
+    back to the hash stub and flag the row."""
     import numpy as np
 
     b = bytes(content or b"")
@@ -375,7 +452,25 @@ def _real_features(content: bytes, media_type: str, dim: int) -> "list[float] | 
     elif media_type == "audio":
         samples, rate = _wav_samples(b)
         if samples is None or not len(samples) or not rate:
-            return None
+            gains, grate, n_samp = _mp3_frame_gains(b)
+            if gains is None:
+                return None
+            g = np.asarray(gains, dtype=np.float64)
+            # level slots use the dB-domain gain normalized by the field
+            # range; the time profile uses linear energy fractions
+            db = np.log2(np.maximum(g, 1e-12)) * 4.0 + 210.0  # back to field units
+            mean_l = float(db.mean()) / 255.0
+            peak_l = float(db.max()) / 255.0
+            std_l = float(db.std()) / 255.0
+            edges = np.linspace(0, len(g), 9).astype(int)
+            tot = float((g**2).sum()) or 1.0
+            env = [
+                float((g[lo:hi] ** 2).sum()) / tot
+                for lo, hi in zip(edges[:-1], edges[1:])
+            ]
+            vec = [mean_l, peak_l, std_l, *env, np.log1p(n_samp / grate)]
+            vec = [float(v) for v in vec[:dim]]
+            return vec + [0.0] * (dim - len(vec))
         rms = float(np.sqrt(np.mean(samples**2)))
         peak = float(np.abs(samples).max())
         zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
@@ -460,8 +555,9 @@ def extract_features(
     ``features="real"`` computes true content statistics for everything
     the spec codecs cover — image pixel stats/histogram for BMP, PNG
     and baseline JPEG (:func:`_real_features`), PCM RMS/zero-crossings/
-    FFT band energies for WAV — and adds a ``features_real`` boolean
-    column; rows outside codec coverage (MP3, video) fall back to the
+    FFT band energies for WAV, side-info loudness envelopes for MP3 —
+    and adds a ``features_real`` boolean
+    column; rows outside codec coverage (video) fall back to the
     hash stub
     with ``features_real = false``. ``features="fake"`` (default) is the
     deterministic content-hash expansion — a STUB for a learned

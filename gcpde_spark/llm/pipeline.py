@@ -158,7 +158,18 @@ def curate_documents(
 
         strata = list(quality_strata)
         if strata:
-            out = out.join(df.select(id_col, *strata), id_col)
+            # join the strata under reserved aliases: the output schema
+            # must not change when strata are set, and a stratum named
+            # like an output column (e.g. n_tokens) must not collide
+            aliased = [f"_stratum_{i}" for i in range(len(strata))]
+            out = out.join(
+                df.select(
+                    id_col,
+                    *[F.col(s).alias(a) for s, a in zip(strata, aliased)],
+                ),
+                id_col,
+            )
+            strata = aliased
         else:
             out = out.withColumn("_stratum", F.lit("all"))
             strata = ["_stratum"]
@@ -169,5 +180,5 @@ def curate_documents(
             strata_cols=strata,
             id_col=id_col,
         )
-        out = out.drop("_stratum")
+        out = out.drop(*strata)
     return out

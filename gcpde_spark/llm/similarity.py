@@ -155,22 +155,39 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 13,
     multiprobe: bool = True,
+    hash_vec_col: str | None = None,
+    query_hash_vec_col: str | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: rank only candidates that share a bucket
     with the query (multi-probe: plus every bucket at Hamming distance 1,
     which lifts recall sharply for near-boundary vectors at ~n_planes×
     the probe fan-out — still a tiny fraction of N).
 
+    ``hash_vec_col``/``query_hash_vec_col`` optionally hash a DIFFERENT
+    column than the one scored (scores always come from ``vec_col``):
+    all-positive vector families (count profiles, tf vectors) lie in one
+    orthant, which origin-crossing hyperplanes split poorly — hashing a
+    per-vector mean-centered copy spreads them across orthants while
+    scaled copies keep identical centered directions (same bucket).
+
     Same output shape/ordering contract as :func:`brute_force_topk`;
     recall vs brute force is property-tested (tests/test_llm.py).
     """
+    e_base = spread(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        _dvec(vec_col).alias("_v"),
+        *([_dvec(hash_vec_col).alias("_hv")] if hash_vec_col else []),
+    )
     e = with_lsh_buckets(
-        spread(embeddings).select(F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("_v")),
-        "_v", dim, n_planes, seed,
+        e_base, "_hv" if hash_vec_col else "_v", dim, n_planes, seed,
     ).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    q_base = queries.select(
+        F.col(query_id_col).alias("qid"),
+        _dvec(query_vec_col).alias("_qv"),
+        *([_dvec(query_hash_vec_col).alias("_qhv")] if query_hash_vec_col else []),
+    )
     q = with_lsh_buckets(
-        queries.select(F.col(query_id_col).alias("qid"), _dvec(query_vec_col).alias("_qv")),
-        "_qv", dim, n_planes, seed,
+        q_base, "_qhv" if query_hash_vec_col else "_qv", dim, n_planes, seed,
     ).withColumn("_qnorm", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
     if multiprobe:
         probes = F.array(
@@ -446,11 +463,30 @@ def embedding_near_dup_pairs(
     )
 
 
+def profile_pair_bound(profiles: DataFrame, cat_col: str) -> int:
+    """Σ_cat freq(cat)² — the exact-path candidate-pair upper bound for
+    :func:`profile_neighbors` (``profiles`` is the (key, cat, _n) table).
+    One keyed count + a scalar aggregate; collected as a single number.
+    """
+    row = (
+        profiles.groupBy(cat_col)
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .agg(F.sum(F.col("_f") * F.col("_f")).alias("_p"))
+        .collect()
+    )
+    return int(row[0][0] or 0)
+
+
 def profile_neighbors(
     df: DataFrame,
     key_col: str,
     cat_col: str,
     top_k: int = 1,
+    method: str = "auto",
+    candidate_budget: int = 50_000_000,
+    n_planes: int = 16,
+    seed: int = 13,
+    max_categories: int = 4096,
 ) -> DataFrame:
     """Behavioral nearest neighbors: build each key's categorical
     activity profile (count vector over ``cat_col``) and return its
@@ -459,23 +495,43 @@ def profile_neighbors(
     (cf. the distributed similarity-search literature, e.g. EDBT'19
     streaming time-series search; pattern only).
 
-    Numerics: counts are exact BIGINTs, so dot products and squared
-    norms are exact; the one double expression (dot/√·/√·) is identical
-    IEEE ops on both engines, then quantized to micro-units so ranking
-    compares exact integers with a key tie-break — fully deterministic
-    (the corpus entry l33 hash-matches a DuckDB oracle).
+    Numerics (exact path): counts are exact BIGINTs, so dot products
+    and squared norms are exact; the one double expression (dot/√·/√·)
+    is identical IEEE ops on both engines, then quantized to
+    micro-units so ranking compares exact integers with a key
+    tie-break — fully deterministic (the corpus entry l33 hash-matches
+    a DuckDB oracle).
 
-    Scale: the profile table is |keys|·|cats| rows; candidate pairs
-    come from an equi-join on the category (sparse dot product — only
-    overlapping categories pair), grouped once. Cost is bounded by
-    Σ_cat freq(cat)² — fine for bounded category vocabularies
-    (event types, domains, labels); for unbounded/high-cardinality
-    profiles route through the LSH/IVF paths (lsh_topk / ivf_topk)
-    over a hashed-feature vector instead.
+    Scale — and the honest cost model: the exact path's candidate
+    pairs come from an equi-join on the category, so its cost is
+    Σ_cat freq(cat)² where freq(cat) = #keys active in that category.
+    With a BOUNDED category vocabulary (event types: ~5 values) nearly
+    every key has every category, freq(cat) ≈ N, and the join is
+    ~N²/|cats| — all-pairs in disguise. The exact path is therefore
+    only safe when activity is sparse (freq(cat) ≪ N per category).
+    ``method="auto"`` (default) measures Σ freq(cat)² with one cheap
+    keyed count (scalar collect) and routes to the LSH path when it
+    exceeds ``candidate_budget``: profiles are densified into a
+    |cats|-dim count vector and self-searched with
+    :func:`lsh_topk` (bucketed candidates, never all-pairs) —
+    approximate, seed-deterministic. ``method="exact"`` /
+    ``method="lsh"`` force a route. Vocabularies wider than
+    ``max_categories`` raise — use :func:`lsh_topk` over a
+    hashed-feature vector for unbounded profiles.
     """
     from pyspark.sql import Window
 
     p = df.groupBy(key_col, cat_col).agg(F.count(F.lit(1)).alias("_n"))
+    if method not in ("auto", "exact", "lsh"):
+        raise ValueError(f"unknown method {method!r}; use auto|exact|lsh")
+    if method == "auto":
+        method = (
+            "lsh" if profile_pair_bound(p, cat_col) > candidate_budget else "exact"
+        )
+    if method == "lsh":
+        return _profile_neighbors_lsh(
+            p, key_col, cat_col, top_k, n_planes, seed, max_categories
+        )
     nrm = p.groupBy(key_col).agg(F.sum(F.col("_n") * F.col("_n")).alias("_s2"))
     a = p.select(
         F.col(key_col).alias("_ka"), F.col(cat_col).alias("_c"), F.col("_n").alias("_na")
@@ -519,5 +575,104 @@ def profile_neighbors(
             F.col("_rn").cast("bigint").alias("rank"),
             (F.round(F.col("_sim_micro").cast("double") / 1000000 * 10000) / 10000)
             .alias("sim"),
+        )
+    )
+
+
+def _profile_neighbors_lsh(
+    p: DataFrame,
+    key_col: str,
+    cat_col: str,
+    top_k: int,
+    n_planes: int,
+    seed: int,
+    max_categories: int,
+) -> DataFrame:
+    """Bucketed route for :func:`profile_neighbors`: densify each key's
+    (category → count) profile into a |cats|-dim vector and self-search
+    with :func:`lsh_topk`.
+
+    Candidate pairs are bounded by Σ_bucket size(bucket)² — sub-quadratic
+    whenever the hyperplane buckets split the population (property-tested
+    on the degenerate 10k-keys × 3-categories case the exact path cannot
+    survive). The category vocabulary is collected once (bounded by
+    ``max_categories`` — a driver-side list the size of an enum, the same
+    sanctioned pattern as the IVF training sample).
+    """
+    from pyspark.sql import Window
+
+    cats = [
+        r[0]
+        for r in p.select(cat_col)
+        .distinct()
+        .orderBy(cat_col)
+        .limit(max_categories + 1)
+        .collect()
+    ]
+    if len(cats) > max_categories:
+        raise ValueError(
+            f"profile vocabulary exceeds max_categories={max_categories}; "
+            "use lsh_topk over a hashed-feature vector for unbounded profiles"
+        )
+    dim = len(cats)
+    idx = F.create_map(
+        *[x for i, c in enumerate(cats) for x in (F.lit(c), F.lit(i))]
+    )
+    vecs = (
+        p.withColumn("_idx", idx[F.col(cat_col)])
+        .groupBy(key_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_idx"), F.col("_n")))
+            ).alias("_m")
+        )
+        .select(
+            key_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)).cast(
+                    "double"
+                ),
+            ).alias("_vec"),
+        )
+    )
+    # hash a per-vector mean-centered copy: count profiles are all-
+    # positive (one orthant — origin hyperplanes split them poorly);
+    # centering spreads directions while scaled twins stay bucket-equal.
+    # Scoring below still uses the RAW profile (exact cosine).
+    mean = F.aggregate(
+        F.col("_vec"), F.lit(0.0), lambda a, b: a + b
+    ) / F.lit(float(dim))
+    vecs = vecs.withColumn(
+        "_hvec", F.transform(F.col("_vec"), lambda x: x - mean)
+    )
+    hits = lsh_topk(
+        vecs,
+        vecs.select(
+            F.col(key_col).alias("_qk"),
+            F.col("_vec").alias("_qv"),
+            F.col("_hvec").alias("_qhv"),
+        ),
+        k=top_k + 1,
+        id_col=key_col,
+        vec_col="_vec",
+        query_id_col="_qk",
+        query_vec_col="_qv",
+        dim=dim,
+        n_planes=n_planes,
+        seed=seed,
+        multiprobe=True,
+        hash_vec_col="_hvec",
+        query_hash_vec_col="_qhv",
+    ).where(F.col("qid") != F.col("vec_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_k)
+        .select(
+            F.col("qid").alias(key_col),
+            F.col("vec_id").alias("neighbor"),
+            F.col("_rn").cast("bigint").alias("rank"),
+            F.col("score").alias("sim"),
         )
     )

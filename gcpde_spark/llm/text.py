@@ -733,25 +733,47 @@ def top_ngrams(
     by occurrence count (ties broken lexicographically).
 
     Scale: the linear explode+lead shingle path (no O(len²) HOF), one
-    count aggregation keyed by the n-gram, and a rank window over only
-    the aggregated (distinct-ngram) rows. Skew-safe: the aggregation
-    key is the n-gram itself and partial aggregation collapses repeats
-    map-side before the shuffle.
+    count aggregation keyed by the n-gram, then a global top-k via
+    ``orderBy(...).limit(k)`` — Spark plans that as
+    TakeOrderedAndProject (map-side partial top-k per partition, then
+    a k-row merge), so the distinct-n-gram table (billions of rows at
+    corpus scale) is never globally sorted or moved to one partition.
+    Ranks come from sorting the k surviving rows inside ONE array
+    (``collect_list`` → ``array_sort`` → ``posexplode``) — a k-row
+    aggregate, not a WindowExec, so no single-partition window exists
+    anywhere in the plan (``plans.audit`` flags that class now).
+    Skew-safe: the aggregation key is the n-gram itself and partial
+    aggregation collapses repeats map-side before the shuffle.
     """
     from gcpde_spark.llm.dedup import _exploded_shingles
-
-    from pyspark.sql import Window
 
     sh = _exploded_shingles(df, id_col, text_col, n)
     counts = sh.groupBy("_s").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         F.countDistinct("_vid").cast("bigint").alias("n_docs"),
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("_s").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
-        .select(F.col("_s").alias("ngram"), "n_occurrences", "n_docs", "rank")
+    topk = counts.orderBy(F.col("n_occurrences").desc(), F.col("_s").asc()).limit(k)
+    # rank = position in the (count DESC, ngram ASC) order; struct sort is
+    # ascending on the leading field, so sort on the negated count
+    packed = topk.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("n_occurrences")).alias("_neg"),
+                    F.col("_s").alias("ngram"),
+                    F.col("n_occurrences").alias("n_occurrences"),
+                    F.col("n_docs").alias("n_docs"),
+                )
+            )
+        ).alias("_a")
+    )
+    return packed.select(
+        F.posexplode("_a").alias("_pos", "_e")
+    ).select(
+        F.col("_e.ngram").alias("ngram"),
+        F.col("_e.n_occurrences").alias("n_occurrences"),
+        F.col("_e.n_docs").alias("n_docs"),
+        (F.col("_pos") + 1).cast("bigint").alias("rank"),
     )
 
 

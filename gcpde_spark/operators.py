@@ -272,41 +272,65 @@ def funnel_counts(
     Returns ``(step: bigint, step_name, n_users: bigint)`` with one row
     per step, n_users non-increasing.
 
-    Scale: one pass per step — filter to that step's events (predicate
-    pushdown to the scan), aggregate the per-user earliest qualifying
-    timestamp, join on user_id to the previous stage's result. Each
-    stage's state is one row per surviving user (shrinking), never the
-    raw event stream; no windows over the whole table, no sorts.
+    Scale: ONE job, ONE scan, ONE shuffle. The event table is filtered
+    to the step types (pushed-down IN predicate), collapsed to one row
+    per user carrying that user's (ts, type) pairs, and the ordered
+    funnel walk is chained codegen array expressions: step i's earliest
+    qualifying timestamp is ``array_min(filter(events, e -> e.type =
+    stepᵢ AND e.ts > tᵢ₋₁ [AND e.ts ≤ tᵢ₋₁ + within]))``. The final
+    per-step counts are a single global aggregate of NULL-ness
+    indicators, unpivoted to rows — the whole operator is lazy (no
+    per-step ``count()`` actions, no driver ``createDataFrame``).
+    Per-user state is that user's funnel-step events only (bounded by
+    per-user activity, the standard funnel assumption), never the raw
+    stream; no windows over the whole table, no sorts.
     """
-    cur = (
-        df.where(F.col(type_col) == steps[0])
+    evs = (
+        df.where(F.col(type_col).isin(list(steps)))
         .groupBy(user_col)
-        .agg(F.min(ts_col).alias("_t0"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("tp"))
+            ).alias("_evs")
+        )
     )
-    counts = [("0", steps[0], cur.count())]
-    prev_t = "_t0"
-    for i, s in enumerate(steps[1:], start=1):
-        ev = df.where(F.col(type_col) == s).select(
-            F.col(user_col), F.col(ts_col).alias("_ts")
+    gap = F.expr(f"INTERVAL {within}") if within is not None else None
+
+    def _qualifies(s, p):
+        def cond(e):
+            c = e["tp"] == s
+            if p is not None:
+                c = c & (e["ts"] > p)
+                if gap is not None:
+                    c = c & (e["ts"] <= p + gap)
+            return c
+
+        return cond
+
+    cur = evs
+    prev_t: F.Column | None = None
+    for i, s in enumerate(steps):
+        cond = _qualifies(s, prev_t)
+        cur = cur.withColumn(
+            f"_t{i}",
+            F.array_min(
+                F.transform(F.filter(F.col("_evs"), cond), lambda e: e["ts"])
+            ),
         )
-        cond = F.col("_ts") > F.col(prev_t)
-        if within is not None:
-            cond = cond & (
-                F.col("_ts") <= F.col(prev_t) + F.expr(f"INTERVAL {within}")
-            )
-        nxt = f"_t{i}"
-        cur = (
-            cur.join(ev, user_col)
-            .where(cond)
-            .groupBy(user_col, prev_t)
-            .agg(F.min("_ts").alias(nxt))
-        )
-        prev_t = nxt
-        counts.append((str(i), s, cur.count()))
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(int(i), name, int(n)) for i, name, n in counts],
-        "step bigint, step_name string, n_users bigint",
+        prev_t = F.col(f"_t{i}")
+    totals = cur.agg(
+        *[
+            F.coalesce(
+                F.sum(F.col(f"_t{i}").isNotNull().cast("bigint")), F.lit(0)
+            ).alias(f"_n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), '{s}', _n{i}" for i, s in enumerate(steps)
+    )
+    return totals.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step, step_name, n_users)"
     )
 
 

@@ -38,7 +38,64 @@ class PlanReport:
     arrow_udfs: bool  # ArrowEvalPython present (sanctioned, but flagged)
     unkeyed_joins: bool  # cartesian / broadcast-nested-loop present
     codegen_stages: int  # whole-stage codegen span count
+    global_windows: int  # Window nodes with an empty partition spec
+    # over a child that is not an explicit LIMIT — Spark moves ALL the
+    # child's rows into ONE partition for such a window ("WARN
+    # WindowExec: No Partition Defined"), the single worst scale
+    # hazard a correct plan can hide
     plan: str = field(repr=False, default="")
+
+
+def _count_global_windows(plan: str) -> int:
+    """Count physical ``Window`` nodes with no partition spec whose
+    immediate child is not a LIMIT-class node.
+
+    The node prints its non-empty specs as top-level bracket groups:
+    ``Window [exprs], [partition], [order]`` — but empty specs are
+    omitted, so two groups can be either ``[exprs], [partition]`` or
+    ``[exprs], [order]``. Order-spec entries always carry an ``ASC``/
+    ``DESC`` direction; partition entries never do — that decides the
+    two-group case. A limited child (TakeOrderedAndProject /
+    GlobalLimit / CollectLimit) bounds the rows entering the single
+    partition, which is the one sanctioned shape (rank-the-top-k).
+    Note the optimizer constant-folds literal partition keys away, so
+    ``partitionBy(lit(0))`` does NOT evade this check.
+    """
+    lines = plan.splitlines()
+    n = 0
+    for i, raw in enumerate(lines):
+        stripped = raw.lstrip(" +-*:(0123456789)")
+        if not stripped.startswith("Window "):
+            continue
+        # split the node line into top-level bracket groups
+        depth = 0
+        groups: list[str] = []
+        start = None
+        body = stripped[len("Window "):]
+        for j, ch in enumerate(body):
+            if ch == "[":
+                if depth == 0:
+                    start = j + 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0 and start is not None:
+                    groups.append(body[start:j])
+                    start = None
+        if len(groups) >= 3:
+            continue  # exprs + partition + order
+        if len(groups) == 2 and not (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            continue  # second group is a partition spec (no direction)
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if any(
+            m in child
+            for m in ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+        ):
+            continue
+        n += 1
+    return n
 
 
 def audit(df: DataFrame) -> PlanReport:
@@ -67,6 +124,7 @@ def audit(df: DataFrame) -> PlanReport:
         # the compact plan string marks codegen spans as `*(N)` node
         # prefixes ("WholeStageCodegen" only appears in formatted mode)
         codegen_stages=len(set(re.findall(r"\*\((\d+)\)", plan))),
+        global_windows=_count_global_windows(plan),
         plan=plan,
     )
 
@@ -75,6 +133,7 @@ def assert_scales(
     df: DataFrame,
     max_shuffles: int | None = None,
     allow_arrow_udfs: bool = True,
+    allow_global_window: bool = False,
 ) -> PlanReport:
     """Raise ``AssertionError`` naming every scale-killer in ``df``'s
     plan: row-at-a-time Python, unkeyed joins, and (optionally) a
@@ -93,6 +152,14 @@ def assert_scales(
         problems.append(
             "cartesian/broadcast-nested-loop join — no usable equi-key; "
             "at scale this is O(N·M)"
+        )
+    if report.global_windows and not allow_global_window:
+        problems.append(
+            f"{report.global_windows} unpartitioned Window over a "
+            "non-limited child — ALL rows move to one partition; "
+            "top-k first (orderBy+limit) or add a partition key. "
+            "Pass allow_global_window=True only when the child's "
+            "cardinality is bounded by construction"
         )
     if max_shuffles is not None and report.shuffles > max_shuffles:
         problems.append(

@@ -139,6 +139,47 @@ class QueryTimeout(Exception):
     """Query exceeded its timeout and was cancelled (≙ job timeout at gcpde/bq.py:162)."""
 
 
+class MergeIntoBackend:
+    """The transactional-``MERGE INTO`` seam (SURVEY.md §7 design note:
+    "take Delta and get MERGE free" — the sandbox ships no Delta/Iceberg
+    runtime, so the engine defines the interface that backend plugs
+    into rather than simulating one).
+
+    A backend implements ONE method and is attached via
+    ``TableStore.merge_backend``; :meth:`TableStore.upsert_table_df`
+    then delegates every upsert to it instead of the parquet rewrite
+    paths. The Delta implementation is the standard five-liner::
+
+        class DeltaMerge(MergeIntoBackend):
+            def merge_into(self, spark, dataset, table, source, key_fields):
+                from delta.tables import DeltaTable
+                cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_fields)
+                (DeltaTable.forName(spark, f"{dataset}.{table}").alias("t")
+                 .merge(source.alias("s"), cond)
+                 .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute())
+
+    Contract (what ``upsert_table_df`` guarantees to the backend and
+    expects from it): ``source`` has the target's exact schema (the
+    schema-equality gate ran already, ≙ gcpde/bq.py:523-531); keys in
+    both → update all columns; keys only in source → insert (the MERGE
+    at gcpde/bq.py:538-547); the commit must be atomic — readers see
+    the old or the new snapshot, never a partial rewrite. Cost is the
+    backend's: O(delta + rewritten data files) for Delta/Iceberg,
+    versus O(touched partitions) / O(table) for the built-in parquet
+    routes (see :meth:`TableStore.upsert_table_df`).
+    """
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        dataset: str,
+        table: str,
+        source: DataFrame,
+        key_fields: list[str],
+    ) -> None:
+        raise NotImplementedError
+
+
 class TableStore:
     """Catalog-backed table operations on a SparkSession.
 
@@ -151,6 +192,9 @@ class TableStore:
         self.warehouse_dir = warehouse_dir or DEFAULT_WAREHOUSE
         # injectable so fault-injection tests count attempts without waiting
         self._retry_sleep: Callable[[float], None] = time.sleep
+        # transactional MERGE seam — see MergeIntoBackend; None = built-in
+        # parquet routes (partition-scoped or full-swap)
+        self.merge_backend: MergeIntoBackend | None = None
 
     # -- helpers -----------------------------------------------------------
 
@@ -401,6 +445,16 @@ class TableStore:
         should be pre-transformed (e.g. log) — noted instead of hidden.
         All-NULL or constant columns get cell 0 (no contribution).
         """
+        if len(cols) * bits > 63:
+            # the interleaved key packs bit b of column i at position
+            # b*n_cols+i of ONE signed BIGINT; beyond bit 62 the high
+            # bits silently wrap/flip sign and corrupt the sort order
+            raise ValueError(
+                f"z-order key needs {len(cols) * bits} bits "
+                f"({len(cols)} cols x {bits}); a signed BIGINT holds 63 — "
+                "reduce bits per column (locality degrades gracefully) "
+                "or cluster on fewer columns"
+            )
         stats = df.agg(
             *[F.min(c).cast("double").alias(f"_mn_{i}") for i, c in enumerate(cols)],
             *[F.max(c).cast("double").alias(f"_mx_{i}") for i, c in enumerate(cols)],
@@ -570,15 +624,32 @@ class TableStore:
     ) -> None:
         """Scale variant: merge a DataFrame into a managed table.
 
-        Routes by layout: a **partitioned** target takes the
-        partition-scoped path (rewrite only the partitions the delta
-        touches — see :meth:`upsert_table_df_partitioned` for the
-        immutable-partition-key contract that implies); an unpartitioned
-        target is merged and swapped whole (O(table) per delta — correct
-        for any layout, and the only option without partition pruning or a
-        transactional format). Round 2 defaulted everyone to the full
-        rewrite; the default API now does what a user at scale means.
+        Routing and the cost model a 100 TB adopter must know:
+
+        1. ``merge_backend`` set → the transactional ``MERGE INTO``
+           (:class:`MergeIntoBackend` seam): cost O(delta + rewritten
+           files), atomic snapshot commit. This is the production path
+           when a Delta/Iceberg runtime is present.
+        2. **Partitioned** target → partition-scoped rewrite
+           (:meth:`upsert_table_df_partitioned`): cost O(touched
+           partitions) — a 1-row delta into a date-partitioned table
+           rewrites one day, not the table. Requires the partition key
+           to be immutable per merge key (contract documented there).
+        3. **Unpartitioned** parquet target → full merge + swap
+           (:meth:`_upsert_table_df_full`): cost **O(table) read AND
+           write per upsert**, regardless of delta size. Correct for
+           any layout, but at 100 TB this is a table-sized write —
+           partition the table or plug a transactional backend before
+           relying on frequent upserts.
+
+        Round 2 defaulted everyone to the full rewrite; the default API
+        now does what a user at scale means.
         """
+        if self.merge_backend is not None:
+            self.merge_backend.merge_into(
+                self.spark, dataset, table, source, [key_field]
+            )
+            return
         if self._partition_columns(dataset, table):
             self.upsert_table_df_partitioned(dataset, table, source, key_field)
         else:

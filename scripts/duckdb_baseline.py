@@ -35,8 +35,21 @@ TABLES = (
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def run(
+    sf_dir: str | None = None,
+    runs: int | None = None,
+    only: list[str] | None = None,
+) -> dict:
+    """Measure every oracle on DuckDB and return the payload dict —
+    importable, so bench.py can embed the same-session baseline pair in
+    its own JSON line (ADVICE r4: ratios must not depend on hand-copied
+    BASELINE.md tables)."""
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = runs or RUNS
+    if only is None:
+        only = [
+            p for p in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if p
+        ]
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     for t in TABLES:
@@ -44,7 +57,6 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    only = [p for p in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if p]
     oracles = entry_mod.oracle_sql()
     timings: dict[str, dict[str, float]] = {}
     for name in sorted(oracles):
@@ -54,7 +66,7 @@ def main() -> None:
         per_path: dict[str, float] = {}
         for path in ("fetchall", "df"):
             samples = []
-            for _ in range(RUNS):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 cur = con.execute(sql)
                 if path == "fetchall":
@@ -65,18 +77,19 @@ def main() -> None:
             per_path[path] = round(statistics.median(samples), 4)
         timings[name] = per_path
 
+    con.close()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "total_fetchall": round(sum(v["fetchall"] for v in timings.values()), 4),
-                "total_df": round(sum(v["df"] for v in timings.values()), 4),
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs": RUNS,
-            }
-        )
-    )
+    return {
+        "total_fetchall": round(sum(v["fetchall"] for v in timings.values()), 4),
+        "total_df": round(sum(v["df"] for v in timings.values()), 4),
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs": runs,
+    }
+
+
+def main() -> None:
+    print(json.dumps(run()))
 
 
 if __name__ == "__main__":

@@ -49,6 +49,23 @@ def test_run_checks_is_one_scan_one_aggregate(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_run_checks_quoted_names_and_empty_list(spark):
+    """ADVICE r4: check names are data, not SQL text — a single quote in
+    a custom check name must survive verbatim; an empty list raises
+    instead of building an invalid map()."""
+    import pytest
+
+    df = spark.createDataFrame([(1,), (None,)], "v int")
+    name = "custom 'quoted' check"
+    rep = {
+        r["check"]: r["n_violations"]
+        for r in ck.run_checks(df, [(name, F.col("v").isNull())]).collect()
+    }
+    assert rep[name] == 1
+    with pytest.raises(ValueError):
+        ck.run_checks(df, [])
+
+
 def test_unique_and_referential_violations(spark):
     child = spark.createDataFrame(
         [(1, 10), (2, 10), (3, 20), (4, 99), (5, None)],

@@ -250,7 +250,26 @@ def test_funnel_counts_order_and_window_semantics(spark):
     assert got == {"view": 3, "click": 1, "purchase": 1}
 
 
-def test_cohort_retention_offsets(spark):
+def test_funnel_counts_is_one_lazy_job(spark):
+    """Round-4 verdict finding #3: the old funnel ran one eager count()
+    per step (3 sequential jobs + a driver createDataFrame). The
+    rewrite must be fully lazy — constructing the DataFrame launches
+    ZERO Spark jobs — and execute as one job over one scan."""
+    from datetime import datetime as dt
+
+    from gcpde_spark.operators import funnel_counts
+
+    rows = [(u, t, dt(2024, 1, 1 + d)) for u in range(20)
+            for d, t in enumerate(["view", "click", "purchase"])]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = funnel_counts(df, ["view", "click", "purchase"], within="7 days")
+    assert tracker.getJobIdsForGroup(None) == before, "construction ran a job"
+    # single scan: the plan reads the event source once
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
+    assert {(r.step, r.n_users) for r in out.collect()} == {(0, 20), (1, 20), (2, 20)}
     from datetime import datetime as dt
 
     from gcpde_spark.operators import cohort_retention

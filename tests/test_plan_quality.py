@@ -158,3 +158,40 @@ def test_c50_aggregates_partially_map_side(spark):
     plan = _plan(spark, "c50_stats_moments")
     # partial_ aggregate functions below the exchange = map-side combine
     assert plan.count("partial_") >= 1
+
+
+# Entries whose single-partition window is justified by a child whose
+# cardinality is bounded BY CONSTRUCTION (not by the data): c66 ranks
+# over the 25-row nation aggregate; c65's value-minus-row_number idiom
+# needs a global numbering and documents the bucket-partition scale
+# path in its docstring. Everything else must have zero unpartitioned
+# windows — the l27 bug class (round-4 verdict finding #1).
+GLOBAL_WINDOW_ALLOWLIST = {"c65_gaps_islands", "c66_ratio_to_report"}
+
+# Streaming entries drain a stream at build time — their batch rollup
+# plans are covered by their own parity tests; skip the rebuild here.
+STREAMING_ENTRIES = {
+    "c60_streaming_tumbling",
+    "c67_streaming_sliding",
+    "c68_streaming_static_join",
+    "c69_streaming_dedup",
+    "c70_streaming_sessions",
+}
+
+
+def test_no_corpus_entry_has_a_global_window(spark):
+    """No corpus entry may plan a Window with an empty partition spec
+    over a non-limited child — that moves the entire child into ONE
+    partition at exactly the scale the operator exists for. Detection
+    lives in plans.audit (global_windows) so user queries get the same
+    check via assert_scales."""
+    from gcpde_spark.plans import _count_global_windows
+
+    offenders = {}
+    for name in CORPUS:
+        if name in STREAMING_ENTRIES or name in GLOBAL_WINDOW_ALLOWLIST:
+            continue
+        n = _count_global_windows(_plan(spark, name))
+        if n:
+            offenders[name] = n
+    assert not offenders, f"unpartitioned WindowExec in: {offenders}"

@@ -410,6 +410,41 @@ def test_default_upsert_routes_to_partition_scoped(store, spark):
     assert after == before
 
 
+def test_merge_backend_seam_takes_precedence(store, spark):
+    """VERDICT r4 item 8: with a transactional MERGE backend attached,
+    upsert_table_df delegates the WHOLE merge to it (no parquet
+    rewrite), passing the schema-gated source and key list — the
+    contract a Delta/Iceberg plugin implements."""
+    from gcpde_spark.tables import MergeIntoBackend
+
+    calls = []
+
+    class Recorder(MergeIntoBackend):
+        def merge_into(self, sp, dataset, table, source, key_fields):
+            calls.append((dataset, table, source.columns, key_fields))
+
+    store.create_table_from_records("ds", "seam", [{"id": 1, "v": "a"}])
+    files_before = sorted(
+        str(p) for p in __import__("pathlib").Path(
+            f"{store.warehouse_dir}/ds.db/seam"
+        ).rglob("*.parquet")
+    )
+    store.merge_backend = Recorder()
+    try:
+        store.upsert_table_from_records(
+            "ds", "seam", [{"id": 1, "v": "B"}, {"id": 2, "v": "c"}], "id"
+        )
+    finally:
+        store.merge_backend = None
+    assert calls == [("ds", "seam", ["id", "v"], ["id"])]
+    files_after = sorted(
+        str(p) for p in __import__("pathlib").Path(
+            f"{store.warehouse_dir}/ds.db/seam"
+        ).rglob("*.parquet")
+    )
+    assert files_after == files_before  # engine wrote nothing itself
+
+
 def test_paged_scratch_removed_after_last_page(store):
     """Round-3 ADVICE: scratch results must not accumulate — the dir is
     deleted when the final page is served and expired cursors are swept
@@ -571,3 +606,20 @@ def test_replace_table_df_zorder_handles_nulls_and_constants(spark, store):
         cluster_by=["x", "const", "with_nulls"], cluster_method="zorder",
     )
     assert store.query("SELECT COUNT(*) AS n FROM z_ds.edge")[0]["n"] == 1000
+
+
+def test_zorder_rejects_key_wider_than_bigint(spark, store):
+    """ADVICE r4: 8 bits x 8+ columns exceeds the 63 usable bits of the
+    signed BIGINT sort key — the old code silently wrapped the high bits
+    and corrupted the layout; it must raise instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10).select(
+        *[(F.col("id") * (i + 1)).alias(f"c{i}") for i in range(8)]
+    )
+    with pytest.raises(ValueError, match="63"):
+        store.replace_table_df(
+            "z_ds", "wide", df,
+            cluster_by=[f"c{i}" for i in range(8)], cluster_method="zorder",
+        )
