@@ -27,10 +27,12 @@ from gcpde_spark.errors import (
     SchemaMismatchException,
 )
 from gcpde_spark.session import build_session
+from gcpde_spark.tables import MergeIntoBackend
 
 __all__ = [
     "Engine",
     "EngineException",
+    "MergeIntoBackend",
     "SchemaInferenceConflict",
     "SchemaMismatchException",
     "build_session",

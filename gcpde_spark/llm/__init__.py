@@ -55,6 +55,7 @@ from gcpde_spark.llm.similarity import (
     ivf_topk,
     lsh_topk,
     profile_neighbors,
+    profile_pair_bound,
     quantize_embeddings,
     train_ivf_centroids,
     with_ivf_cells,
@@ -96,6 +97,7 @@ __all__ = [
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "profile_neighbors",
+    "profile_pair_bound",
     "simhash_near_dup_pairs",
     "with_minhash_signature",
     "with_simhash",

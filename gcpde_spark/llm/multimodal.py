@@ -23,13 +23,15 @@ coverage (published specs, no imaging/audio library):
   stats/histogram; MPEG-1 Layer III → per-frame loudness envelope from
   the side-info ``global_gain`` fields (real frame content — level
   mean/peak/std + 8-bin time-energy profile, no Huffman/IMDCT needed)
-- frame inventory: animated-GIF per-frame delays/offsets (GCE parse)
+- frame inventory: animated-GIF per-frame delays/offsets (GCE parse);
+  MP4 per-frame sizes/timing/keyframes from the stsz/stts/stss sample
+  tables → fps, frame-size burstiness, keyframe ratio, size envelope
 
-Everything outside that coverage (H.264/video sample data; full MP3
-PCM reconstruction) is STUBBED with deterministic content-hash
-stand-ins, each flagged per row (``resize_applied`` /
-``features_real``) — swapping in PIL/pyav is a body-only change to the
-batch functions.
+Everything outside that coverage (H.264/AAC PAYLOAD decode — actual
+pixel/PCM reconstruction from compressed video/audio) is STUBBED with
+deterministic content-hash stand-ins, each flagged per row
+(``resize_applied`` / ``features_real``) — swapping in PIL/pyav is a
+body-only change to the batch functions.
 
 Scale notes: ``binaryFile`` gives one row per file with the content as a
 single cell — fine for images/short audio; for long video, store
@@ -294,24 +296,29 @@ def _mp3_frame_gains(
     return gains, rate, samples
 
 
+def _mp4_boxes(b: bytes, lo: int, hi: int):
+    """ISO BMFF box iterator over ``b[lo:hi]`` → (type, body_start, end)."""
+    p = lo
+    while p + 8 <= hi:
+        size = int.from_bytes(b[p : p + 4], "big")
+        typ = b[p + 4 : p + 8]
+        body = p + 8
+        if size == 1:  # 64-bit largesize
+            size = int.from_bytes(b[p + 8 : p + 16], "big")
+            body = p + 16
+        if size < 8 or p + size > hi:
+            return
+        yield typ, body, p + size
+        p += size
+
+
 def _mp4_info(b: bytes) -> "dict[str, Any] | None":
     """Real ISO BMFF (MP4) box walk: find ``moov/mvhd`` and return the
     movie duration from its timescale (version 0 and 1 layouts), plus
     width/height from the first ``tkhd`` when present. None when the
     content is not a box stream with an ``ftyp``/``moov``."""
     def boxes(lo: int, hi: int):
-        p = lo
-        while p + 8 <= hi:
-            size = int.from_bytes(b[p : p + 4], "big")
-            typ = b[p + 4 : p + 8]
-            body = p + 8
-            if size == 1:  # 64-bit largesize
-                size = int.from_bytes(b[p + 8 : p + 16], "big")
-                body = p + 16
-            if size < 8 or p + size > hi:
-                return
-            yield typ, body, p + size
-            p += size
+        yield from _mp4_boxes(b, lo, hi)
 
     if len(b) < 16 or b[4:8] not in (b"ftyp", b"moov", b"wide", b"free"):
         return None
@@ -339,6 +346,104 @@ def _mp4_info(b: bytes) -> "dict[str, Any] | None":
                         if w_ and h_:
                             out["width"], out["height"] = w_, h_
     return out if "duration_ms" in out else None
+
+
+def _mp4_frame_stats(b: bytes) -> "dict[str, Any] | None":
+    """Per-frame inventory of an ISO BMFF video track from the REAL
+    sample tables (ISO 14496-12): sizes from ``stsz``, timing from
+    ``stts`` + the ``mdhd`` timescale, keyframe positions from ``stss``.
+
+    Per-frame size is the classical compressed-video content signal —
+    keyframes (I-frames) spike, motion raises inter-frame sizes — so
+    the stsz series yields a true complexity/structure envelope without
+    decoding any H.264 payload. Returns ``{sizes: [int], fps: float,
+    keyframe_ratio: float, duration_s: float}`` or None when no video
+    track with sample tables exists.
+    """
+    if len(b) < 16 or b[4:8] not in (b"ftyp", b"moov", b"wide", b"free"):
+        return None
+
+    def find(lo, hi, typ):
+        for t, l2, h2 in _mp4_boxes(b, lo, hi):
+            if t == typ:
+                return l2, h2
+        return None
+
+    moov = None
+    for t, lo, hi in _mp4_boxes(b, 0, len(b)):
+        if t == b"moov":
+            moov = (lo, hi)
+    if moov is None:
+        return None
+    for t, lo, hi in _mp4_boxes(b, *moov):
+        if t != b"trak":
+            continue
+        mdia = find(lo, hi, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = find(*mdia, b"hdlr")
+        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = find(*mdia, b"mdhd")
+        if mdhd is None:
+            continue
+        ver = b[mdhd[0]]
+        timescale = int.from_bytes(
+            b[mdhd[0] + (20 if ver == 1 else 12) :][:4], "big"
+        )
+        minf = find(*mdia, b"minf")
+        stbl = find(*minf, b"stbl") if minf else None
+        if stbl is None:
+            return None
+        sizes: list[int] = []
+        deltas: list[tuple[int, int]] = []
+        keyframes = 0
+        stsz = find(*stbl, b"stsz")
+        if stsz is not None:
+            p = stsz[0] + 4  # version/flags
+            fixed = int.from_bytes(b[p : p + 4], "big")
+            count = int.from_bytes(b[p + 4 : p + 8], "big")
+            if fixed:
+                sizes = [fixed] * count
+            else:
+                q = p + 8
+                sizes = [
+                    int.from_bytes(b[q + 4 * i : q + 4 * i + 4], "big")
+                    for i in range(count)
+                    if q + 4 * i + 4 <= stsz[1]
+                ]
+        stts = find(*stbl, b"stts")
+        if stts is not None:
+            p = stts[0] + 4
+            n = int.from_bytes(b[p : p + 4], "big")
+            q = p + 4
+            for i in range(n):
+                if q + 8 * i + 8 > stts[1]:
+                    break
+                deltas.append(
+                    (
+                        int.from_bytes(b[q + 8 * i : q + 8 * i + 4], "big"),
+                        int.from_bytes(b[q + 8 * i + 4 : q + 8 * i + 8], "big"),
+                    )
+                )
+        stss = find(*stbl, b"stss")
+        if stss is not None:
+            keyframes = int.from_bytes(b[stss[0] + 4 : stss[0] + 8], "big")
+        if not sizes or not deltas or not timescale:
+            return None
+        total_ticks = sum(c * d for c, d in deltas)
+        n_frames = sum(c for c, _ in deltas)
+        if not total_ticks or not n_frames:
+            return None
+        duration_s = total_ticks / timescale
+        return {
+            "sizes": sizes,
+            "fps": n_frames / duration_s,
+            # no stss box = every sample is a sync sample (spec default)
+            "keyframe_ratio": (keyframes / len(sizes)) if stss else 1.0,
+            "duration_s": duration_s,
+        }
+    return None
 
 
 def _gif_frame_delays(b: bytes) -> list[int]:
@@ -422,9 +527,12 @@ def _real_features(content: bytes, media_type: str, dim: int) -> "list[float] | 
       REAL side-info global_gain fields (:func:`_mp3_frame_gains`) —
       mean/peak/std level plus an 8-bin time-energy profile and log
       duration, mirroring the WAV layout slot-for-slot
+    - video (ISO BMFF with sample tables): fps, mean frame size,
+      size burstiness, keyframe ratio and an 8-bin frame-size envelope
+      from the REAL stsz/stts/stss tables (:func:`_mp4_frame_stats`)
 
-    None when no spec codec covers the content (video) — callers fall
-    back to the hash stub and flag the row."""
+    None when no spec parser covers the content (e.g. raw elementary
+    streams) — callers fall back to the hash stub and flag the row."""
     import numpy as np
 
     b = bytes(content or b"")
@@ -486,6 +594,29 @@ def _real_features(content: bytes, media_type: str, dim: int) -> "list[float] | 
         ]
         bands += [0.0] * (8 - len(bands))
         vec = [rms, peak, zcr, *bands, np.log1p(len(samples) / rate)]
+    elif media_type == "video":
+        stats = _mp4_frame_stats(b)
+        if stats is None:
+            return None
+        sz = np.asarray(stats["sizes"], dtype=np.float64)
+        mean_sz = float(sz.mean())
+        # burstiness (std/mean of frame size) is the motion/keyframe
+        # structure signal; the 8-bin envelope is size share over time
+        burst = float(sz.std() / mean_sz) if mean_sz else 0.0
+        edges = np.linspace(0, len(sz), 9).astype(int)
+        tot = float(sz.sum()) or 1.0
+        env = [
+            float(sz[lo:hi].sum()) / tot
+            for lo, hi in zip(edges[:-1], edges[1:])
+        ]
+        vec = [
+            np.log1p(stats["fps"]) / 10.0,
+            np.log1p(mean_sz) / 20.0,
+            burst,
+            stats["keyframe_ratio"],
+            *env,
+            np.log1p(stats["duration_s"]),
+        ]
     else:
         return None
     vec = [float(v) for v in vec[:dim]]
@@ -555,9 +686,10 @@ def extract_features(
     ``features="real"`` computes true content statistics for everything
     the spec codecs cover — image pixel stats/histogram for BMP, PNG
     and baseline JPEG (:func:`_real_features`), PCM RMS/zero-crossings/
-    FFT band energies for WAV, side-info loudness envelopes for MP3 —
+    FFT band energies for WAV, side-info loudness envelopes for MP3,
+    sample-table frame statistics for MP4 video —
     and adds a ``features_real`` boolean
-    column; rows outside codec coverage (video) fall back to the
+    column; rows outside parser coverage fall back to the
     hash stub
     with ``features_real = false``. ``features="fake"`` (default) is the
     deterministic content-hash expansion — a STUB for a learned

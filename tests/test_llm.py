@@ -2033,6 +2033,81 @@ def _make_mp3_gained(frame_gains, mono=True):
     return bytes(out)
 
 
+def _make_mp4_sampled(sizes, deltas=None, keyframes=(1,), timescale=30000,
+                      delta=1000):
+    """ISO BMFF with a video trak carrying REAL sample tables: stsz
+    per-frame sizes, stts timing (one run of `delta` ticks unless
+    per-frame `deltas` given), stss keyframe numbers."""
+    def box(t, body):
+        return (len(body) + 8).to_bytes(4, "big") + t + body
+
+    def full(t, body, version=0):
+        return box(t, bytes([version, 0, 0, 0]) + body)
+
+    stsz = full(b"stsz", (0).to_bytes(4, "big") + len(sizes).to_bytes(4, "big")
+                + b"".join(s.to_bytes(4, "big") for s in sizes))
+    if deltas is None:
+        stts_entries = [(len(sizes), delta)]
+    else:
+        stts_entries = [(1, d) for d in deltas]
+    stts = full(b"stts", len(stts_entries).to_bytes(4, "big")
+                + b"".join(c.to_bytes(4, "big") + d.to_bytes(4, "big")
+                           for c, d in stts_entries))
+    stss = full(b"stss", len(keyframes).to_bytes(4, "big")
+                + b"".join(k.to_bytes(4, "big") for k in keyframes))
+    stbl = box(b"stbl", stsz + stts + stss)
+    minf = box(b"minf", stbl)
+    mdhd = full(b"mdhd", b"\x00" * 8 + timescale.to_bytes(4, "big")
+                + (len(sizes) * delta).to_bytes(4, "big") + b"\x00" * 4)
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    mvhd = full(b"mvhd", b"\x00" * 8 + (1000).to_bytes(4, "big")
+                + (2000).to_bytes(4, "big") + b"\x00" * 80)
+    return box(b"ftyp", b"isom" + b"\x00" * 12) + box(b"moov", mvhd + trak)
+
+
+def test_mp4_frame_stats_and_video_features(spark, tmp_path):
+    """The MP4 video feature path parses the REAL sample tables: planted
+    stsz sizes/stss keyframes/stts timing come back exactly, and the
+    feature slots reflect a small-frames-then-large-frames stream."""
+    import math
+
+    from gcpde_spark.llm.multimodal import (
+        _mp4_frame_stats,
+        _real_features,
+        extract_features,
+        read_binary_files,
+    )
+
+    sizes = [1000] * 4 + [5000] * 4
+    b = _make_mp4_sampled(sizes, keyframes=(1, 5))
+    st = _mp4_frame_stats(b)
+    assert st is not None
+    assert st["sizes"] == sizes
+    assert abs(st["fps"] - 30.0) < 1e-9          # 30000 ticks/s ÷ 1000/frame
+    assert st["keyframe_ratio"] == 2 / 8
+    assert abs(st["duration_s"] - 8 / 30) < 1e-9
+
+    vec = _real_features(b, "video", 16)
+    assert vec is not None
+    assert abs(vec[0] - math.log1p(30.0) / 10) < 1e-9   # fps slot
+    assert abs(vec[3] - 0.25) < 1e-9                     # keyframe ratio
+    env = vec[4:12]
+    tot = sum(sizes)
+    assert abs(sum(env[:4]) - 4000 / tot) < 1e-9         # small half
+    assert abs(sum(env[4:]) - 20000 / tot) < 1e-9        # large half
+
+    # end-to-end: MP4 rows with sample tables are features_real=True
+    (tmp_path / "clip.mp4").write_bytes(b)
+    row = extract_features(
+        read_binary_files(spark, str(tmp_path)), dim=16, features="real"
+    ).collect()[0]
+    assert row.features_real is True
+    # a bare moov without sample tables still falls back, flagged
+    assert _mp4_frame_stats(_make_mp4()) is None
+
+
 def test_mp3_frame_gains_and_envelope_features(spark, tmp_path):
     """The MP3 feature path is REAL side-info parsing, not a hash stub
     (round-4 verdict item 7): planted global_gain values come back

@@ -52,3 +52,30 @@ def test_assert_scales_flags_unkeyed_join_and_budget(spark):
         assert_scales(keyed, max_shuffles=0) if audit(keyed).shuffles > 0 else (
             (_ for _ in ()).throw(AssertionError("exceeds budget (broadcast plan)"))
         )
+
+
+def test_assert_scales_flags_global_window(spark):
+    """An unpartitioned Window over a non-limited child moves ALL rows
+    to one partition (the l27 bug class, VERDICT r4 #1) — assert_scales
+    must name it; ranking a LIMIT-k child stays sanctioned; the
+    bounded-by-construction case is an explicit opt-in."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey")
+    w = Window.orderBy("o_orderkey")
+    bad = o.withColumn("rn", F.row_number().over(w))
+    with pytest.raises(AssertionError, match="unpartitioned Window"):
+        assert_scales(bad)
+    assert audit(bad).global_windows == 1
+    # constant partition keys are constant-folded away — no evasion
+    wlit = Window.partitionBy(F.lit(0)).orderBy("o_orderkey")
+    with pytest.raises(AssertionError, match="unpartitioned Window"):
+        assert_scales(o.withColumn("rn", F.row_number().over(wlit)))
+    # rank-the-top-k over an explicit LIMIT child is the sanctioned shape
+    topk = o.orderBy("o_orderkey").limit(5).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    assert assert_scales(topk).global_windows == 0
+    # bounded-by-construction children opt in explicitly
+    assert assert_scales(bad, allow_global_window=True).global_windows == 1
