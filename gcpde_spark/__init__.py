@@ -28,6 +28,7 @@ from gcpde_spark.errors import (
 )
 from gcpde_spark.session import build_session
 from gcpde_spark.tables import MergeIntoBackend
+from gcpde_spark.txn import TxnTable
 
 __all__ = [
     "Engine",
@@ -35,6 +36,7 @@ __all__ = [
     "MergeIntoBackend",
     "SchemaInferenceConflict",
     "SchemaMismatchException",
+    "TxnTable",
     "build_session",
 ]
 

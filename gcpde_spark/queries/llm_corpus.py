@@ -303,7 +303,15 @@ def l09(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return lsh_topk(emb, queries, k=5, n_planes=8).orderBy("qid", "rank")
+    # ≤ 3 queries × k rows by construction: the limit turns the
+    # presentation sort into TakeOrderedAndProject, dropping the range-
+    # partition sampling job that re-executed the join tail (measured
+    # 1.65 s → 1.18 s fresh-build at sf0.1)
+    return (
+        lsh_topk(emb, queries, k=5, n_planes=8)
+        .orderBy("qid", "rank")
+        .limit(15)
+    )
 
 
 @_q(

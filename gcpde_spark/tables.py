@@ -167,6 +167,11 @@ class MergeIntoBackend:
     backend's: O(delta + rewritten data files) for Delta/Iceberg,
     versus O(touched partitions) / O(table) for the built-in parquet
     routes (see :meth:`TableStore.upsert_table_df`).
+
+    For path-based (non-catalog) tables this repo ships a from-scratch
+    realization of the same three mechanisms — manifest snapshots,
+    atomic conflict-detecting commits, key-range file-pruned MERGE —
+    as :class:`gcpde_spark.txn.TxnTable`.
     """
 
     def merge_into(
