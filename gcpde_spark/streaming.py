@@ -225,6 +225,66 @@ def upsert_stream_to_table(
     return writer.start()
 
 
+def upsert_stream_to_txn_table(
+    df: DataFrame,
+    table_path: str,
+    key_field: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    ts_col: str = "ts",
+) -> StreamingQuery:
+    """EXACTLY-once CDC into a transactional :class:`gcpde_spark.txn.
+    TxnTable`: each micro-batch's merge commits atomically WITH its
+    batch id recorded in the manifest (``meta.stream_batch_id``), so a
+    re-delivered batch — ``foreachBatch`` is at-least-once; Spark can
+    replay the last batch after a crash between sink write and
+    checkpoint commit — is detected by id and skipped instead of
+    re-applied. This is the transactional batch-id tracking that
+    :func:`upsert_stream_to_table` documents as unavailable for plain
+    managed tables (there, replay merely converges idempotently).
+
+    Batch ids are meaningful within one checkpoint lineage: wiping the
+    checkpoint restarts ids at 0, which the tracking then treats as
+    re-delivery — intentional (same data re-read ⇒ same table), but a
+    NEW logical stream into an existing table needs a fresh table or a
+    cleared manifest meta, not a recycled checkpoint dir.
+    """
+    from gcpde_spark.txn import TxnTable, TxnTableNotFound
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        w = Window.partitionBy(key_field).orderBy(F.desc(ts_col))
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            t = TxnTable(spark, table_path)
+        except TxnTableNotFound:
+            TxnTable.create(
+                spark,
+                table_path,
+                latest,
+                key_field=key_field,
+                meta={"stream_batch_id": batch_id},
+            )
+            return
+        last = t.last_meta_value("stream_batch_id")
+        if last is not None and batch_id <= last:
+            return  # re-delivered batch: already committed, skip
+        t.merge(latest, meta={"stream_batch_id": batch_id})
+
+    writer = (
+        df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stateful_running_counts(
     df: DataFrame,
     key_col: str = "user_id",

@@ -114,6 +114,7 @@ class TxnTable:
         key_field: str,
         sort_by_key: bool = True,
         n_files: int | None = None,
+        meta: dict | None = None,
     ) -> "TxnTable":
         """Initialize a table from ``df``. ``sort_by_key`` range-sorts
         the initial files by the merge key, which is what makes future
@@ -133,17 +134,16 @@ class TxnTable:
         else:
             out = df
         files = _write_data_files(spark, p, out)
-        _publish(
-            p,
-            0,
-            {
-                "version": 0,
-                "op": "create",
-                "key_field": key_field,
-                "schema": df.schema.json(),
-                "files": _stat_entries(p, files, key_field),
-            },
-        )
+        manifest = {
+            "version": 0,
+            "op": "create",
+            "key_field": key_field,
+            "schema": df.schema.json(),
+            "files": _stat_entries(p, files, key_field),
+        }
+        if meta:
+            manifest["meta"] = meta
+        _publish(p, 0, manifest)
         return cls(spark, path)
 
     # -- snapshot reads ----------------------------------------------------
@@ -176,7 +176,21 @@ class TxnTable:
 
     # -- MERGE (the reason this class exists) ------------------------------
 
-    def merge(self, source: DataFrame, on_duplicate_keys: str = "error") -> dict:
+    def last_meta_value(self, key: str) -> Any:
+        """Newest committed value of an application-metadata key (e.g.
+        a streaming batch id) across the manifest log, or None."""
+        for v in sorted(self._versions(), reverse=True):
+            meta = self._manifest(v).get("meta") or {}
+            if key in meta:
+                return meta[key]
+        return None
+
+    def merge(
+        self,
+        source: DataFrame,
+        on_duplicate_keys: str = "error",
+        meta: dict | None = None,
+    ) -> dict:
         """Copy-on-write MERGE: keys in both → source row wins; keys
         only in source → inserted. Only data files whose merge-key
         [min, max] overlaps the delta's range are rewritten; all other
@@ -189,14 +203,7 @@ class TxnTable:
         m = self._manifest(base_version)
         key = m["key_field"]
         schema = StructType.fromJson(json.loads(m["schema"]))
-        if [
-            (f.name, f.dataType) for f in source.schema.fields
-        ] != [(f.name, f.dataType) for f in schema.fields]:
-            raise SchemaMismatchException(
-                f"merge source schema != table schema at {self.path}",
-                source.schema,
-                schema,
-            )
+        _check_schema(source, schema, self.path)
         bounds = source.agg(
             F.min(key).alias("lo"), F.max(key).alias("hi")
         ).collect()[0]
@@ -228,11 +235,68 @@ class TxnTable:
             "schema": m["schema"],
             "files": kept + _stat_entries(self.path, new_files, key),
         }
+        if meta:
+            manifest["meta"] = meta
         _publish(self.path, base_version + 1, manifest)
         return {
             "version": base_version + 1,
             "rewritten": len(touched),
             "kept": len(kept),
+        }
+
+    def append(self, df: DataFrame) -> dict:
+        """Append-only commit: new files, no rewrite, no key check —
+        the bulk-ingest fast path (dedup against existing keys is the
+        caller's job or :meth:`merge`'s). O(delta) always."""
+        base = self.version()
+        m = self._manifest(base)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        _check_schema(df, schema, self.path)
+        new_files = _write_data_files(self.spark, self.path, df)
+        _publish(
+            self.path,
+            base + 1,
+            {
+                "version": base + 1,
+                "op": "append",
+                "key_field": m["key_field"],
+                "schema": m["schema"],
+                "files": m["files"] + _stat_entries(self.path, new_files, m["key_field"]),
+            },
+        )
+        return {"version": base + 1, "added": len(new_files)}
+
+    def compact(self, n_files: int | None = None) -> dict:
+        """Rewrite the whole snapshot as ``n_files`` key-range-sorted
+        files (the OPTIMIZE analog): merges and appends accumulate
+        small files with overlapping key ranges, which erodes MERGE
+        pruning; compaction restores narrow disjoint per-file ranges.
+        Old files stay until :meth:`vacuum` (snapshot isolation)."""
+        base = self.version()
+        m = self._manifest(base)
+        key = m["key_field"]
+        df = self.read(base)
+        out = (
+            df.repartitionByRange(n_files, key)
+            if n_files
+            else df.repartitionByRange(key)
+        )
+        new_files = _write_data_files(self.spark, self.path, out)
+        _publish(
+            self.path,
+            base + 1,
+            {
+                "version": base + 1,
+                "op": "compact",
+                "key_field": key,
+                "schema": m["schema"],
+                "files": _stat_entries(self.path, new_files, key),
+            },
+        )
+        return {
+            "version": base + 1,
+            "before": len(m["files"]),
+            "after": len(new_files),
         }
 
     # -- maintenance -------------------------------------------------------
@@ -282,6 +346,17 @@ class TxnTable:
 
 def _mname(version: int) -> str:
     return f"{version:020d}.json"
+
+
+def _check_schema(df: DataFrame, schema: StructType, path: Path) -> None:
+    """Structural (name, type) equality gate, nullability-insensitive —
+    the same pre-MERGE contract as gcpde/bq.py:523-531."""
+    if [(f.name, f.dataType) for f in df.schema.fields] != [
+        (f.name, f.dataType) for f in schema.fields
+    ]:
+        raise SchemaMismatchException(
+            f"source schema != table schema at {path}", df.schema, schema
+        )
 
 
 def _write_data_files(spark: SparkSession, root: Path, df: DataFrame) -> list[str]:

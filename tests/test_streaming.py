@@ -310,6 +310,72 @@ def test_upsert_stream_to_table_converges_last_write_wins(
     assert after[target_user].ts == new_ts
 
 
+def test_upsert_stream_to_txn_table_exactly_once(
+    spark, event_dataset, tmp_path_factory
+):
+    """Transactional CDC: micro-batch merges commit atomically WITH
+    their batch id; a re-delivered batch (fresh checkpoint, same data —
+    the replay Spark performs after a crash between sink write and
+    checkpoint commit) is skipped by id, leaving the table version
+    UNCHANGED — exactly-once, not merely idempotent convergence."""
+    from gcpde_spark.streaming import read_dataset_stream, upsert_stream_to_txn_table
+    from gcpde_spark.txn import TxnTable
+
+    base, events = event_dataset
+    tpath = str(tmp_path_factory.mktemp("txn_cdc") / "user_latest")
+    ckpt1 = str(tmp_path_factory.mktemp("txn_ckpt1"))
+
+    stream = read_dataset_stream(spark, base, "ev", EVENT_SCHEMA)
+    q = upsert_stream_to_txn_table(
+        stream, tpath, "user_id", ckpt1, available_now=True
+    )
+    q.awaitTermination(120)
+
+    t = TxnTable(spark, tpath)
+    v1 = t.version()
+    got = t.read().collect()
+    assert len(got) == len({r.user_id for r in got})  # one row per key
+    expected_ts = {
+        r.user_id: r.mx
+        for r in events.groupBy("user_id").agg(F.max("ts").alias("mx")).collect()
+    }
+    for r in got:
+        assert r.ts == expected_ts[r.user_id]
+
+    # re-delivery: fresh checkpoint replays the same batches with the
+    # same ids — the batch-id gate must skip them all, no new version
+    q2 = upsert_stream_to_txn_table(
+        read_dataset_stream(spark, base, "ev", EVENT_SCHEMA),
+        tpath, "user_id",
+        str(tmp_path_factory.mktemp("txn_ckpt2")), available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert t.version() == v1  # nothing re-applied
+    assert t.last_meta_value("stream_batch_id") == 0
+
+    # genuinely new data under the ORIGINAL checkpoint gets the next
+    # batch id and merges normally
+    target_user = got[0].user_id
+    new_ts = max(r.ts for r in got) + dt.timedelta(days=1)
+    DatasetStore(spark, base).add_dataframe_to_dataset(
+        spark.createDataFrame(
+            [(10_000_000, target_user, "late_update", new_ts)], EVENT_SCHEMA
+        ),
+        "ev", ts_column="ts",
+    )
+    q3 = upsert_stream_to_txn_table(
+        read_dataset_stream(spark, base, "ev", EVENT_SCHEMA),
+        tpath, "user_id", ckpt1, available_now=True,
+    )
+    q3.awaitTermination(120)
+    assert t.version() == v1 + 1
+    assert t.last_meta_value("stream_batch_id") == 1
+    after = {r.user_id: r for r in t.read().collect()}
+    assert len(after) == len(got)  # update-in-place
+    assert after[target_user].event_id == 10_000_000
+    assert after[target_user].ts == new_ts
+
+
 def test_curate_document_stream_equals_batch(spark, tmp_path):
     """Streaming curation (strip -> gate -> watermark dedup) over the
     dataset layout keeps exactly the batch-curated distinct set: two

@@ -121,6 +121,34 @@ def test_merge_schema_gate_and_empty_delta(spark, tmp_path):
     assert t.version() == 0  # no new version for a no-op
 
 
+def test_append_is_rewrite_free_and_compact_restores_pruning(spark, tmp_path):
+    """append adds files without touching existing ones (O(delta)
+    always); after appends erode the key-range layout, compact rewrites
+    one range-sorted snapshot so point-delta merges prune again."""
+    df = spark.range(1000).select(
+        F.col("id"), F.col("id").cast("string").alias("v")
+    )
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), df, key_field="id", n_files=4
+    )
+    before = {f["path"] for f in t._manifest(0)["files"]}
+    res = t.append(
+        spark.createDataFrame([(2000, "x"), (1, "dup-key-ok")], "id long, v string")
+    )
+    assert res["version"] == 1 and res["added"] >= 1
+    m1 = t._manifest(1)
+    assert before <= {f["path"] for f in m1["files"]}  # old files carried
+    assert t.read().count() == 1002  # append does NOT dedup (documented)
+    # appended file spans the key space -> a point merge now touches it
+    # AND the covering created file; compact restores disjoint ranges
+    t.compact(n_files=4)
+    res2 = t.merge(spark.createDataFrame([(500, "Y")], "id long, v string"))
+    assert res2["rewritten"] == 1 and res2["kept"] == 3
+    # schema gate applies to append too
+    with pytest.raises(SchemaMismatchException):
+        t.append(spark.createDataFrame([(1, 1)], "id long, v long"))
+
+
 def test_vacuum_drops_unreferenced_files_keeps_current(spark, tmp_path):
     t = _mk(spark, tmp_path / "t", n=1000)
     t.merge(spark.createDataFrame([(1, "A")], "id long, v string"))
