@@ -375,3 +375,75 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
+
+
+def with_ordered_index(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "rn",
+    start: int = 1,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Global consecutive row numbers under a total order WITHOUT a
+    single-partition window — the scale-safe replacement for
+    ``row_number() OVER (ORDER BY ...)``, which moves the entire input
+    into ONE partition (the plan class ``plans.audit`` flags).
+
+    Two distributed passes (the ``zipWithIndex`` construction on the
+    DataFrame side, cf. the pagination indexer in tables.py):
+
+    1. range-repartition on ``order_cols`` + sort within partitions —
+       partition *i* holds exactly the rows ranking before partition
+       *i+1*'s (RangePartitioner assigns ascending key ranges to
+       ascending partition ids);
+    2. per-partition row positions from ``monotonically_increasing_id``
+       (its low 33 bits are a contiguous per-partition counter in
+       iteration = sorted order), shifted by each partition's start
+       offset. Offsets come from one tiny count-per-partition aggregate
+       (rows = #partitions — bounded by cluster sizing, the sanctioned
+       driver-side list) folded into a literal lookup, so no window,
+       no join, no extra shuffle in the second pass.
+
+    ``order_cols`` must be a TOTAL order (add a tie-breaker column if
+    needed): ties across a partition boundary would otherwise make the
+    numbering partitioning-dependent. The input is persisted between
+    the two passes so both see identical partition contents; callers
+    looping over many indexes should ``spark.catalog.clearCache()``
+    when done.
+    """
+    cols = list(order_cols)
+    part = (
+        df.repartitionByRange(n_partitions, *cols)
+        if n_partitions
+        else df.repartitionByRange(*cols)
+    )
+    tagged = part.sortWithinPartitions(*cols).select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+    tagged.persist()
+    counts = {
+        r["_pid"]: r["_n"]
+        for r in tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return tagged.drop("_pid", "_mid").withColumn(
+            out_col, F.lit(start).cast("bigint")
+        ).limit(0)
+    # literal lookup: a map over #partitions entries (bounded)
+    mapping = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        tagged.withColumn(
+            out_col, (mapping[F.col("_pid")] + local).cast("bigint")
+        )
+        .drop("_pid", "_mid")
+    )

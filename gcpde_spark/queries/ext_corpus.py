@@ -972,9 +972,11 @@ def l34(spark: SparkSession, sf: str) -> DataFrame:
     "custkeys present in orders — the value-minus-row_number grouping "
     "idiom (missing-id detection, contiguous-range compaction). One "
     "distinct + one global-order window + one aggregate; at 100 TB "
-    "partition the window by a bucket of k (islands can't cross "
-    "buckets when bucket boundaries are excluded values, or stitch "
-    "boundary islands in a cheap second pass).",
+    "swap the window for operators.with_ordered_index (range-partition "
+    "+ per-partition offsets — same numbering, no single-partition "
+    "WindowExec; parity-tested) or partition the window by a bucket of "
+    "k and stitch boundary islands in a cheap second pass. This entry "
+    "keeps the window form as the plan-allowlisted bounded-child case.",
 )
 def c65(spark: SparkSession, sf: str) -> DataFrame:
     o = (

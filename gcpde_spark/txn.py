@@ -244,6 +244,29 @@ class TxnTable:
             "kept": len(kept),
         }
 
+    def merge_with_retry(
+        self,
+        source: DataFrame,
+        attempts: int = 3,
+        on_duplicate_keys: str = "error",
+        meta: dict | None = None,
+    ) -> dict:
+        """Optimistic-concurrency loop around :meth:`merge`: on
+        :class:`ConcurrentCommitError` the merge re-reads the NEW
+        snapshot and re-applies the delta (sound because MERGE is
+        defined against whatever the current table state is — the
+        loser's delta still wins per key over both the old rows and
+        the rival's). Raises after ``attempts`` losses."""
+        last: ConcurrentCommitError | None = None
+        for _ in range(attempts):
+            try:
+                return self.merge(
+                    source, on_duplicate_keys=on_duplicate_keys, meta=meta
+                )
+            except ConcurrentCommitError as exc:
+                last = exc
+        raise last  # type: ignore[misc]
+
     def append(self, df: DataFrame) -> dict:
         """Append-only commit: new files, no rewrite, no key check —
         the bulk-ingest fast path (dedup against existing keys is the

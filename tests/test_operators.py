@@ -291,3 +291,33 @@ def test_funnel_counts_is_one_lazy_job(spark):
         ).collect()
     }
     assert got == {("2024-01-01", 0): 2, ("2024-01-01", 2): 1}
+
+
+def test_with_ordered_index_matches_row_number_without_a_window(spark):
+    """Global numbering parity with row_number() OVER (ORDER BY ...) —
+    but the plan must contain NO Window node at all (the scale-safe
+    construction c65's docstring points to)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.operators import with_ordered_index
+    from gcpde_spark.plans import audit
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("payload")
+    )
+    out = with_ordered_index(df, ["k"], out_col="rn", n_partitions=8)
+    expected = {
+        (r.k, r.rn)
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k")).cast("bigint")
+        ).collect()
+    }
+    got = {(r.k, r.rn) for r in out.collect()}
+    assert got == expected
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert audit(out).global_windows == 0
+    # deterministic across materializations (persisted tag pass)
+    assert {(r.k, r.rn) for r in out.collect()} == expected
+    spark.catalog.clearCache()

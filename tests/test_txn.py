@@ -110,6 +110,43 @@ def test_concurrent_commit_single_winner(spark, tmp_path, monkeypatch):
     assert {r.v for r in t.read().collect() if r.id == 2} == {"B"}
 
 
+def test_merge_with_retry_recovers_from_a_lost_race(spark, tmp_path, monkeypatch):
+    """The optimistic loop: lose the commit race once, re-read the
+    rival's snapshot, re-apply, win — final table contains BOTH
+    writers' deltas with the retrier's rows winning on its keys."""
+    import gcpde_spark.txn as txn
+
+    t = _mk(spark, tmp_path / "t", n=10)
+    log = tmp_path / "t" / "_txn_log"
+    real_publish = txn._publish
+    raced = {"done": False}
+
+    def rival_once(root, version, manifest):
+        if not raced["done"] and not (log / _mname(version)).exists():
+            raced["done"] = True
+            # rival commits id=5 -> "RIVAL" at this version first
+            rival = TxnTable(spark, str(tmp_path / "t"))
+            real_publish_backup = txn._publish
+            txn._publish = real_publish
+            try:
+                rival.merge(
+                    spark.createDataFrame([(5, "RIVAL")], "id long, v string")
+                )
+            finally:
+                txn._publish = real_publish_backup
+        real_publish(root, version, manifest)
+
+    monkeypatch.setattr(txn, "_publish", rival_once)
+    res = t.merge_with_retry(
+        spark.createDataFrame([(1, "MINE"), (5, "MINE-5")], "id long, v string")
+    )
+    monkeypatch.setattr(txn, "_publish", real_publish)
+    assert res["version"] == 2  # rival took 1, retry landed on 2
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[1] == "MINE" and got[5] == "MINE-5"  # retrier wins its keys
+    assert len(got) == 10
+
+
 def test_merge_schema_gate_and_empty_delta(spark, tmp_path):
     t = _mk(spark, tmp_path / "t", n=10)
     bad = spark.createDataFrame([(1, 2)], "id long, other long")
