@@ -28,7 +28,7 @@ from gcpde_spark.errors import (
 )
 from gcpde_spark.session import build_session
 from gcpde_spark.tables import MergeIntoBackend
-from gcpde_spark.txn import TxnTable
+from gcpde_spark.txn import TxnMergeBackend, TxnTable
 
 __all__ = [
     "Engine",
@@ -36,6 +36,7 @@ __all__ = [
     "MergeIntoBackend",
     "SchemaInferenceConflict",
     "SchemaMismatchException",
+    "TxnMergeBackend",
     "TxnTable",
     "build_session",
 ]

@@ -26,8 +26,17 @@ three mechanisms from scratch at their minimal useful size):
    backend. (A file whose range does not overlap the delta's can not
    contain any delta key, so skipping it is sound, not approximate.)
 
-Out of scope, stated honestly: multi-table transactions, optimistic
-retry loops (a losing writer re-reads and re-merges itself), Hadoop-FS
+Beyond MERGE the same three mechanisms carry the rest of the
+transactional verb set: predicate ``delete``/``update`` (one
+pushed-down scan finds the files containing matches; only those
+rewrite), additive schema evolution (``merge_schema=True``), Z-order
+``compact``, manifest-pruned ``read(key_range=...)``, a per-commit
+change feed (``read_changes`` — precise mode diffs only the touched
+region, O(changes) not O(table)), and :class:`TxnMergeBackend`, which
+plugs the whole thing into ``TableStore.upsert_table_df`` via the
+:class:`gcpde_spark.tables.MergeIntoBackend` seam.
+
+Out of scope, stated honestly: multi-table transactions, Hadoop-FS
 paths (``gs://``/``s3://`` need the conditional-put commit above), and
 column-level stats beyond the merge key.
 """
@@ -36,16 +45,18 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import urllib.parse
 import uuid
 from pathlib import Path
-from typing import Any
+from typing import Any, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from gcpde_spark.errors import SchemaMismatchException
-from gcpde_spark.tables import merge_dataframes
+from gcpde_spark.tables import MergeIntoBackend, merge_dataframes
 
 _LOG_DIR = "_txn_log"
 _DATA_DIR = "data"
@@ -111,7 +122,7 @@ class TxnTable:
         spark: SparkSession,
         path: str,
         df: DataFrame,
-        key_field: str,
+        key_field: str | Sequence[str],
         sort_by_key: bool = True,
         n_files: int | None = None,
         meta: dict | None = None,
@@ -122,14 +133,20 @@ class TxnTable:
         unsorted data still merges correctly, just rewrites more.
         ``n_files`` pins the file count (size so each file is
         ~128 MB-1 GB at scale); without it AQE may coalesce small
-        tables to one file, which defeats pruning."""
+        tables to one file, which defeats pruning.
+
+        ``key_field`` may be a list for composite merge keys; file
+        pruning uses the LEADING key's [min, max] (sound for composite
+        keys too: a file whose leading-key range misses the delta's
+        cannot contain any matching key tuple)."""
+        keys = [key_field] if isinstance(key_field, str) else list(key_field)
         p = Path(path)
         (p / _LOG_DIR).mkdir(parents=True, exist_ok=False)
         if sort_by_key:
             out = (
-                df.repartitionByRange(n_files, key_field)
+                df.repartitionByRange(n_files, *keys)
                 if n_files
-                else df.repartitionByRange(key_field)
+                else df.repartitionByRange(*keys)
             )
         else:
             out = df
@@ -137,9 +154,10 @@ class TxnTable:
         manifest = {
             "version": 0,
             "op": "create",
-            "key_field": key_field,
+            "key_field": keys[0],
+            "key_fields": keys,
             "schema": df.schema.json(),
-            "files": _stat_entries(p, files, key_field),
+            "files": _stat_entries(p, files, keys[0]),
         }
         if meta:
             manifest["meta"] = meta
@@ -148,13 +166,37 @@ class TxnTable:
 
     # -- snapshot reads ----------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        key_range: tuple[Any, Any] | None = None,
+    ) -> DataFrame:
+        """Snapshot read. ``key_range=(lo, hi)`` (inclusive) prunes at
+        the MANIFEST level: files whose merge-key [min, max] cannot
+        intersect the range are never handed to the scan at all — at
+        100 TB / millions of files this skips the listing and footer
+        reads that row-group pruning alone still pays. The same bounds
+        are also applied as a row filter (file ranges overlap the
+        request without every row matching)."""
         m = self._manifest(version)
-        files = [str(self.path / f["path"]) for f in m["files"]]
+        entries = m["files"]
+        if key_range is not None:
+            lo, hi = key_range
+            entries = [
+                f
+                for f in entries
+                if f["key_min"] is None
+                or f["key_max"] is None
+                or not (f["key_max"] < lo or f["key_min"] > hi)
+            ]
+        files = [str(self.path / f["path"]) for f in entries]
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        df = self.spark.read.schema(schema).parquet(*files)
+        if key_range is not None:
+            df = df.where(F.col(_keys(m)[0]).between(key_range[0], key_range[1]))
+        return df
 
     def history(self) -> list[dict]:
         """Commit log, newest first (version, op, file/row counts)."""
@@ -190,6 +232,7 @@ class TxnTable:
         source: DataFrame,
         on_duplicate_keys: str = "error",
         meta: dict | None = None,
+        merge_schema: bool = False,
     ) -> dict:
         """Copy-on-write MERGE: keys in both → source row wins; keys
         only in source → inserted. Only data files whose merge-key
@@ -198,14 +241,24 @@ class TxnTable:
         ``{"version", "rewritten", "kept"}`` so callers can see the
         write amplification. Raises :class:`ConcurrentCommitError` if
         another writer commits first (re-read and re-merge to retry).
+
+        ``merge_schema=True`` allows ADDITIVE evolution: the source may
+        carry new columns (appended to the table schema as nullable;
+        rows in untouched files read as NULL there — parquet resolves
+        columns by name, so old files need no rewrite). It must still
+        carry every existing column at its existing type; dropping or
+        retyping columns stays a hard error.
         """
         base_version = self.version()
         m = self._manifest(base_version)
-        key = m["key_field"]
+        keys = _keys(m)
         schema = StructType.fromJson(json.loads(m["schema"]))
-        _check_schema(source, schema, self.path)
+        if merge_schema:
+            schema = _evolved_schema(source, schema, self.path)
+        else:
+            _check_schema(source, schema, self.path)
         bounds = source.agg(
-            F.min(key).alias("lo"), F.max(key).alias("hi")
+            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
         ).collect()[0]
         lo, hi = bounds["lo"], bounds["hi"]
         if lo is None:  # empty delta → nothing to do, no new version
@@ -218,22 +271,24 @@ class TxnTable:
                 touched.append(f)
             else:
                 kept.append(f)
+        src = source.select(*[f.name for f in schema.fields])
         if touched:
             old = self.spark.read.schema(schema).parquet(
                 *[str(self.path / f["path"]) for f in touched]
             )
             merged = merge_dataframes(
-                old, source, [key], on_duplicate_keys=on_duplicate_keys
+                old, src, keys, on_duplicate_keys=on_duplicate_keys
             )
         else:
-            merged = source
+            merged = src
         new_files = _write_data_files(self.spark, self.path, merged)
         manifest = {
             "version": base_version + 1,
             "op": "merge",
-            "key_field": key,
-            "schema": m["schema"],
-            "files": kept + _stat_entries(self.path, new_files, key),
+            "key_field": keys[0],
+            "key_fields": keys,
+            "schema": schema.json(),
+            "files": kept + _stat_entries(self.path, new_files, keys[0]),
         }
         if meta:
             manifest["meta"] = meta
@@ -250,6 +305,7 @@ class TxnTable:
         attempts: int = 3,
         on_duplicate_keys: str = "error",
         meta: dict | None = None,
+        merge_schema: bool = False,
     ) -> dict:
         """Optimistic-concurrency loop around :meth:`merge`: on
         :class:`ConcurrentCommitError` the merge re-reads the NEW
@@ -261,66 +317,337 @@ class TxnTable:
         for _ in range(attempts):
             try:
                 return self.merge(
-                    source, on_duplicate_keys=on_duplicate_keys, meta=meta
+                    source,
+                    on_duplicate_keys=on_duplicate_keys,
+                    meta=meta,
+                    merge_schema=merge_schema,
                 )
             except ConcurrentCommitError as exc:
                 last = exc
         raise last  # type: ignore[misc]
 
-    def append(self, df: DataFrame) -> dict:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> dict:
         """Append-only commit: new files, no rewrite, no key check —
         the bulk-ingest fast path (dedup against existing keys is the
-        caller's job or :meth:`merge`'s). O(delta) always."""
+        caller's job or :meth:`merge`'s). O(delta) always.
+        ``merge_schema`` as in :meth:`merge` (additive only)."""
         base = self.version()
         m = self._manifest(base)
         schema = StructType.fromJson(json.loads(m["schema"]))
-        _check_schema(df, schema, self.path)
-        new_files = _write_data_files(self.spark, self.path, df)
-        _publish(
-            self.path,
-            base + 1,
-            {
-                "version": base + 1,
-                "op": "append",
-                "key_field": m["key_field"],
-                "schema": m["schema"],
-                "files": m["files"] + _stat_entries(self.path, new_files, m["key_field"]),
-            },
-        )
-        return {"version": base + 1, "added": len(new_files)}
-
-    def compact(self, n_files: int | None = None) -> dict:
-        """Rewrite the whole snapshot as ``n_files`` key-range-sorted
-        files (the OPTIMIZE analog): merges and appends accumulate
-        small files with overlapping key ranges, which erodes MERGE
-        pruning; compaction restores narrow disjoint per-file ranges.
-        Old files stay until :meth:`vacuum` (snapshot isolation)."""
-        base = self.version()
-        m = self._manifest(base)
-        key = m["key_field"]
-        df = self.read(base)
-        out = (
-            df.repartitionByRange(n_files, key)
-            if n_files
-            else df.repartitionByRange(key)
-        )
+        if merge_schema:
+            schema = _evolved_schema(df, schema, self.path)
+        else:
+            _check_schema(df, schema, self.path)
+        out = df.select(*[f.name for f in schema.fields])
         new_files = _write_data_files(self.spark, self.path, out)
         _publish(
             self.path,
             base + 1,
             {
                 "version": base + 1,
-                "op": "compact",
-                "key_field": key,
-                "schema": m["schema"],
-                "files": _stat_entries(self.path, new_files, key),
+                "op": "append",
+                "key_field": _keys(m)[0],
+                "key_fields": _keys(m),
+                "schema": schema.json(),
+                "files": m["files"]
+                + _stat_entries(self.path, new_files, _keys(m)[0]),
             },
         )
+        return {"version": base + 1, "added": len(new_files)}
+
+    # -- DELETE / UPDATE (scan-targeted copy-on-write) ---------------------
+
+    def delete(
+        self, predicate: "Column | str", meta: dict | None = None
+    ) -> dict:
+        """``DELETE WHERE predicate`` with file-level targeting, the
+        Delta/Iceberg construction: ONE pushed-down scan finds the set
+        of data files that contain at least one matching row
+        (``input_file_name`` + distinct — predicate and projection
+        reach the parquet reader, so non-matching files cost only their
+        pruned scan, and at most a row per matched file crosses the
+        shuffle); only those files are rewritten without their matching
+        rows, every other file carries into the new snapshot untouched.
+        O(scan + rewritten files), never O(table write).
+
+        SQL ternary semantics: rows where the predicate is NULL are
+        KEPT, exactly as ``DELETE FROM t WHERE p`` keeps them."""
+        base = self.version()
+        m = self._manifest(base)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        cond = F.coalesce(pred, F.lit(False))
+        touched = self._files_matching(m, schema, cond)
+        if not touched:
+            return {"version": base, "rewritten": 0, "deleted_rows": 0}
+        kept = [f for f in m["files"] if f not in touched]
+        old = self.spark.read.schema(schema).parquet(
+            *[str(self.path / f["path"]) for f in touched]
+        )
+        remaining = old.where(~cond)
+        new_files = _write_data_files(self.spark, self.path, remaining)
+        entries = _stat_entries(self.path, new_files, _keys(m)[0])
+        manifest = {
+            "version": base + 1,
+            "op": "delete",
+            "key_field": _keys(m)[0],
+            "key_fields": _keys(m),
+            "schema": m["schema"],
+            "files": kept + entries,
+        }
+        if meta:
+            manifest["meta"] = meta
+        _publish(self.path, base + 1, manifest)
+        return {
+            "version": base + 1,
+            "rewritten": len(touched),
+            "kept": len(kept),
+            "deleted_rows": sum(f["rows"] for f in touched)
+            - sum(e["rows"] for e in entries),
+        }
+
+    def update(
+        self,
+        assignments: "dict[str, Column | str]",
+        where: "Column | str",
+        meta: dict | None = None,
+    ) -> dict:
+        """``UPDATE SET col = expr, ... WHERE predicate`` with the same
+        scan-targeted file rewrite as :meth:`delete`. Assignment
+        expressions are cast to the column's existing type (the table
+        schema never drifts through an update). Merge-key columns can
+        not be updated — a key change moves a row between files, which
+        is MERGE's job (delete + merge expresses it exactly)."""
+        base = self.version()
+        m = self._manifest(base)
+        keys = _keys(m)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        types = {f.name: f.dataType for f in schema.fields}
+        for c in assignments:
+            if c in keys:
+                raise ValueError(
+                    f"cannot update merge-key column {c!r}: a key change "
+                    "moves the row between files — delete the old key and "
+                    "merge the new row instead"
+                )
+            if c not in types:
+                raise ValueError(f"unknown column {c!r} in UPDATE SET")
+        pred = F.expr(where) if isinstance(where, str) else where
+        cond = F.coalesce(pred, F.lit(False))
+        touched = self._files_matching(m, schema, cond)
+        if not touched:
+            return {"version": base, "rewritten": 0, "updated_rows": 0}
+        kept = [f for f in m["files"] if f not in touched]
+        old = self.spark.read.schema(schema).parquet(
+            *[str(self.path / f["path"]) for f in touched]
+        )
+        n_updated = old.where(cond).count()  # bounded by the touched region
+        upd = old
+        for c, expr in assignments.items():
+            col = F.expr(expr) if isinstance(expr, str) else expr
+            upd = upd.withColumn(
+                c, F.when(cond, col.cast(types[c])).otherwise(F.col(c))
+            )
+        new_files = _write_data_files(self.spark, self.path, upd)
+        manifest = {
+            "version": base + 1,
+            "op": "update",
+            "key_field": keys[0],
+            "key_fields": keys,
+            "schema": m["schema"],
+            "files": kept + _stat_entries(self.path, new_files, keys[0]),
+        }
+        if meta:
+            manifest["meta"] = meta
+        _publish(self.path, base + 1, manifest)
+        return {
+            "version": base + 1,
+            "rewritten": len(touched),
+            "kept": len(kept),
+            "updated_rows": n_updated,
+        }
+
+    def _files_matching(
+        self, m: dict, schema: StructType, cond: Column
+    ) -> list[dict]:
+        """Manifest entries for data files containing ≥1 row where
+        ``cond`` is true — one distributed scan, nothing but distinct
+        file names crosses to the driver (bounded by file count)."""
+        if not m["files"]:
+            return []
+        paths = [str(self.path / f["path"]) for f in m["files"]]
+        hits = (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .where(cond)
+            .select(F.input_file_name().alias("_f"))
+            .distinct()
+            .collect()
+        )
+        matched = {
+            str(Path(urllib.parse.unquote(urllib.parse.urlparse(r["_f"]).path)).resolve())
+            for r in hits
+        }
+        return [
+            f
+            for f in m["files"]
+            if str((self.path / f["path"]).resolve()) in matched
+        ]
+
+    def compact(
+        self,
+        n_files: int | None = None,
+        cluster_by: Sequence[str] | None = None,
+        bits: int = 8,
+    ) -> dict:
+        """Rewrite the whole snapshot as ``n_files`` key-range-sorted
+        files (the OPTIMIZE analog): merges and appends accumulate
+        small files with overlapping key ranges, which erodes MERGE
+        pruning; compaction restores narrow disjoint per-file ranges.
+        Old files stay until :meth:`vacuum` (snapshot isolation).
+
+        ``cluster_by`` switches to Z-order layout (OPTIMIZE ZORDER —
+        the same Morton-key construction as
+        ``TableStore._zordered``): row-group stats narrow on every
+        listed column at once, at the cost of wider per-file MERGE-key
+        ranges; the right trade when reads filter on non-key columns
+        more often than merges land."""
+        base = self.version()
+        m = self._manifest(base)
+        keys = _keys(m)
+        df = self.read(base)
+        if cluster_by:
+            from gcpde_spark.tables import TableStore
+
+            out = TableStore._zordered(df, list(cluster_by), n_files, bits)
+        else:
+            out = (
+                df.repartitionByRange(n_files, *keys)
+                if n_files
+                else df.repartitionByRange(*keys)
+            )
+        new_files = _write_data_files(self.spark, self.path, out)
+        manifest = {
+            "version": base + 1,
+            "op": "compact",
+            "key_field": keys[0],
+            "key_fields": keys,
+            "schema": m["schema"],
+            "files": _stat_entries(self.path, new_files, keys[0]),
+        }
+        if cluster_by:
+            manifest["clustered_by"] = list(cluster_by)
+        _publish(self.path, base + 1, manifest)
         return {
             "version": base + 1,
             "before": len(m["files"]),
             "after": len(new_files),
         }
+
+    # -- change feed -------------------------------------------------------
+
+    def read_changes(
+        self,
+        since_version: int,
+        end_version: int | None = None,
+        precise: bool = False,
+    ) -> DataFrame:
+        """Change feed over commits ``(since_version, end_version]`` —
+        the incremental-consumption primitive (downstream refresh,
+        CDC fan-out, streaming-source backfill) that reads only each
+        commit's NEW files, never the whole table.
+
+        Default mode is an **at-least-once upsert feed**: rows from
+        files added by create/append/merge/update commits, tagged
+        ``_change_type='upsert'`` and ``_commit_version``. A merge or
+        update commit's rewritten files also contain untouched
+        neighbor rows, so consumers must apply the feed as keyed
+        upserts (idempotent — replays converge). ``delete`` commits
+        cannot be expressed as upserts and raise here; ``compact``
+        commits are logical no-ops and are skipped in both modes.
+
+        ``precise=True`` computes the exact row-level diff per commit —
+        ``insert`` / ``update_postimage`` / ``delete`` — by keyed
+        comparison of each commit's ADDED files against its REMOVED
+        files. Both sides are the touched region only, so the cost is
+        O(changed region per commit), not O(table): this is what makes
+        a change feed viable on a 100 TB table where snapshot diffing
+        (l38) would scan everything."""
+        end = self.version() if end_version is None else end_version
+        if since_version > end:
+            raise ValueError(f"since_version {since_version} > end {end}")
+        parts: list[DataFrame] = []
+        for v in range(since_version + 1, end + 1):
+            m = self._manifest(v)
+            op = m["op"]
+            if op == "compact":
+                continue
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            prev_paths = (
+                {f["path"] for f in self._manifest(v - 1)["files"]}
+                if v > 0
+                else set()
+            )
+            added = [f for f in m["files"] if f["path"] not in prev_paths]
+            new = (
+                self.spark.read.schema(schema).parquet(
+                    *[str(self.path / f["path"]) for f in added]
+                )
+                if added
+                else self.spark.createDataFrame([], schema)
+            )
+            if not precise:
+                if op == "delete":
+                    raise ValueError(
+                        f"version {v} is a DELETE commit, which an upsert "
+                        "feed cannot express — use precise=True"
+                    )
+                parts.append(
+                    new.select(
+                        "*",
+                        F.lit("upsert").alias("_change_type"),
+                        F.lit(v).cast("int").alias("_commit_version"),
+                    )
+                )
+                continue
+            cur_paths = {f["path"] for f in m["files"]}
+            removed = (
+                [
+                    f
+                    for f in self._manifest(v - 1)["files"]
+                    if f["path"] not in cur_paths
+                ]
+                if v > 0
+                else []
+            )
+            old_schema = (
+                StructType.fromJson(
+                    json.loads(self._manifest(v - 1)["schema"])
+                )
+                if v > 0
+                else schema
+            )
+            old = (
+                self.spark.read.schema(old_schema).parquet(
+                    *[str(self.path / f["path"]) for f in removed]
+                )
+                if removed
+                else self.spark.createDataFrame([], old_schema)
+            )
+            parts.append(_keyed_diff(new, old, _keys(m), v))
+        if not parts:
+            m = self._manifest(end)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            empty = self.spark.createDataFrame([], schema)
+            return empty.select(
+                "*",
+                F.lit("upsert").alias("_change_type"),
+                F.lit(0).cast("int").alias("_commit_version"),
+            ).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     # -- maintenance -------------------------------------------------------
 
@@ -365,6 +692,172 @@ class TxnTable:
         if not p.exists():
             raise TxnTableNotFound(f"version {v} not found at {self.path}")
         return json.loads(p.read_text())
+
+
+class TxnMergeBackend(MergeIntoBackend):
+    """The :class:`gcpde_spark.tables.MergeIntoBackend` seam REALIZED
+    with :class:`TxnTable` — attach it and ``TableStore.
+    upsert_table_df`` gets O(delta + rewritten files) transactional
+    MERGE instead of the parquet full-swap::
+
+        store.merge_backend = TxnMergeBackend("/lake/txn")
+        store.upsert_table_df("ds", "t", delta, "id")   # file-pruned
+        store.query("SELECT * FROM ds.t")               # sees the commit
+
+    Catalog publication: after each commit the backend builds a
+    hardlink snapshot directory (one ``link(2)`` per live data file —
+    metadata-only, O(file count), no data copied) and points the
+    catalog's external parquet table at it. Readers of the PREVIOUS
+    snapshot directory keep working while it exists
+    (``keep_snapshots`` retention); hardlinks keep inodes alive even
+    after :meth:`TxnTable.vacuum` unlinks the data path. On object
+    stores this directory becomes a manifest/symlink listing (the
+    Delta "symlink format manifest" trick for external readers) —
+    same shape, same cost.
+    """
+
+    def __init__(self, root: str, attempts: int = 3, keep_snapshots: int = 2):
+        self.root = Path(root)
+        self.attempts = attempts
+        self.keep_snapshots = max(1, keep_snapshots)
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        dataset: str,
+        table: str,
+        source: DataFrame,
+        key_fields: list[str],
+    ) -> None:
+        path = self.root / dataset / table
+        try:
+            t = TxnTable(spark, str(path))
+        except TxnTableNotFound:
+            t = TxnTable.create(
+                spark, str(path), source, key_field=list(key_fields)
+            )
+        else:
+            t.merge_with_retry(source, attempts=self.attempts)
+        self._publish_catalog(spark, t, dataset, table)
+
+    def table(self, spark: SparkSession, dataset: str, table: str) -> TxnTable:
+        """The underlying TxnTable (history, time travel, vacuum)."""
+        return TxnTable(spark, str(self.root / dataset / table))
+
+    def _publish_catalog(
+        self, spark: SparkSession, t: TxnTable, dataset: str, table: str
+    ) -> None:
+        v = t.version()
+        m = t._manifest(v)
+        snap = t.path / f"_snapshot-v{v:020d}"
+        if not snap.exists():
+            tmp = t.path / f".snap-tmp-{uuid.uuid4().hex}"
+            tmp.mkdir()
+            for i, f in enumerate(m["files"]):
+                os.link(t.path / f["path"], tmp / f"part-{i:05d}.parquet")
+            try:
+                os.rename(tmp, snap)
+            except OSError:
+                shutil.rmtree(tmp)  # a racing publisher built the same
+                # snapshot of the same immutable manifest — reuse it
+        qual = f"`{dataset}`.`{table}`"
+        name = f"{dataset}.{table}"
+        loc = snap.resolve().as_uri()
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{dataset}`")
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        same_schema = spark.catalog.tableExists(name) and [
+            (f.name, f.dataType) for f in spark.table(qual).schema.fields
+        ] == [(f.name, f.dataType) for f in schema.fields]
+        if same_schema:
+            spark.sql(f"ALTER TABLE {qual} SET LOCATION '{loc}'")
+            spark.catalog.refreshTable(name)
+        else:
+            # first publish, or the schema evolved: recreate the
+            # EXTERNAL table (metadata only; no data touched)
+            spark.sql(f"DROP TABLE IF EXISTS {qual}")
+            spark.sql(f"CREATE TABLE {qual} USING PARQUET LOCATION '{loc}'")
+        for d in sorted(t.path.glob("_snapshot-v*"))[: -self.keep_snapshots]:
+            shutil.rmtree(d)
+
+
+def _keys(m: dict) -> list[str]:
+    """Merge-key list from a manifest (legacy manifests carry only the
+    single ``key_field``)."""
+    return m.get("key_fields") or [m["key_field"]]
+
+
+def _evolved_schema(
+    df: DataFrame, schema: StructType, path: Path
+) -> StructType:
+    """Additive-evolution gate: every existing column must be present
+    at its existing type; columns only in ``df`` append as nullable."""
+    tnames = {f.name: f for f in schema.fields}
+    snames = {f.name: f for f in df.schema.fields}
+    missing = [n for n in tnames if n not in snames]
+    retyped = [
+        n
+        for n, f in tnames.items()
+        if n in snames and snames[n].dataType != f.dataType
+    ]
+    if missing or retyped:
+        raise SchemaMismatchException(
+            f"additive schema evolution at {path} requires every existing "
+            f"column at its existing type (missing: {missing}, "
+            f"retyped: {retyped})",
+            df.schema,
+            schema,
+        )
+    new = [
+        StructField(f.name, f.dataType, True)
+        for f in df.schema.fields
+        if f.name not in tnames
+    ]
+    return StructType(list(schema.fields) + new)
+
+
+def _keyed_diff(
+    new: DataFrame, old: DataFrame, keys: list[str], version: int
+) -> DataFrame:
+    """Exact change rows between one commit's added files (``new``) and
+    its removed files (``old``): full outer join on the merge key over
+    the touched region only. Rows present on both sides with identical
+    content are rewritten-but-unchanged neighbors and are dropped."""
+    non_keys_old = [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"_old_{c}") for c in non_keys_old],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select("*", F.lit(1).alias("_in_new"))
+    j = n.join(o, on=keys, how="full")
+    shared = [c for c in non_keys_old if c in new.columns]
+    same = F.lit(True)
+    for c in shared:
+        same = same & F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+    j = j.withColumn(
+        "_change_type",
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update_postimage")),
+    ).where(F.col("_change_type").isNotNull())
+    out_cols = []
+    for c in new.columns:
+        if c not in keys and f"_old_{c}" in j.columns:
+            # deletes carry the old row's values (new side is all-null)
+            out_cols.append(
+                F.when(
+                    F.col("_change_type") == "delete", F.col(f"_old_{c}")
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c).alias(c))
+    return j.select(
+        *out_cols,
+        "_change_type",
+        F.lit(version).cast("int").alias("_commit_version"),
+    )
 
 
 def _mname(version: int) -> str:

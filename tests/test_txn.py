@@ -197,3 +197,307 @@ def test_vacuum_drops_unreferenced_files_keeps_current(spark, tmp_path):
     assert t.read().count() == 1000
     with pytest.raises(Exception):
         t.read(version=0).count()
+
+
+# -- round-5 verb set: DELETE / UPDATE / evolution / CDF / backend ---------
+
+
+def _mk_wide(spark, path, n=10_000, files=8):
+    """Key-sorted multi-file table (narrow disjoint per-file ranges)."""
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("v")
+    )
+    return TxnTable.create(
+        spark, str(path), df, key_field="id", n_files=files
+    )
+
+
+def test_delete_rewrites_only_files_containing_matches(spark, tmp_path):
+    t = _mk_wide(spark, tmp_path / "t")
+    before = {f["path"] for f in t._manifest()["files"]}
+    res = t.delete(F.col("id").between(100, 120))
+    assert res["deleted_rows"] == 21
+    assert res["rewritten"] == 1  # one key-sorted file covers [100,120]
+    after = t._manifest()["files"]
+    # every untouched file carried over by identity (copy-on-write)
+    assert sum(1 for f in after if f["path"] in before) == res["kept"]
+    got = {r.id for r in t.read().collect()}
+    assert got == set(range(10_000)) - set(range(100, 121))
+    # time travel still shows the pre-delete snapshot
+    assert t.read(version=0).count() == 10_000
+
+
+def test_delete_null_predicate_keeps_rows_and_noop_returns_same_version(
+    spark, tmp_path
+):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, v string"
+    )
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, key_field="id")
+    # SQL ternary: v != 'a' is NULL for row 2 -> row 2 is KEPT
+    t.delete(F.col("v") != "a")
+    assert {r.id for r in t.read().collect()} == {1, 2}
+    v = t.version()
+    res = t.delete(F.col("v") == "zzz")  # matches nothing
+    assert res == {"version": v, "rewritten": 0, "deleted_rows": 0}
+    assert t.version() == v
+
+
+def test_update_targets_files_and_guards_key_columns(spark, tmp_path):
+    t = _mk_wide(spark, tmp_path / "t")
+    res = t.update(
+        {"v": F.concat(F.lit("X"), F.col("v"))}, F.col("id").between(5, 9)
+    )
+    assert res["updated_rows"] == 5 and res["rewritten"] == 1
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[5] == "X5" and got[9] == "X2" and got[10] == "3"
+    assert len(got) == 10_000
+    with pytest.raises(ValueError, match="merge-key"):
+        t.update({"id": F.lit(0)}, F.col("id") == 1)
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update({"nope": F.lit(0)}, F.col("id") == 1)
+    # SQL-string forms work too
+    t.update({"v": "upper(v)"}, "id = 5")
+    assert t.read().where("id = 5").collect()[0].v == "X5"
+
+
+def test_additive_schema_evolution_on_merge_and_append(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=10)
+    delta = spark.createDataFrame(
+        [(3, "UPD", 0.5), (99, "NEW", 0.9)], "id long, v string, score double"
+    )
+    with pytest.raises(SchemaMismatchException):
+        t.merge(delta)  # strict mode still rejects extra columns
+    t.merge(delta, merge_schema=True)
+    got = {r.id: (r.v, r.score) for r in t.read().collect()}
+    assert got[99] == ("NEW", 0.9) and got[3] == ("UPD", 0.5)
+    assert got[4] == ("4", None)  # untouched old file: NULL via name resolution
+    # append with a further new column; must still carry all existing
+    t.append(
+        spark.createDataFrame(
+            [(200, "A", 0.1, "en")],
+            "id long, v string, score double, lang string",
+        ),
+        merge_schema=True,
+    )
+    row = {r.id: r for r in t.read().collect()}
+    assert row[200].lang == "en" and row[99].lang is None
+    # dropping an existing column is still a hard error
+    with pytest.raises(SchemaMismatchException, match="missing"):
+        t.append(
+            spark.createDataFrame([(1, 0.2)], "id long, score double"),
+            merge_schema=True,
+        )
+    # time travel: version 0 predates evolution and has the old schema
+    assert t.read(version=0).columns == ["id", "v"]
+
+
+def test_composite_merge_key(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "c")], "k1 long, k2 long, v string"
+    )
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), df, key_field=["k1", "k2"]
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(1, 2, "B"), (3, 3, "d")], "k1 long, k2 long, v string"
+        )
+    )
+    got = {(r.k1, r.k2): r.v for r in t.read().collect()}
+    assert got == {(1, 1): "a", (1, 2): "B", (2, 1): "c", (3, 3): "d"}
+
+
+def test_read_key_range_prunes_at_the_manifest(spark, tmp_path):
+    t = _mk_wide(spark, tmp_path / "t", n=10_000, files=10)
+    full = t.read()
+    pruned = t.read(key_range=(2_500, 2_599))
+    # manifest pruning hands the scan a strict subset of the files
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    assert {r.id for r in pruned.collect()} == set(range(2_500, 2_600))
+
+
+def test_compact_zorder_clusters_both_columns(spark, tmp_path):
+    df = spark.range(4_096).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("bigint").alias("b"),
+    )
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, key_field="id")
+    t.append(df.withColumn("id", F.col("id") + 4_096))
+    res = t.compact(n_files=8, cluster_by=["a", "b"])
+    assert res["version"] == 2
+    m = t._manifest()
+    assert m["op"] == "compact" and m["clustered_by"] == ["a", "b"]
+    got = {(r.id, r.a, r.b) for r in t.read().collect()}
+    assert len(got) == 8_192  # lossless rewrite
+
+
+def test_read_changes_upsert_feed_and_precise_diff(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=10)  # v0: ids 0..9
+    t.append(
+        spark.createDataFrame([(100, "app")], "id long, v string")
+    )  # v1
+    t.merge(
+        spark.createDataFrame(
+            [(3, "UPD"), (200, "NEW")], "id long, v string"
+        )
+    )  # v2
+    t.compact(n_files=2)  # v3: logical no-op, must not appear
+    t.delete("id = 5")  # v4
+    # at-least-once mode over append+merge only
+    feed = t.read_changes(0, end_version=3)
+    rows = feed.collect()
+    assert all(r._change_type == "upsert" for r in rows)
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r._commit_version, set()).add(r.id)
+    assert by_v[1] == {100}
+    assert 3 in by_v[2] and 200 in by_v[2]  # merge file may carry neighbors
+    # delete commits refuse the upsert feed
+    with pytest.raises(ValueError, match="precise=True"):
+        t.read_changes(3)
+    # precise mode: exact row-level changes, neighbors dropped
+    changes = {
+        (r._commit_version, r._change_type, r.id, r.v)
+        for r in t.read_changes(0, precise=True).collect()
+    }
+    assert changes == {
+        (1, "insert", 100, "app"),
+        (2, "update_postimage", 3, "UPD"),
+        (2, "insert", 200, "NEW"),
+        (4, "delete", 5, "5"),
+    }
+
+
+def test_txn_merge_backend_end_to_end(spark, tmp_path):
+    """The MergeIntoBackend seam realized: upsert_table_df routes to
+    TxnTable's file-pruned MERGE and catalog reads see each committed
+    snapshot atomically."""
+    from gcpde_spark.tables import TableStore
+    from gcpde_spark.txn import TxnMergeBackend
+
+    store = TableStore(spark, warehouse_dir=str(tmp_path / "wh"))
+    store.merge_backend = TxnMergeBackend(str(tmp_path / "lake"))
+    try:
+        df = spark.range(1_000).select(
+            F.col("id"), (F.col("id") % 3).cast("string").alias("v")
+        )
+        store.upsert_table_df("txnds", "users", df, "id")
+        assert spark.table("txnds.users").count() == 1_000
+        delta = spark.createDataFrame(
+            [(5, "UPD"), (5_000, "NEW")], "id long, v string"
+        )
+        store.upsert_table_df("txnds", "users", delta, "id")
+        got = {r.id: r.v for r in spark.table("txnds.users").collect()}
+        assert got[5] == "UPD" and got[5_000] == "NEW" and len(got) == 1_001
+        # the underlying table is transactional: history + time travel
+        t = store.merge_backend.table(spark, "txnds", "users")
+        assert [h["op"] for h in t.history()] == ["merge", "create"]
+        assert t.read(version=0).count() == 1_000
+        # store.query sees the committed snapshot too
+        n = store.query("SELECT count(*) AS n FROM txnds.users")[0]["n"]
+        assert n == 1_001
+    finally:
+        spark.sql("DROP TABLE IF EXISTS txnds.users")
+        spark.sql("DROP DATABASE IF EXISTS txnds")
+
+
+def test_random_op_sequences_match_dict_model_and_cdf_replay(spark, tmp_path):
+    """Model-based property: an arbitrary interleaving of merge /
+    append / delete / update / compact over a TxnTable equals the same
+    sequence applied to a plain dict, AND replaying the precise change
+    feed from version 0 onto the initial state reproduces the final
+    table — the two invariants (snapshot correctness, CDF losslessness)
+    that make the format trustworthy as a sink."""
+    from hypothesis import given, settings, strategies as st
+
+    val = st.text(alphabet="abcxyz", min_size=1, max_size=3)
+    op = st.one_of(
+        st.tuples(
+            st.just("merge"),
+            st.dictionaries(st.integers(0, 30), val, min_size=1, max_size=4),
+        ),
+        st.tuples(
+            st.just("append"),
+            st.dictionaries(st.integers(0, 30), val, min_size=1, max_size=3),
+        ),
+        st.tuples(
+            st.just("delete"), st.integers(0, 30), st.integers(0, 10)
+        ),
+        st.tuples(
+            st.just("update"), st.integers(0, 30), st.integers(0, 10), val
+        ),
+        st.tuples(st.just("compact"), st.integers(1, 3)),
+    )
+
+    counter = {"n": 0}
+
+    @settings(max_examples=8, deadline=None)
+    @given(ops=st.lists(op, min_size=1, max_size=5))
+    def check(ops):
+        counter["n"] += 1
+        root = tmp_path / f"model-{counter['n']}"
+        init = {i: str(i % 5) for i in range(12)}
+        model = dict(init)
+        t = TxnTable.create(
+            spark,
+            str(root),
+            spark.createDataFrame(
+                sorted(init.items()), "id long, v string"
+            ),
+            key_field="id",
+            n_files=3,
+        )
+        for o in ops:
+            if o[0] == "merge":
+                delta = o[1]
+                t.merge(
+                    spark.createDataFrame(
+                        sorted(delta.items()), "id long, v string"
+                    )
+                )
+                model.update(delta)
+            elif o[0] == "append":
+                fresh = {k: v for k, v in o[1].items() if k not in model}
+                if not fresh:
+                    continue
+                t.append(
+                    spark.createDataFrame(
+                        sorted(fresh.items()), "id long, v string"
+                    )
+                )
+                model.update(fresh)
+            elif o[0] == "delete":
+                lo, width = o[1], o[2]
+                t.delete(F.col("id").between(lo, lo + width))
+                model = {
+                    k: v for k, v in model.items() if not lo <= k <= lo + width
+                }
+            elif o[0] == "update":
+                lo, width, suffix = o[1], o[2], o[3]
+                t.update(
+                    {"v": F.concat(F.col("v"), F.lit(suffix))},
+                    F.col("id").between(lo, lo + width),
+                )
+                model = {
+                    k: (v + suffix if lo <= k <= lo + width else v)
+                    for k, v in model.items()
+                }
+            else:
+                t.compact(n_files=o[1])
+        assert {r.id: r.v for r in t.read().collect()} == model
+        # CDF replay: initial state + precise changes == final state
+        replay = dict(init)
+        changes = sorted(
+            t.read_changes(0, precise=True).collect(),
+            key=lambda r: r._commit_version,
+        )
+        for r in changes:
+            if r._change_type == "delete":
+                replay.pop(r.id, None)
+            else:
+                replay[r.id] = r.v
+        assert replay == model
+
+    check()
