@@ -71,27 +71,48 @@ class TxnTableNotFound(Exception):
     pass
 
 
-def _file_key_stats(path: str, key_field: str) -> tuple[Any, Any, int]:
-    """(key_min, key_max, n_rows) from the parquet footer — metadata
-    only, no data read. Driver-side per file; at very large file counts
-    collect stats distributedly at write time instead (noted, not
-    hidden)."""
+_STATS_MAX_COLS = 32
+_STATS_TYPES = (int, float, str, bool)
+
+
+def _file_stats(path: str) -> tuple[dict[str, list], int]:
+    """Per-column [min, max] for every top-level primitive column (up
+    to ``_STATS_MAX_COLS``, JSON-representable types only) plus the row
+    count, from the parquet FOOTER — metadata only, no data read. A
+    column missing min/max in ANY row group carries no stats at all
+    (partial stats would make pruning unsound). Driver-side per file;
+    at very large file counts collect stats distributedly at write
+    time instead (noted, not hidden)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
-    kmin = kmax = None
+    agg: dict[str, list] = {}
+    bad: set[str] = set()
+    order: list[str] = []
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
             col = row_group.column(ci)
-            if col.path_in_schema != key_field:
+            name = col.path_in_schema
+            if "." in name or name in bad:  # nested leaves don't prune
                 continue
             st = col.statistics
-            if st is None or not st.has_min_max:
-                return None, None, md.num_rows
-            kmin = st.min if kmin is None else min(kmin, st.min)
-            kmax = st.max if kmax is None else max(kmax, st.max)
-    return kmin, kmax, md.num_rows
+            if (
+                st is None
+                or not st.has_min_max
+                or not isinstance(st.min, _STATS_TYPES)
+                or not isinstance(st.max, _STATS_TYPES)
+            ):
+                bad.add(name)
+                agg.pop(name, None)
+                continue
+            if name in agg:
+                agg[name] = [min(agg[name][0], st.min), max(agg[name][1], st.max)]
+            else:
+                agg[name] = [st.min, st.max]
+                order.append(name)
+    kept = [n for n in order if n in agg][:_STATS_MAX_COLS]
+    return {n: agg[n] for n in kept}, md.num_rows
 
 
 class TxnTable:
@@ -170,32 +191,41 @@ class TxnTable:
         self,
         version: int | None = None,
         key_range: tuple[Any, Any] | None = None,
+        ranges: "dict[str, tuple[Any, Any]] | None" = None,
     ) -> DataFrame:
-        """Snapshot read. ``key_range=(lo, hi)`` (inclusive) prunes at
-        the MANIFEST level: files whose merge-key [min, max] cannot
-        intersect the range are never handed to the scan at all — at
-        100 TB / millions of files this skips the listing and footer
-        reads that row-group pruning alone still pays. The same bounds
-        are also applied as a row filter (file ranges overlap the
-        request without every row matching)."""
+        """Snapshot read with data skipping. ``key_range=(lo, hi)``
+        (inclusive) bounds the merge key; ``ranges={col: (lo, hi)}``
+        bounds ANY stats-carrying column (``None`` = open end) — both
+        prune at the MANIFEST level: files whose per-column [min, max]
+        cannot intersect a requested range are never handed to the scan
+        at all, so at 100 TB / millions of files the listing and footer
+        reads that row-group pruning alone still pays are skipped too.
+        Non-key ranges are what :meth:`compact` with ``cluster_by``
+        exists to sharpen (Z-order keeps every clustered column's
+        per-file range narrow). The same bounds are re-applied as row
+        filters — file ranges overlap a request without every row
+        matching — so results are exact, and a column without stats
+        simply doesn't prune (conservative, never lossy)."""
         m = self._manifest(version)
-        entries = m["files"]
+        all_ranges = dict(ranges or {})
         if key_range is not None:
-            lo, hi = key_range
-            entries = [
-                f
-                for f in entries
-                if f["key_min"] is None
-                or f["key_max"] is None
-                or not (f["key_max"] < lo or f["key_min"] > hi)
-            ]
+            all_ranges[_keys(m)[0]] = key_range
+        entries = m["files"]
+        if all_ranges:
+            entries = _prune_by_ranges(entries, all_ranges, _keys(m)[0])
         files = [str(self.path / f["path"]) for f in entries]
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not files:
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*files)
-        if key_range is not None:
-            df = df.where(F.col(_keys(m)[0]).between(key_range[0], key_range[1]))
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*files)
+        for col, (lo, hi) in all_ranges.items():
+            if lo is not None and hi is not None:
+                df = df.where(F.col(col).between(lo, hi))
+            elif lo is not None:
+                df = df.where(F.col(col) >= lo)
+            elif hi is not None:
+                df = df.where(F.col(col) <= hi)
         return df
 
     def history(self) -> list[dict]:
@@ -891,16 +921,47 @@ def _write_data_files(spark: SparkSession, root: Path, df: DataFrame) -> list[st
 def _stat_entries(root: Path, rel_files: list[str], key_field: str) -> list[dict]:
     entries = []
     for rel in rel_files:
-        kmin, kmax, rows = _file_key_stats(str(root / rel), key_field)
+        stats, rows = _file_stats(str(root / rel))
+        key = stats.get(key_field)
         entries.append(
             {
                 "path": rel,
                 "rows": rows,
-                "key_min": kmin,
-                "key_max": kmax,
+                "key_min": key[0] if key else None,
+                "key_max": key[1] if key else None,
+                "stats": stats,
             }
         )
     return entries
+
+
+def _prune_by_ranges(
+    entries: list[dict],
+    ranges: "dict[str, tuple[Any, Any]]",
+    key_field: str | None = None,
+) -> list[dict]:
+    """Data skipping: drop manifest entries whose per-column [min, max]
+    cannot intersect every requested range (``None`` bound = open).
+    A file without stats for a column is always KEPT — pruning is
+    conservative, never lossy. ``key_field`` names the column whose
+    bounds also live in the legacy ``key_min``/``key_max`` fields
+    (pre-stats manifests)."""
+    out = []
+    for f in entries:
+        keep = True
+        for col, (lo, hi) in ranges.items():
+            st = (f.get("stats") or {}).get(col)
+            if st is None and col == key_field:
+                st = [f.get("key_min"), f.get("key_max")]
+            if st is None or st[0] is None or st[1] is None:
+                continue
+            mn, mx = st
+            if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
 
 
 def _publish(root: Path, version: int, manifest: dict) -> None:

@@ -501,3 +501,52 @@ def test_random_op_sequences_match_dict_model_and_cdf_replay(spark, tmp_path):
         assert replay == model
 
     check()
+
+
+def test_data_skipping_on_non_key_columns_after_zorder(spark, tmp_path):
+    """Per-file stats cover every primitive column, so read(ranges=)
+    skips files on NON-key predicates — and Z-order compaction is what
+    makes those ranges narrow enough to prune on both columns at once."""
+    df = spark.range(8_192).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("bigint").alias("b"),
+        F.concat(F.lit("u"), F.format_string("%05d", (F.col("id") % 100))).alias(
+            "tag"
+        ),
+    )
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, key_field="id")
+    t.compact(n_files=16, cluster_by=["a", "b"])
+    full = t.read()
+    got = t.read(ranges={"a": (0, 7), "b": (0, 15)})
+    assert 0 < len(got.inputFiles()) < len(full.inputFiles())
+    expected = {
+        (r.id, r.a, r.b)
+        for r in full.where("a between 0 and 7 and b between 0 and 15").collect()
+    }
+    assert {(r.id, r.a, r.b) for r in got.collect()} == expected
+    # open-ended range + string-column stats
+    hi = t.read(ranges={"tag": ("u00098", None)})
+    assert {r.tag for r in hi.collect()} == {"u00098", "u00099"}
+    # a column without stats (absent name) must not prune or fail
+    assert t.read(ranges={"id": (1, 2)}).count() == 2
+
+
+def test_stats_survive_delete_update_and_legacy_manifests(spark, tmp_path):
+    t = _mk_wide(spark, tmp_path / "t", n=1_000, files=4)
+    t.update({"v": F.lit("zz")}, F.col("id") < 5)
+    t.delete(F.col("id").between(10, 20))
+    m = t._manifest()
+    assert all("stats" in f and "id" in f["stats"] for f in m["files"])
+    # legacy manifest (no per-file stats): key_range still prunes via
+    # the key_min/key_max fields, other ranges keep everything
+    import json as _json
+
+    for f in m["files"]:
+        f.pop("stats")
+    legacy = tmp_path / "t" / "_txn_log" / _mname(t.version() + 1)
+    m["version"] = t.version() + 1
+    legacy.write_text(_json.dumps(m))
+    pruned = t.read(key_range=(0, 100))
+    assert len(pruned.inputFiles()) < 4
+    assert t.read(ranges={"v": ("zz", "zz")}).count() == 5
