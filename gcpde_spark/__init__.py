@@ -28,7 +28,7 @@ from gcpde_spark.errors import (
 )
 from gcpde_spark.session import build_session
 from gcpde_spark.tables import MergeIntoBackend
-from gcpde_spark.txn import TxnMergeBackend, TxnTable
+from gcpde_spark.txn import TxnMergeBackend, TxnTable, sync_table
 
 __all__ = [
     "Engine",
@@ -39,6 +39,7 @@ __all__ = [
     "TxnMergeBackend",
     "TxnTable",
     "build_session",
+    "sync_table",
 ]
 
 __version__ = "0.1.0"

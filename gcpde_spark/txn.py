@@ -51,7 +51,7 @@ import uuid
 from pathlib import Path
 from typing import Any, Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -385,6 +385,48 @@ class TxnTable:
         )
         return {"version": base + 1, "added": len(new_files)}
 
+    def overwrite(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        n_files: int | None = None,
+        merge_schema: bool = False,
+        sort_by_key: bool = True,
+    ) -> dict:
+        """``INSERT OVERWRITE`` analog: atomically replace the whole
+        snapshot with ``df`` (previous versions stay readable until
+        :meth:`vacuum`). O(new data) write — the full-refresh escape
+        hatch (backfills, :func:`sync_table`'s resync fallback), not
+        the incremental path."""
+        base = self.version()
+        m = self._manifest(base)
+        keys = _keys(m)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if merge_schema:
+            schema = _evolved_schema(df, schema, self.path)
+        else:
+            _check_schema(df, schema, self.path)
+        out = df.select(*[f.name for f in schema.fields])
+        if sort_by_key:
+            out = (
+                out.repartitionByRange(n_files, *keys)
+                if n_files
+                else out.repartitionByRange(*keys)
+            )
+        new_files = _write_data_files(self.spark, self.path, out)
+        manifest = {
+            "version": base + 1,
+            "op": "overwrite",
+            "key_field": keys[0],
+            "key_fields": keys,
+            "schema": schema.json(),
+            "files": _stat_entries(self.path, new_files, keys[0]),
+        }
+        if meta:
+            manifest["meta"] = meta
+        _publish(self.path, base + 1, manifest)
+        return {"version": base + 1, "added": len(new_files)}
+
     # -- DELETE / UPDATE (scan-targeted copy-on-write) ---------------------
 
     def delete(
@@ -592,9 +634,10 @@ class TxnTable:
         ``_change_type='upsert'`` and ``_commit_version``. A merge or
         update commit's rewritten files also contain untouched
         neighbor rows, so consumers must apply the feed as keyed
-        upserts (idempotent — replays converge). ``delete`` commits
-        cannot be expressed as upserts and raise here; ``compact``
-        commits are logical no-ops and are skipped in both modes.
+        upserts (idempotent — replays converge). Commits that can
+        remove rows (``delete``/``overwrite``/``apply_changes``) cannot
+        be expressed as upserts and raise here; ``compact`` commits are
+        logical no-ops and are skipped in both modes.
 
         ``precise=True`` computes the exact row-level diff per commit —
         ``insert`` / ``update_postimage`` / ``delete`` — by keyed
@@ -627,10 +670,11 @@ class TxnTable:
                 else self.spark.createDataFrame([], schema)
             )
             if not precise:
-                if op == "delete":
+                if op in ("delete", "overwrite", "apply_changes"):
                     raise ValueError(
-                        f"version {v} is a DELETE commit, which an upsert "
-                        "feed cannot express — use precise=True"
+                        f"version {v} is a {op.upper()} commit, which can "
+                        "remove rows — an upsert feed cannot express it; "
+                        "use precise=True"
                     )
                 parts.append(
                     new.select(
@@ -679,6 +723,113 @@ class TxnTable:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        meta: dict | None = None,
+        merge_schema: bool = False,
+    ) -> dict:
+        """Apply a PRECISE change feed (the :meth:`read_changes`
+        ``precise=True`` schema: table columns + ``_change_type`` +
+        ``_commit_version``) in ONE atomic commit: per key the
+        highest-version change wins (a feed spanning many commits may
+        update then delete the same key — order matters), winners of
+        type insert/update_postimage merge in, winners of type delete
+        anti-join out. File targeting is the same leading-key-range
+        prune as :meth:`merge`, so cost is O(changes + touched files).
+        This is the write half of the CDC relay — :func:`sync_table`
+        pairs it with :meth:`read_changes` for exactly-once
+        incremental replication. ``merge_schema`` allows the feed to
+        carry additively-evolved columns (as in :meth:`merge`)."""
+        base = self.version()
+        m = self._manifest(base)
+        keys = _keys(m)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if merge_schema:
+            schema = _evolved_schema(
+                changes.drop("_change_type", "_commit_version"),
+                schema,
+                self.path,
+            )
+        w = Window.partitionBy(*keys).orderBy(F.desc("_commit_version"))
+        latest = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        latest.persist()
+        try:
+            bounds = latest.agg(
+                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            ).collect()[0]
+            lo, hi = bounds["lo"], bounds["hi"]
+            if lo is None:
+                if meta is None:
+                    return {
+                        "version": base,
+                        "rewritten": 0,
+                        "kept": len(m["files"]),
+                    }
+                # empty feed but metadata to record (sync bookkeeping):
+                # publish a data-free commit carrying the same files
+                _publish(
+                    self.path,
+                    base + 1,
+                    {
+                        "version": base + 1,
+                        "op": "apply_changes",
+                        "key_field": keys[0],
+                        "key_fields": keys,
+                        "schema": schema.json(),
+                        "files": m["files"],
+                        "meta": meta,
+                    },
+                )
+                return {
+                    "version": base + 1,
+                    "rewritten": 0,
+                    "kept": len(m["files"]),
+                }
+            ups = latest.where(F.col("_change_type") != "delete").select(
+                *[f.name for f in schema.fields]
+            )
+            dels = latest.where(F.col("_change_type") == "delete").select(*keys)
+            touched, kept = [], []
+            for f in m["files"]:
+                kmin, kmax = f["key_min"], f["key_max"]
+                no_stats = kmin is None or kmax is None
+                if no_stats or not (kmax < lo or kmin > hi):
+                    touched.append(f)
+                else:
+                    kept.append(f)
+            if touched:
+                old = self.spark.read.schema(schema).parquet(
+                    *[str(self.path / f["path"]) for f in touched]
+                )
+                surviving = old.join(dels, on=keys, how="left_anti")
+                merged = merge_dataframes(surviving, ups, keys)
+            else:
+                merged = ups
+            new_files = _write_data_files(self.spark, self.path, merged)
+            manifest = {
+                "version": base + 1,
+                "op": "apply_changes",
+                "key_field": keys[0],
+                "key_fields": keys,
+                "schema": schema.json(),
+                "files": kept + _stat_entries(self.path, new_files, keys[0]),
+            }
+            if meta:
+                manifest["meta"] = meta
+            _publish(self.path, base + 1, manifest)
+            return {
+                "version": base + 1,
+                "rewritten": len(touched),
+                "kept": len(kept),
+            }
+        finally:
+            latest.unpersist()
+
     # -- maintenance -------------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
@@ -722,6 +873,75 @@ class TxnTable:
         if not p.exists():
             raise TxnTableNotFound(f"version {v} not found at {self.path}")
         return json.loads(p.read_text())
+
+
+def sync_table(
+    spark: SparkSession,
+    src: TxnTable,
+    dst_path: str,
+    meta_key: str = "cdc_src_version",
+    attempts: int = 3,
+) -> dict:
+    """EXACTLY-once incremental replication: bring the table at
+    ``dst_path`` up to ``src``'s current snapshot by applying only the
+    PRECISE change feed since the last synced source version (recorded
+    in the destination's commit metadata — the same transactional
+    batch-id tracking as the streaming CDC sink). Each call is one
+    atomic destination commit; replays and concurrent syncs are
+    detected by the recorded version and skipped. Cost per call is
+    O(changes since last sync + touched destination files) — the
+    incremental-materialized-view primitive: a 100 TB mirror follows a
+    busy source for the price of its deltas, never a table rewrite.
+
+    First call (no destination yet) seeds a full copy. If the source
+    was vacuumed past the last synced version (retention shorter than
+    sync lag), the feed is unreadable and the sync falls back to one
+    full :meth:`TxnTable.overwrite` resync — loud in the returned
+    ``mode``, never silent. Additive source schema evolution flows
+    through incrementally; non-additive drift raises."""
+    cur = src.version()
+    try:
+        dst = TxnTable(spark, dst_path)
+    except TxnTableNotFound:
+        m = src._manifest(cur)
+        TxnTable.create(
+            spark,
+            dst_path,
+            src.read(cur),
+            key_field=_keys(m),
+            meta={meta_key: cur},
+        )
+        return {"mode": "full", "synced_to": cur}
+    last_err: ConcurrentCommitError | None = None
+    for _ in range(attempts):
+        last = dst.last_meta_value(meta_key)
+        if last is None:
+            raise ValueError(
+                f"{dst_path} carries no {meta_key!r} commit metadata — "
+                "it was not created by sync_table for this source"
+            )
+        if last >= cur:
+            return {"mode": "noop", "synced_to": last}
+        try:
+            changes = src.read_changes(last, end_version=cur, precise=True)
+        except TxnTableNotFound:
+            try:
+                dst.overwrite(
+                    src.read(cur), meta={meta_key: cur}, merge_schema=True
+                )
+                return {"mode": "full", "synced_to": cur}
+            except ConcurrentCommitError as exc:
+                last_err = exc
+                continue
+        try:
+            res = dst.apply_changes(
+                changes, meta={meta_key: cur}, merge_schema=True
+            )
+            return {"mode": "incremental", "synced_to": cur, **res}
+        except ConcurrentCommitError as exc:
+            last_err = exc
+            continue
+    raise last_err  # type: ignore[misc]
 
 
 class TxnMergeBackend(MergeIntoBackend):
@@ -864,6 +1084,12 @@ def _keyed_diff(
     same = F.lit(True)
     for c in shared:
         same = same & F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+    for c in new.columns:
+        if c not in keys and f"_old_{c}" not in o.columns:
+            # column added by schema evolution: the old side is
+            # implicitly NULL, so a non-null new value IS a change even
+            # when every shared column matched
+            same = same & F.col(c).isNull()
     j = j.withColumn(
         "_change_type",
         F.when(F.col("_in_old").isNull(), F.lit("insert"))

@@ -550,3 +550,114 @@ def test_stats_survive_delete_update_and_legacy_manifests(spark, tmp_path):
     pruned = t.read(key_range=(0, 100))
     assert len(pruned.inputFiles()) < 4
     assert t.read(ranges={"v": ("zz", "zz")}).count() == 5
+
+
+def test_apply_changes_latest_per_key_wins_in_one_commit(spark, tmp_path):
+    """A feed spanning commits may update then delete the same key —
+    the highest _commit_version wins per key, applied atomically."""
+    t = _mk(spark, tmp_path / "t", n=10)
+    feed = spark.createDataFrame(
+        [
+            (3, "V2", "update_postimage", 2),
+            (3, "3", "delete", 4),         # later delete wins over update
+            (99, "NEW", "insert", 2),
+            (99, "NEWER", "update_postimage", 3),
+            (5, "5", "delete", 2),
+        ],
+        "id long, v string, _change_type string, _commit_version int",
+    )
+    res = t.apply_changes(feed)
+    assert res["version"] == 1
+    got = {r.id: r.v for r in t.read().collect()}
+    assert 3 not in got and 5 not in got
+    assert got[99] == "NEWER" and len(got) == 9
+    # empty feed without meta: no new version; with meta: bookkeeping commit
+    assert t.apply_changes(feed.limit(0))["version"] == 1
+    assert t.apply_changes(feed.limit(0), meta={"mark": 7})["version"] == 2
+    assert t.last_meta_value("mark") == 7
+
+
+def test_overwrite_replaces_snapshot_atomically(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=10)
+    res = t.overwrite(
+        spark.createDataFrame([(1, "only")], "id long, v string")
+    )
+    assert res["version"] == 1
+    assert {(r.id, r.v) for r in t.read().collect()} == {(1, "only")}
+    assert t.read(version=0).count() == 10  # time travel intact
+    with pytest.raises(ValueError, match="OVERWRITE"):
+        t.read_changes(0)  # upsert feed cannot express an overwrite
+    # precise mode can: 9 deletes + 1 update (0..9 -> just id 1)
+    ch = t.read_changes(0, precise=True).collect()
+    assert sum(r._change_type == "delete" for r in ch) == 9
+    assert {r.id for r in ch if r._change_type == "update_postimage"} == {1}
+
+
+def test_sync_table_exactly_once_incremental_mirror(spark, tmp_path):
+    from gcpde_spark.txn import sync_table
+
+    src = _mk_wide(spark, tmp_path / "src", n=1_000, files=4)
+    dst_path = str(tmp_path / "dst")
+    # 1. seed
+    assert sync_table(spark, src, dst_path)["mode"] == "full"
+    dst = TxnTable(spark, dst_path)
+    assert dst.read().count() == 1_000
+    # 2. incremental after a mixed mutation batch
+    src.merge(spark.createDataFrame([(5, "U"), (2_000, "N")], "id long, v string"))
+    src.update({"v": F.lit("upd")}, F.col("id").between(10, 12))
+    src.delete("id = 20")
+    res = sync_table(spark, src, dst_path)
+    assert res["mode"] == "incremental"
+    assert {r.id: r.v for r in dst.read().collect()} == {
+        r.id: r.v for r in src.read().collect()
+    }
+    # destination moved by single atomic commits, not re-creation
+    assert [h["op"] for h in dst.history()][0] == "apply_changes"
+    # 3. replay is a noop (exactly-once bookkeeping)
+    assert sync_table(spark, src, dst_path)["mode"] == "noop"
+    # 4. additive source evolution flows through incrementally
+    src.merge(
+        spark.createDataFrame(
+            [(7, "S", 0.9)], "id long, v string, score double"
+        ),
+        merge_schema=True,
+    )
+    res = sync_table(spark, src, dst_path)
+    assert res["mode"] == "incremental"
+    got = {r.id: (r.v, r.score) for r in dst.read().collect()}
+    assert got[7] == ("S", 0.9) and got[0][1] is None
+    # 5. source vacuumed past the sync point -> loud full resync
+    src.merge(
+        spark.createDataFrame([(8, "Z", 0.1)], "id long, v string, score double")
+    )
+    src.vacuum(keep_last=1)
+    res = sync_table(spark, src, dst_path)
+    assert res["mode"] == "full"
+    assert {r.id: r.v for r in dst.read().collect()} == {
+        r.id: r.v for r in src.read().collect()
+    }
+
+
+def test_precise_cdf_catches_new_column_only_changes(spark, tmp_path):
+    """Regression: after additive evolution, a row whose ONLY change is
+    a value in the newly-added column (all shared columns identical)
+    must still appear in the precise feed — the old side is implicitly
+    NULL for evolved columns."""
+    from gcpde_spark.txn import sync_table
+
+    t = _mk(spark, tmp_path / "t", n=10)
+    dst_path = str(tmp_path / "mirror")
+    sync_table(spark, t, dst_path)
+    # id=7 keeps v="0" (7 % 7) — ONLY the new score column changes
+    t.merge(
+        spark.createDataFrame([(7, "0", 0.9)], "id long, v string, score double"),
+        merge_schema=True,
+    )
+    ch = {
+        (r.id, r._change_type, r.score)
+        for r in t.read_changes(0, precise=True).collect()
+    }
+    assert (7, "update_postimage", 0.9) in ch
+    sync_table(spark, t, dst_path)
+    got = {r.id: r.score for r in TxnTable(spark, dst_path).read().collect()}
+    assert got[7] == 0.9
