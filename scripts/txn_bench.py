@@ -1,0 +1,130 @@
+"""Measured receipt for the TxnTable scale claims (BASELINE.md §txn).
+
+Builds a key-sorted transactional table from sf0.1 ``lineitem``
+(600 k rows, 64 files), then times the operations whose cost model the
+docstrings promise, reporting BOTH wall seconds and the write
+amplification (files rewritten / files total) — at sf0.1 the wall
+clock is job-floor-bound (the same decomposition as the main bench),
+so the amplification counts are the scale-relevant numbers and the
+times show the floor:
+
+- 1-row MERGE, file-pruned (1/64 files) vs pruning disabled (65/65 —
+  the cost an unpartitioned parquet merge+swap pays);
+- predicate DELETE hitting one file's key range;
+- ``read(ranges=...)`` manifest-skipped vs full-scan-and-filter;
+- ``sync_table``: incremental 2-row relay vs re-seeding the mirror.
+
+Plans are warmed before timing (codegen excluded — it is a one-time
+cost, measured separately by the main bench). Run ALONE.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from gcpde_spark.session import build_session
+from gcpde_spark.txn import TxnTable, _publish, sync_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_FILES = 64
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def main() -> None:
+    spark = build_session(
+        app_name="txn_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_confs={"spark.ui.enabled": "false"},
+    )
+    root = Path(tempfile.mkdtemp(prefix="txn_bench_"))
+    res: dict = {"sf_dir": SF_DIR, "n_files": N_FILES}
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            F.monotonically_increasing_id().alias("rid"),
+            "l_orderkey",
+            "l_partkey",
+            "l_quantity",
+            "l_shipdate",
+        )
+        t, tbl = timed(
+            lambda: TxnTable.create(
+                spark, str(root / "t"), li, key_field="rid", n_files=N_FILES
+            )
+        )
+        res["create_s"] = round(t, 3)
+        res["n_rows"] = sum(f["rows"] for f in tbl._manifest()["files"])
+        lo = tbl._manifest()["files"][0]["key_min"]
+
+        one = tbl.read().limit(1).withColumn("l_quantity", F.lit(999.0))
+        one.persist().count()
+        tbl.merge(one)  # plan warm-up (Janino codegen paid once)
+        t, r = timed(lambda: tbl.merge(one))
+        res["merge_1row_pruned_s"] = round(t, 3)
+        res["merge_1row_rewritten_files"] = r["rewritten"]
+        res["merge_1row_kept_files"] = r["kept"]
+
+        t, r = timed(
+            lambda: tbl.delete(F.col("rid").between(lo + 1_000, lo + 1_050))
+        )
+        res["delete_range_s"] = round(t, 3)
+        res["delete_rewritten_files"] = r["rewritten"]
+        res["delete_rows"] = r["deleted_rows"]
+
+        rng = (lo, lo + 5_000)
+        tbl.read(ranges={"rid": rng}).count()  # warm
+        t, n = timed(lambda: tbl.read(ranges={"rid": rng}).count())
+        res["read_skipped_s"] = round(t, 3)
+        res["read_skipped_files"] = len(
+            tbl.read(ranges={"rid": rng}).inputFiles()
+        )
+        full_scan = tbl.read().where(F.col("rid").between(*rng))
+        full_scan.count()  # warm
+        t, n2 = timed(lambda: full_scan.count())
+        res["read_full_filter_s"] = round(t, 3)
+        res["read_full_files"] = len(tbl.read().inputFiles())
+        assert n == n2, (n, n2)
+
+        t, _ = timed(lambda: sync_table(spark, tbl, str(root / "mirror")))
+        res["sync_seed_s"] = round(t, 3)
+        tbl.merge(tbl.read().limit(2).withColumn("l_quantity", F.lit(1.0)))
+        t, r = timed(lambda: sync_table(spark, tbl, str(root / "mirror")))
+        res["sync_incremental_s"] = round(t, 3)
+        res["sync_incremental_mode"] = r["mode"]
+
+        # LAST (blanked stats would poison later pruning): disable
+        # pruning so every file is touched — the full-rewrite baseline
+        m2 = copy.deepcopy(tbl._manifest())
+        for f in m2["files"]:
+            f["key_min"] = f["key_max"] = None
+            f.get("stats", {}).pop("rid", None)
+        m2["version"] = tbl.version() + 1
+        _publish(tbl.path, m2["version"], m2)
+        t, r = timed(lambda: tbl.merge(one))
+        res["merge_1row_full_s"] = round(t, 3)
+        res["merge_1row_full_rewritten_files"] = r["rewritten"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
