@@ -144,3 +144,84 @@ def test_random_join_aggregates_match_duckdb(spark, oracle, orders_view):
         _both(spark, oracle, sql)
 
     check()
+
+
+def test_random_window_functions_match_duckdb(spark, oracle, orders_view):
+    """Window fuzzing: partitions/directions/offsets/frames drawn at
+    random, ordered by the UNIQUE o_orderkey (or ranked over dates,
+    where RANK's tie semantics are deterministic) so both engines are
+    fully determined."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        part=st.sampled_from(["o_custkey", "o_orderstatus", "o_orderpriority"]),
+        direction=st.sampled_from(["ASC", "DESC"]),
+        off=st.integers(1, 3),
+        frame=st.integers(0, 5),
+        limit=st.integers(500, 5_000),
+    )
+    def check(part, direction, off, frame, limit):
+        sql = (
+            "SELECT o_orderkey, o_custkey, "
+            f"ROW_NUMBER() OVER (PARTITION BY {part} "
+            f"ORDER BY o_orderkey {direction}) AS rn, "
+            f"RANK() OVER (PARTITION BY {part} ORDER BY o_orderdate) AS rk, "
+            f"LAG(o_orderkey, {off}) OVER (PARTITION BY {part} "
+            "ORDER BY o_orderkey) AS lg, "
+            f"SUM(o_orderkey) OVER (PARTITION BY {part} ORDER BY o_orderkey "
+            f"ROWS BETWEEN {frame} PRECEDING AND CURRENT ROW) AS rs "
+            f"FROM orders WHERE o_orderkey <= {limit}"
+        )
+        _both(spark, oracle, sql)
+
+    check()
+
+
+def test_random_scalar_expressions_match_duckdb(spark, oracle, orders_view):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        k=st.integers(1, 8),
+        m=st.integers(2, 97),
+        lo=st.integers(1, 50_000),
+        width=st.integers(0, 2_000),
+    )
+    def check(k, m, lo, width):
+        sql = (
+            "SELECT o_orderkey, "
+            f"UPPER(SUBSTR(o_orderpriority, 1, {k})) AS a, "
+            "LENGTH(o_orderpriority) AS b, "
+            f"o_orderkey % {m} AS c, "
+            f"CASE WHEN o_orderkey % {m} = 0 THEN 'z' "
+            "ELSE o_orderstatus END AS d, "
+            "EXTRACT(YEAR FROM o_orderdate) AS y, "
+            "o_orderstatus || '-' || o_orderpriority AS e "
+            f"FROM orders WHERE o_orderkey BETWEEN {lo} AND {lo + width}"
+        )
+        _both(spark, oracle, sql)
+
+    check()
+
+
+def test_random_set_operations_match_duckdb(spark, oracle, orders_view):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        op=st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]),
+        s1=st.sampled_from(["O", "F", "P"]),
+        p=st.sampled_from(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        ),
+    )
+    def check(op, s1, p):
+        sql = (
+            f"SELECT o_custkey FROM orders WHERE o_orderstatus = '{s1}' "
+            f"{op} "
+            f"SELECT o_custkey FROM orders WHERE o_orderpriority = '{p}'"
+        )
+        _both(spark, oracle, sql)
+
+    check()
