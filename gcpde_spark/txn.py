@@ -670,7 +670,7 @@ class TxnTable:
                 else self.spark.createDataFrame([], schema)
             )
             if not precise:
-                if op in ("delete", "overwrite", "apply_changes"):
+                if op in ("delete", "overwrite", "apply_changes", "restore"):
                     raise ValueError(
                         f"version {v} is a {op.upper()} commit, which can "
                         "remove rows — an upsert feed cannot express it; "
@@ -830,6 +830,30 @@ class TxnTable:
         finally:
             latest.unpersist()
 
+    def restore(self, version: int, meta: dict | None = None) -> dict:
+        """``RESTORE TABLE ... TO VERSION`` analog: publish a NEW
+        commit whose file list is snapshot ``version``'s — metadata
+        only, no data moves (the old files never left; manifests are
+        the table). History stays intact: the bad commits remain
+        readable via time travel until :meth:`vacuum`, and the restore
+        itself is one more auditable commit. Raises
+        :class:`TxnTableNotFound` if ``version`` was vacuumed."""
+        base = self.version()
+        m = self._manifest(version)
+        manifest = {
+            "version": base + 1,
+            "op": "restore",
+            "key_field": _keys(m)[0],
+            "key_fields": _keys(m),
+            "schema": m["schema"],
+            "files": m["files"],
+            "restored_from": version,
+        }
+        if meta:
+            manifest["meta"] = meta
+        _publish(self.path, base + 1, manifest)
+        return {"version": base + 1, "restored_from": version}
+
     # -- maintenance -------------------------------------------------------
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
@@ -966,10 +990,23 @@ class TxnMergeBackend(MergeIntoBackend):
     same shape, same cost.
     """
 
-    def __init__(self, root: str, attempts: int = 3, keep_snapshots: int = 2):
+    def __init__(
+        self,
+        root: str,
+        attempts: int = 3,
+        keep_snapshots: int = 2,
+        vacuum_keep: int | None = None,
+    ):
+        """``vacuum_keep`` (versions to retain) enables auto-vacuum
+        after each publish — the retention policy a steady-state
+        ingest needs so storage tracks the live table, not its
+        history. Catalog readers stay safe regardless: the published
+        hardlink snapshots keep their inodes alive after the data
+        paths are unlinked."""
         self.root = Path(root)
         self.attempts = attempts
         self.keep_snapshots = max(1, keep_snapshots)
+        self.vacuum_keep = vacuum_keep
 
     def merge_into(
         self,
@@ -989,6 +1026,8 @@ class TxnMergeBackend(MergeIntoBackend):
         else:
             t.merge_with_retry(source, attempts=self.attempts)
         self._publish_catalog(spark, t, dataset, table)
+        if self.vacuum_keep is not None:
+            t.vacuum(keep_last=self.vacuum_keep)
 
     def table(self, spark: SparkSession, dataset: str, table: str) -> TxnTable:
         """The underlying TxnTable (history, time travel, vacuum)."""
@@ -1090,6 +1129,11 @@ def _keyed_diff(
             # implicitly NULL, so a non-null new value IS a change even
             # when every shared column matched
             same = same & F.col(c).isNull()
+    for c in non_keys_old:
+        if c not in new.columns:
+            # column present only on the old side (a restore to a
+            # pre-evolution schema): losing a non-null value is a change
+            same = same & F.col(f"_old_{c}").isNull()
     j = j.withColumn(
         "_change_type",
         F.when(F.col("_in_old").isNull(), F.lit("insert"))
