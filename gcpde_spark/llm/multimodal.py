@@ -446,6 +446,224 @@ def _mp4_frame_stats(b: bytes) -> "dict[str, Any] | None":
     return None
 
 
+class _EgReader:
+    """MSB-first bit reader with the two Exp-Golomb forms H.264 uses
+    (ITU-T H.264 §9.1): ``ue`` = leadingZeroBits zeros, a 1, then that
+    many info bits, value = 2^k - 1 + info; ``se`` maps ue's k to
+    (-1)^(k+1) * ceil(k / 2)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("malformed Exp-Golomb code")
+        return (1 << zeros) - 1 + self.u(zeros)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _unescape_rbsp(nal: bytes) -> bytes:
+    """Strip H.264 emulation-prevention bytes (§7.4.1.1): the encoder
+    inserts 0x03 after any 0x00 0x00 so start codes can't appear inside
+    a NAL; the parser must remove them before reading bits."""
+    out = bytearray()
+    i = 0
+    while i < len(nal):
+        if i + 2 < len(nal) and nal[i] == 0 and nal[i + 1] == 0 and nal[i + 2] == 3:
+            out += nal[i : i + 2]
+            i += 3
+        else:
+            out.append(nal[i])
+            i += 1
+    return bytes(out)
+
+
+_SPS_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+
+
+def _h264_sps_info(sps_rbsp: bytes) -> "dict[str, Any] | None":
+    """Parse an H.264 sequence parameter set (ITU-T H.264 §7.3.2.1.1)
+    down to the coded picture size — the codec-payload truth the
+    container's ``tkhd`` display size can disagree with (cropping,
+    anamorphic display). Pure bit-level spec work, no codec library:
+    profile/level, chroma format, bit depth, and the coded WxH from
+    pic_width_in_mbs / pic_height_in_map_units minus the frame crop
+    (SubWidthC/SubHeightC per chroma format, §Table 6-1). Returns None
+    on malformed input."""
+    try:
+        r = _EgReader(sps_rbsp)
+        profile_idc = r.u(8)
+        r.u(8)  # constraint flags + reserved
+        level_idc = r.u(8)
+        r.ue()  # seq_parameter_set_id
+        chroma_format_idc = 1  # 4:2:0 default for non-high profiles
+        bit_depth_luma = 8
+        if profile_idc in _SPS_HIGH_PROFILES:
+            chroma_format_idc = r.ue()
+            if chroma_format_idc == 3:
+                r.u(1)  # separate_colour_plane_flag
+            bit_depth_luma = r.ue() + 8
+            r.ue()  # bit_depth_chroma_minus8
+            r.u(1)  # qpprime_y_zero_transform_bypass_flag
+            if r.u(1):  # seq_scaling_matrix_present_flag
+                n_lists = 8 if chroma_format_idc != 3 else 12
+                for i in range(n_lists):
+                    if r.u(1):  # seq_scaling_list_present_flag[i]
+                        size = 16 if i < 6 else 64
+                        last, nxt = 8, 8
+                        for _ in range(size):  # skip scaling_list (§7.3.2.1.1.1)
+                            if nxt != 0:
+                                nxt = (last + r.se() + 256) % 256
+                            last = nxt if nxt else last
+        r.ue()  # log2_max_frame_num_minus4
+        poc_type = r.ue()
+        if poc_type == 0:
+            r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        elif poc_type == 1:
+            r.u(1)  # delta_pic_order_always_zero_flag
+            r.se()
+            r.se()
+            for _ in range(r.ue()):
+                r.se()
+        r.ue()  # max_num_ref_frames
+        r.u(1)  # gaps_in_frame_num_value_allowed_flag
+        pic_width_in_mbs = r.ue() + 1
+        pic_height_in_map_units = r.ue() + 1
+        frame_mbs_only = r.u(1)
+        if not frame_mbs_only:
+            r.u(1)  # mb_adaptive_frame_field_flag
+        r.u(1)  # direct_8x8_inference_flag
+        crop_l = crop_r = crop_t = crop_b = 0
+        if r.u(1):  # frame_cropping_flag
+            crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+        # crop units per §7.4.2.1.1: SubWidthC/SubHeightC from Table 6-1
+        sub_w = 1 if chroma_format_idc in (0, 3) else 2
+        sub_h = 2 if chroma_format_idc == 1 else 1
+        frame_height_mbs = (2 - frame_mbs_only) * pic_height_in_map_units
+        width = pic_width_in_mbs * 16 - sub_w * (crop_l + crop_r)
+        height = frame_height_mbs * 16 - sub_h * (2 - frame_mbs_only) * (
+            crop_t + crop_b
+        )
+        if width <= 0 or height <= 0:
+            return None
+        return {
+            "codec": "avc1",
+            "profile_idc": profile_idc,
+            "level_idc": level_idc,
+            "chroma_format_idc": chroma_format_idc,
+            "bit_depth": bit_depth_luma,
+            "coded_width": width,
+            "coded_height": height,
+        }
+    except (IndexError, ValueError):
+        return None
+
+
+def _mp4_codec_info(b: bytes) -> "dict[str, Any] | None":
+    """Codec-level metadata of an MP4's first video track from the
+    ``stsd`` sample description's ``avcC`` record (ISO 14496-15 §5.2.4):
+    the first embedded SPS is unescaped and parsed by
+    :func:`_h264_sps_info`. This is PAYLOAD metadata (what the decoder
+    will actually produce), distinct from the container-level ``tkhd``
+    display size ``_mp4_info`` reports."""
+    if len(b) < 16 or b[4:8] not in (b"ftyp", b"moov", b"wide", b"free"):
+        return None
+
+    def find(lo, hi, typ):
+        for t, l2, h2 in _mp4_boxes(b, lo, hi):
+            if t == typ:
+                return l2, h2
+        return None
+
+    for t, lo, hi in _mp4_boxes(b, 0, len(b)):
+        if t != b"moov":
+            continue
+        for t2, lo2, hi2 in _mp4_boxes(b, lo, hi):
+            if t2 != b"trak":
+                continue
+            mdia = find(lo2, hi2, b"mdia")
+            if mdia is None:
+                continue
+            hdlr = find(*mdia, b"hdlr")
+            if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+                continue
+            minf = find(*mdia, b"minf")
+            stbl = find(*minf, b"stbl") if minf else None
+            stsd = find(*stbl, b"stsd") if stbl else None
+            if stsd is None:
+                continue
+            # stsd payload: version/flags(4) + entry_count(4), then
+            # sample entries; a VisualSampleEntry has 8 bytes of box
+            # header + 78 bytes of fixed fields before its child boxes
+            p = stsd[0] + 8
+            entry_size = int.from_bytes(b[p : p + 4], "big")
+            entry_end = min(p + entry_size, stsd[1])
+            avcc = find(p + 8 + 78, entry_end, b"avcC")
+            if avcc is None:
+                continue
+            q = avcc[0]
+            if b[q] != 1:  # configurationVersion
+                continue
+            n_sps = b[q + 5] & 0x1F
+            q += 6
+            if n_sps < 1:
+                continue
+            sps_len = int.from_bytes(b[q : q + 2], "big")
+            nal = b[q + 2 : q + 2 + sps_len]
+            if not nal or (nal[0] & 0x1F) != 7:  # NAL type 7 = SPS
+                continue
+            return _h264_sps_info(_unescape_rbsp(nal[1:]))
+    return None
+
+
+_CODEC_FIELDS = [
+    StructField("codec", StringType(), True),
+    StructField("profile_idc", IntegerType(), True),
+    StructField("level_idc", IntegerType(), True),
+    StructField("chroma_format_idc", IntegerType(), True),
+    StructField("bit_depth", IntegerType(), True),
+    StructField("coded_width", IntegerType(), True),
+    StructField("coded_height", IntegerType(), True),
+]
+
+
+def video_codec_info(df: DataFrame) -> DataFrame:
+    """Add H.264 codec-payload columns (profile/level/chroma/bit depth
+    and the CODED picture size from the embedded SPS) per media row —
+    Arrow-batched ``mapInPandas`` like :func:`decode_media`; rows
+    without a parseable avcC record get all-null codec columns."""
+    out_schema = StructType(list(df.schema.fields) + _CODEC_FIELDS)
+    cols = [f.name for f in df.schema.fields]
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            infos = [
+                _mp4_codec_info(bytes(c or b"")) or {}
+                for c in pdf["content"]
+            ]
+            out = pdf[cols].copy()
+            for field in _CODEC_FIELDS:
+                out[field.name] = [i.get(field.name) for i in infos]
+            yield out
+
+    return df.mapInPandas(_batch, out_schema)
+
+
 def _gif_frame_delays(b: bytes) -> list[int]:
     """Per-frame display delays (ms) of a GIF, from the published GIF89a
     spec: walk the block stream; each Graphic Control Extension

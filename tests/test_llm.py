@@ -2298,3 +2298,155 @@ def test_curate_documents_relative_quality_gate(spark):
         ids = [i for i in scores if (i % 2 == 0) == (src_name == "web")]
         topk = sorted(ids, key=lambda i: (-scores[i], i))[: -(-len(ids) // 2)]
         assert kept & set(ids) == set(topk)
+
+
+# -- H.264 SPS codec-payload parsing (round 5) ----------------------------
+
+
+class _BW:
+    """MSB-first bit writer with H.264's Exp-Golomb forms — the test
+    encoder for SPS vectors (inverse of multimodal._EgReader)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def u(self, n, v):
+        self.bits += [(v >> (n - 1 - i)) & 1 for i in range(n)]
+
+    def ue(self, v):
+        k = v + 1
+        n = k.bit_length()
+        self.bits += [0] * (n - 1)
+        self.u(n, k)
+
+    def se(self, v):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def tobytes(self):
+        bits = self.bits + [1]  # rbsp_stop_one_bit
+        bits += [0] * ((8 - len(bits) % 8) % 8)
+        return bytes(
+            sum(b << (7 - i) for i, b in enumerate(bits[p : p + 8]))
+            for p in range(0, len(bits), 8)
+        )
+
+
+def _make_sps(profile=66, level=30, w_mbs=40, h_mbs=30, crop=(0, 0, 0, 0),
+              frame_mbs_only=1, chroma=1, bit_depth=8):
+    w = _BW()
+    w.u(8, profile)
+    w.u(8, 0)
+    w.u(8, level)
+    w.ue(0)  # seq_parameter_set_id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        w.ue(chroma)
+        if chroma == 3:
+            w.u(1, 0)
+        w.ue(bit_depth - 8)
+        w.ue(0)
+        w.u(1, 0)
+        w.u(1, 0)  # no scaling matrix
+    w.ue(4)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type
+    w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(3)  # max_num_ref_frames
+    w.u(1, 0)
+    w.ue(w_mbs - 1)
+    w.ue(h_mbs - 1)
+    w.u(1, frame_mbs_only)
+    if not frame_mbs_only:
+        w.u(1, 0)
+    w.u(1, 1)  # direct_8x8_inference_flag
+    if any(crop):
+        w.u(1, 1)
+        for c in crop:
+            w.ue(c)
+    else:
+        w.u(1, 0)
+    return w.tobytes()
+
+
+def _make_mp4_avc(sps, w=320, h=240):
+    def box(t, body):
+        return (len(body) + 8).to_bytes(4, "big") + t + body
+
+    def full(t, body, version=0):
+        return box(t, bytes([version, 0, 0, 0]) + body)
+
+    nal = bytes([0x67]) + sps
+    avcc = box(
+        b"avcC",
+        bytes([1, 66, 0, 30, 0xFF, 0xE1])
+        + len(nal).to_bytes(2, "big") + nal + b"\x00",  # 0 PPS
+    )
+    visual_fixed = (
+        bytes(6) + (1).to_bytes(2, "big") + bytes(16)
+        + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+        + (0x480000).to_bytes(4, "big") * 2 + bytes(4)
+        + (1).to_bytes(2, "big") + bytes(32) + (24).to_bytes(2, "big")
+        + (0xFFFF).to_bytes(2, "big")
+    )
+    assert len(visual_fixed) == 78
+    avc1 = box(b"avc1", visual_fixed + avcc)
+    stsd = full(b"stsd", (1).to_bytes(4, "big") + avc1)
+    stbl = box(b"stbl", stsd)
+    minf = box(b"minf", stbl)
+    mdhd = full(b"mdhd", b"\x00" * 8 + (30000).to_bytes(4, "big")
+                + (60000).to_bytes(4, "big") + b"\x00" * 4)
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = full(b"tkhd", b"\x00" * 76 + (w << 16).to_bytes(4, "big")
+                + (h << 16).to_bytes(4, "big"))
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = full(b"mvhd", b"\x00" * 8 + (1000).to_bytes(4, "big")
+                + (2000).to_bytes(4, "big") + b"\x00" * 80)
+    return box(b"ftyp", b"isom" + b"\x00" * 12) + box(b"moov", mvhd + trak)
+
+
+def test_h264_sps_parse_baseline_high_and_cropped():
+    from gcpde_spark.llm.multimodal import _h264_sps_info, _unescape_rbsp
+
+    # baseline 640x480 (40x30 MBs, no crop)
+    info = _h264_sps_info(_make_sps(profile=66, w_mbs=40, h_mbs=30))
+    assert info["coded_width"] == 640 and info["coded_height"] == 480
+    assert info["profile_idc"] == 66 and info["chroma_format_idc"] == 1
+    assert info["bit_depth"] == 8
+    # 1920x1080: 120x68 MBs with crop_bottom=4 (1088 - 2*4 = 1080)
+    info = _h264_sps_info(
+        _make_sps(profile=66, w_mbs=120, h_mbs=68, crop=(0, 0, 0, 4))
+    )
+    assert info["coded_width"] == 1920 and info["coded_height"] == 1080
+    # high profile, 4:2:2, 10-bit: crop units change (SubHeightC = 1)
+    info = _h264_sps_info(
+        _make_sps(profile=100, w_mbs=60, h_mbs=34, chroma=2,
+                  bit_depth=10, crop=(0, 2, 0, 8))
+    )
+    assert info["profile_idc"] == 100 and info["chroma_format_idc"] == 2
+    assert info["bit_depth"] == 10
+    assert info["coded_width"] == 60 * 16 - 2 * 2  # SubWidthC = 2
+    assert info["coded_height"] == 34 * 16 - 1 * 8  # SubHeightC = 1
+    # emulation-prevention unescape (00 00 03 xx -> 00 00 xx)
+    assert _unescape_rbsp(b"\x00\x00\x03\x01\x42") == b"\x00\x00\x01\x42"
+    assert _unescape_rbsp(b"\x42\x00\x00\x03") == b"\x42\x00\x00\x03"[:3]
+    # malformed input degrades to None, never raises
+    assert _h264_sps_info(b"\xff") is None
+
+
+def test_video_codec_info_dataframe(spark):
+    from gcpde_spark.llm.multimodal import video_codec_info
+
+    mp4 = _make_mp4_avc(
+        _make_sps(profile=66, w_mbs=120, h_mbs=68, crop=(0, 0, 0, 4)),
+        w=1920, h=1080,
+    )
+    df = spark.createDataFrame(
+        [("v.mp4", bytearray(mp4)), ("junk.bin", bytearray(b"not an mp4"))],
+        "path string, content binary",
+    )
+    out = {r.path: r for r in video_codec_info(df).collect()}
+    assert out["v.mp4"].codec == "avc1"
+    assert out["v.mp4"].coded_width == 1920
+    assert out["v.mp4"].coded_height == 1080
+    assert out["v.mp4"].profile_idc == 66
+    assert out["junk.bin"].codec is None
+    assert out["junk.bin"].coded_width is None
