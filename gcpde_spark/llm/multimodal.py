@@ -631,6 +631,132 @@ def _mp4_codec_info(b: bytes) -> "dict[str, Any] | None":
     return None
 
 
+_AAC_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+              16000, 12000, 11025, 8000, 7350]
+
+
+def _esds_descriptor_size(b: bytes, p: int) -> tuple[int, int]:
+    """MPEG-4 descriptor expandable size (ISO 14496-1 §8.3.3): up to 4
+    bytes, 7 value bits each, high bit = continuation. Returns
+    (size, next_position)."""
+    size = 0
+    for _ in range(4):
+        byte = b[p]
+        p += 1
+        size = (size << 7) | (byte & 0x7F)
+        if not byte & 0x80:
+            break
+    return size, p
+
+
+def _mp4_audio_codec_info(b: bytes) -> "dict[str, Any] | None":
+    """Codec-payload metadata of an MP4's first audio track: walk
+    stsd→mp4a→esds, follow the ES_Descriptor → DecoderConfigDescriptor
+    (objectTypeIndication 0x40 = MPEG-4 audio, avg bitrate) →
+    DecoderSpecificInfo, and bit-parse the AudioSpecificConfig
+    (ISO 14496-3 §1.6.2.1: 5-bit audioObjectType, 4-bit sampling
+    frequency index, 4-bit channel configuration)."""
+    if len(b) < 16 or b[4:8] not in (b"ftyp", b"moov", b"wide", b"free"):
+        return None
+
+    def find(lo, hi, typ):
+        for t, l2, h2 in _mp4_boxes(b, lo, hi):
+            if t == typ:
+                return l2, h2
+        return None
+
+    for t, lo, hi in _mp4_boxes(b, 0, len(b)):
+        if t != b"moov":
+            continue
+        for t2, lo2, hi2 in _mp4_boxes(b, lo, hi):
+            if t2 != b"trak":
+                continue
+            mdia = find(lo2, hi2, b"mdia")
+            if mdia is None:
+                continue
+            hdlr = find(*mdia, b"hdlr")
+            if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"soun":
+                continue
+            minf = find(*mdia, b"minf")
+            stbl = find(*minf, b"stbl") if minf else None
+            stsd = find(*stbl, b"stsd") if stbl else None
+            if stsd is None:
+                continue
+            p = stsd[0] + 8
+            entry_size = int.from_bytes(b[p : p + 4], "big")
+            entry_end = min(p + entry_size, stsd[1])
+            if b[p + 4 : p + 8] != b"mp4a":
+                continue
+            # AudioSampleEntry: 8-byte box header + 28 fixed bytes
+            esds = find(p + 8 + 28, entry_end, b"esds")
+            if esds is None:
+                continue
+            q = esds[0] + 4  # FullBox version/flags
+            if b[q] != 0x03:  # ES_Descriptor tag
+                continue
+            _, q = _esds_descriptor_size(b, q + 1)
+            q += 3  # ES_ID(2) + stream flags(1) — no optional fields
+            if b[q] != 0x04:  # DecoderConfigDescriptor tag
+                continue
+            _, q = _esds_descriptor_size(b, q + 1)
+            oti = b[q]
+            avg_bitrate = int.from_bytes(b[q + 9 : q + 13], "big")
+            q += 13
+            if b[q] != 0x05:  # DecoderSpecificInfo tag
+                continue
+            size, q = _esds_descriptor_size(b, q + 1)
+            if size < 2:
+                continue
+            asc = int.from_bytes(b[q : q + 2], "big")
+            aot = (asc >> 11) & 0x1F
+            freq_idx = (asc >> 7) & 0x0F
+            channels = (asc >> 3) & 0x0F
+            return {
+                "codec": "mp4a",
+                "object_type_indication": oti,
+                "audio_object_type": aot,
+                "sample_rate": _AAC_RATES[freq_idx]
+                if freq_idx < len(_AAC_RATES)
+                else None,
+                "audio_channels": channels,
+                "avg_bitrate": avg_bitrate,
+            }
+    return None
+
+
+_AUDIO_CODEC_FIELDS = [
+    StructField("codec", StringType(), True),
+    StructField("object_type_indication", IntegerType(), True),
+    StructField("audio_object_type", IntegerType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("audio_channels", IntegerType(), True),
+    StructField("avg_bitrate", LongType(), True),
+]
+
+
+def audio_codec_info(df: DataFrame) -> DataFrame:
+    """Audio sibling of :func:`video_codec_info`: AAC
+    AudioSpecificConfig fields (object type, true sample rate, channel
+    configuration, declared average bitrate) per media row via
+    Arrow-batched ``mapInPandas``; all-null on rows without a
+    parseable mp4a/esds chain."""
+    out_schema = StructType(list(df.schema.fields) + _AUDIO_CODEC_FIELDS)
+    cols = [f.name for f in df.schema.fields]
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            infos = [
+                _mp4_audio_codec_info(bytes(c or b"")) or {}
+                for c in pdf["content"]
+            ]
+            out = pdf[cols].copy()
+            for field in _AUDIO_CODEC_FIELDS:
+                out[field.name] = [i.get(field.name) for i in infos]
+            yield out
+
+    return df.mapInPandas(_batch, out_schema)
+
+
 _CODEC_FIELDS = [
     StructField("codec", StringType(), True),
     StructField("profile_idc", IntegerType(), True),

@@ -2450,3 +2450,77 @@ def test_video_codec_info_dataframe(spark):
     assert out["v.mp4"].profile_idc == 66
     assert out["junk.bin"].codec is None
     assert out["junk.bin"].coded_width is None
+
+
+def _make_mp4_aac(aot=2, freq_idx=4, channels=2, avg_bitrate=128000,
+                  long_sizes=False):
+    """MP4 with an mp4a audio track whose esds carries a planted
+    AudioSpecificConfig; ``long_sizes`` uses multi-byte expandable
+    descriptor sizes (the 0x80-continuation form)."""
+    def box(t, body):
+        return (len(body) + 8).to_bytes(4, "big") + t + body
+
+    def full(t, body, version=0):
+        return box(t, bytes([version, 0, 0, 0]) + body)
+
+    def dsize(n):
+        if long_sizes:
+            return bytes([0x80 | (n >> 7), n & 0x7F])
+        return bytes([n])
+
+    asc = (aot << 11) | (freq_idx << 7) | (channels << 3)
+    dsi = bytes([0x05]) + dsize(2) + asc.to_bytes(2, "big")
+    dcd_body = (
+        bytes([0x40, 0x15]) + (0).to_bytes(3, "big")
+        + (256000).to_bytes(4, "big") + avg_bitrate.to_bytes(4, "big") + dsi
+    )
+    dcd = bytes([0x04]) + dsize(len(dcd_body)) + dcd_body
+    es_body = (0).to_bytes(2, "big") + bytes([0]) + dcd
+    es = bytes([0x03]) + dsize(len(es_body)) + es_body
+    esds = full(b"esds", es)
+    audio_fixed = (
+        bytes(6) + (1).to_bytes(2, "big") + bytes(8)
+        + channels.to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes(4)
+        + (44100 << 16).to_bytes(4, "big")
+    )
+    assert len(audio_fixed) == 28
+    mp4a = box(b"mp4a", audio_fixed + esds)
+    stsd = full(b"stsd", (1).to_bytes(4, "big") + mp4a)
+    stbl = box(b"stbl", stsd)
+    minf = box(b"minf", stbl)
+    mdhd = full(b"mdhd", b"\x00" * 8 + (44100).to_bytes(4, "big")
+                + (88200).to_bytes(4, "big") + b"\x00" * 4)
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"soun" + b"\x00" * 12)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    mvhd = full(b"mvhd", b"\x00" * 8 + (1000).to_bytes(4, "big")
+                + (2000).to_bytes(4, "big") + b"\x00" * 80)
+    return box(b"ftyp", b"isom" + b"\x00" * 12) + box(b"moov", mvhd + trak)
+
+
+def test_aac_audio_specific_config_parse(spark):
+    from gcpde_spark.llm.multimodal import (
+        _mp4_audio_codec_info,
+        audio_codec_info,
+    )
+
+    info = _mp4_audio_codec_info(_make_mp4_aac())
+    assert info["codec"] == "mp4a" and info["audio_object_type"] == 2
+    assert info["sample_rate"] == 44100 and info["audio_channels"] == 2
+    assert info["avg_bitrate"] == 128000
+    assert info["object_type_indication"] == 0x40
+    # 48 kHz mono HE-AAC-ish object type, long-form descriptor sizes
+    info = _mp4_audio_codec_info(
+        _make_mp4_aac(aot=5, freq_idx=3, channels=1, long_sizes=True)
+    )
+    assert info["audio_object_type"] == 5
+    assert info["sample_rate"] == 48000 and info["audio_channels"] == 1
+    assert _mp4_audio_codec_info(b"garbage") is None
+    # DataFrame surface: typed columns, null for non-audio rows
+    df = spark.createDataFrame(
+        [("a.mp4", bytearray(_make_mp4_aac())), ("x.bin", bytearray(b"no"))],
+        "path string, content binary",
+    )
+    out = {r.path: r for r in audio_codec_info(df).collect()}
+    assert out["a.mp4"].sample_rate == 44100
+    assert out["x.bin"].sample_rate is None
