@@ -312,6 +312,24 @@ def _mp4_boxes(b: bytes, lo: int, hi: int):
         p += size
 
 
+def _none_on_malformed(fn):
+    """Container parsers must yield None (→ an all-null row) on
+    truncated/corrupt input, never raise — one junk row in a 100 TB
+    corpus must not fail a whole mapInPandas task. Guards the byte
+    indexing the walkers do against untrusted box sizes/offsets."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*a, **k):
+        try:
+            return fn(*a, **k)
+        except (IndexError, ValueError, OverflowError, EOFError):
+            return None
+
+    return wrap
+
+
+@_none_on_malformed
 def _mp4_info(b: bytes) -> "dict[str, Any] | None":
     """Real ISO BMFF (MP4) box walk: find ``moov/mvhd`` and return the
     movie duration from its timescale (version 0 and 1 layouts), plus
@@ -348,6 +366,7 @@ def _mp4_info(b: bytes) -> "dict[str, Any] | None":
     return out if "duration_ms" in out else None
 
 
+@_none_on_malformed
 def _mp4_frame_stats(b: bytes) -> "dict[str, Any] | None":
     """Per-frame inventory of an ISO BMFF video track from the REAL
     sample tables (ISO 14496-12): sizes from ``stsz``, timing from
@@ -394,7 +413,7 @@ def _mp4_frame_stats(b: bytes) -> "dict[str, Any] | None":
         minf = find(*mdia, b"minf")
         stbl = find(*minf, b"stbl") if minf else None
         if stbl is None:
-            return None
+            continue  # a later video trak may carry full sample tables
         sizes: list[int] = []
         deltas: list[tuple[int, int]] = []
         keyframes = 0
@@ -404,13 +423,15 @@ def _mp4_frame_stats(b: bytes) -> "dict[str, Any] | None":
             fixed = int.from_bytes(b[p : p + 4], "big")
             count = int.from_bytes(b[p + 4 : p + 8], "big")
             if fixed:
-                sizes = [fixed] * count
+                # count is untrusted: a corrupt 0xFFFFFFFF must not
+                # allocate a multi-GB list for a stats summary
+                sizes = [fixed] * min(count, 1_000_000)
             else:
                 q = p + 8
+                count = min(count, max(0, (stsz[1] - q) // 4))
                 sizes = [
                     int.from_bytes(b[q + 4 * i : q + 4 * i + 4], "big")
                     for i in range(count)
-                    if q + 4 * i + 4 <= stsz[1]
                 ]
         stts = find(*stbl, b"stts")
         if stts is not None:
@@ -574,6 +595,7 @@ def _h264_sps_info(sps_rbsp: bytes) -> "dict[str, Any] | None":
         return None
 
 
+@_none_on_malformed
 def _mp4_codec_info(b: bytes) -> "dict[str, Any] | None":
     """Codec-level metadata of an MP4's first video track from the
     ``stsd`` sample description's ``avcC`` record (ISO 14496-15 §5.2.4):
@@ -649,6 +671,7 @@ def _esds_descriptor_size(b: bytes, p: int) -> tuple[int, int]:
     return size, p
 
 
+@_none_on_malformed
 def _mp4_audio_codec_info(b: bytes) -> "dict[str, Any] | None":
     """Codec-payload metadata of an MP4's first audio track: walk
     stsd→mp4a→esds, follow the ES_Descriptor → DecoderConfigDescriptor

@@ -326,12 +326,20 @@ def funnel_counts(
             for i in range(len(steps))
         ]
     )
-    stack_args = ", ".join(
-        f"CAST({i} AS BIGINT), '{s}', _n{i}" for i, s in enumerate(steps)
+    # unpivot via inline(array(struct(...))) — step names enter as
+    # literal Columns, never interpolated into SQL text (a quote in a
+    # data-derived step name stays data; same rule as checks.run_checks)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"_n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
     )
-    return totals.selectExpr(
-        f"stack({len(steps)}, {stack_args}) AS (step, step_name, n_users)"
-    )
+    return totals.select(F.inline(entries))
 
 
 def cohort_retention(

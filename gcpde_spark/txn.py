@@ -132,7 +132,13 @@ class TxnTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = Path(path)
-        if not (self.path / _LOG_DIR).is_dir():
+        log = self.path / _LOG_DIR
+        # an empty log dir is NOT a table: it is the residue of a
+        # create() that crashed before publishing version 0 — treating
+        # it as found would wedge every later reader/writer
+        if not log.is_dir() or not any(
+            p.stem.isdigit() for p in log.glob("*.json")
+        ):
             raise TxnTableNotFound(f"no transactional table at {path}")
 
     # -- lifecycle ---------------------------------------------------------
@@ -162,7 +168,15 @@ class TxnTable:
         cannot contain any matching key tuple)."""
         keys = [key_field] if isinstance(key_field, str) else list(key_field)
         p = Path(path)
-        (p / _LOG_DIR).mkdir(parents=True, exist_ok=False)
+        log = p / _LOG_DIR
+        # exist_ok: a crashed create leaves an empty log dir behind and
+        # a retry must succeed; a PUBLISHED table still refuses. Two
+        # racing creators both reach _publish(0) and link(2) picks one
+        # winner (the loser gets ConcurrentCommitError — open the table
+        # and merge instead, as TxnMergeBackend does).
+        log.mkdir(parents=True, exist_ok=True)
+        if any(q.stem.isdigit() for q in log.glob("*.json")):
+            raise ValueError(f"transactional table already exists at {path}")
         if sort_by_key:
             out = (
                 df.repartitionByRange(n_files, *keys)
@@ -250,7 +264,11 @@ class TxnTable:
 
     def last_meta_value(self, key: str) -> Any:
         """Newest committed value of an application-metadata key (e.g.
-        a streaming batch id) across the manifest log, or None."""
+        a streaming batch id), or None. Meta rolls forward through
+        every commit (see ``_rolled_meta``), so the latest manifest
+        alone carries the full map and vacuum/compact can never erase
+        exactly-once tracking; the backward search below only serves
+        legacy pre-roll manifests."""
         for v in sorted(self._versions(), reverse=True):
             meta = self._manifest(v).get("meta") or {}
             if key in meta:
@@ -288,19 +306,28 @@ class TxnTable:
         else:
             _check_schema(source, schema, self.path)
         bounds = source.agg(
-            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+            F.min(keys[0]).alias("lo"),
+            F.max(keys[0]).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         lo, hi = bounds["lo"], bounds["hi"]
-        if lo is None:  # empty delta → nothing to do, no new version
+        if bounds["n"] == 0:  # empty delta → nothing to do, no new version
             return {"version": base_version, "rewritten": 0, "kept": len(m["files"])}
         touched, kept = [], []
-        for f in m["files"]:
-            kmin, kmax = f["key_min"], f["key_max"]
-            no_stats = kmin is None or kmax is None
-            if no_stats or not (kmax < lo or kmin > hi):
-                touched.append(f)
-            else:
-                kept.append(f)
+        if lo is None:
+            # every delta key is NULL: NULL never equals a stored key,
+            # so no file can match — all rows INSERT (the same outcome
+            # a null-key row gets when a non-null sibling key forces
+            # the rewrite path; consistent, no silent drop)
+            kept = list(m["files"])
+        else:
+            for f in m["files"]:
+                kmin, kmax = f["key_min"], f["key_max"]
+                no_stats = kmin is None or kmax is None
+                if no_stats or not (kmax < lo or kmin > hi):
+                    touched.append(f)
+                else:
+                    kept.append(f)
         src = source.select(*[f.name for f in schema.fields])
         if touched:
             old = self.spark.read.schema(schema).parquet(
@@ -320,8 +347,9 @@ class TxnTable:
             "schema": schema.json(),
             "files": kept + _stat_entries(self.path, new_files, keys[0]),
         }
-        if meta:
-            manifest["meta"] = meta
+        rolled = _rolled_meta(m, meta)
+        if rolled:
+            manifest["meta"] = rolled
         _publish(self.path, base_version + 1, manifest)
         return {
             "version": base_version + 1,
@@ -370,19 +398,19 @@ class TxnTable:
             _check_schema(df, schema, self.path)
         out = df.select(*[f.name for f in schema.fields])
         new_files = _write_data_files(self.spark, self.path, out)
-        _publish(
-            self.path,
-            base + 1,
-            {
-                "version": base + 1,
-                "op": "append",
-                "key_field": _keys(m)[0],
-                "key_fields": _keys(m),
-                "schema": schema.json(),
-                "files": m["files"]
-                + _stat_entries(self.path, new_files, _keys(m)[0]),
-            },
-        )
+        manifest = {
+            "version": base + 1,
+            "op": "append",
+            "key_field": _keys(m)[0],
+            "key_fields": _keys(m),
+            "schema": schema.json(),
+            "files": m["files"]
+            + _stat_entries(self.path, new_files, _keys(m)[0]),
+        }
+        rolled = _rolled_meta(m, None)
+        if rolled:
+            manifest["meta"] = rolled
+        _publish(self.path, base + 1, manifest)
         return {"version": base + 1, "added": len(new_files)}
 
     def overwrite(
@@ -422,8 +450,9 @@ class TxnTable:
             "schema": schema.json(),
             "files": _stat_entries(self.path, new_files, keys[0]),
         }
-        if meta:
-            manifest["meta"] = meta
+        rolled = _rolled_meta(m, meta)
+        if rolled:
+            manifest["meta"] = rolled
         _publish(self.path, base + 1, manifest)
         return {"version": base + 1, "added": len(new_files)}
 
@@ -467,8 +496,9 @@ class TxnTable:
             "schema": m["schema"],
             "files": kept + entries,
         }
-        if meta:
-            manifest["meta"] = meta
+        rolled = _rolled_meta(m, meta)
+        if rolled:
+            manifest["meta"] = rolled
         _publish(self.path, base + 1, manifest)
         return {
             "version": base + 1,
@@ -529,8 +559,9 @@ class TxnTable:
             "schema": m["schema"],
             "files": kept + _stat_entries(self.path, new_files, keys[0]),
         }
-        if meta:
-            manifest["meta"] = meta
+        rolled = _rolled_meta(m, meta)
+        if rolled:
+            manifest["meta"] = rolled
         _publish(self.path, base + 1, manifest)
         return {
             "version": base + 1,
@@ -609,6 +640,9 @@ class TxnTable:
         }
         if cluster_by:
             manifest["clustered_by"] = list(cluster_by)
+        rolled = _rolled_meta(m, None)
+        if rolled:
+            manifest["meta"] = rolled
         _publish(self.path, base + 1, manifest)
         return {
             "version": base + 1,
@@ -760,10 +794,12 @@ class TxnTable:
         latest.persist()
         try:
             bounds = latest.agg(
-                F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+                F.min(keys[0]).alias("lo"),
+                F.max(keys[0]).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
             ).collect()[0]
             lo, hi = bounds["lo"], bounds["hi"]
-            if lo is None:
+            if bounds["n"] == 0:
                 if meta is None:
                     return {
                         "version": base,
@@ -782,7 +818,7 @@ class TxnTable:
                         "key_fields": keys,
                         "schema": schema.json(),
                         "files": m["files"],
-                        "meta": meta,
+                        "meta": _rolled_meta(m, meta),
                     },
                 )
                 return {
@@ -795,13 +831,16 @@ class TxnTable:
             )
             dels = latest.where(F.col("_change_type") == "delete").select(*keys)
             touched, kept = [], []
-            for f in m["files"]:
-                kmin, kmax = f["key_min"], f["key_max"]
-                no_stats = kmin is None or kmax is None
-                if no_stats or not (kmax < lo or kmin > hi):
-                    touched.append(f)
-                else:
-                    kept.append(f)
+            if lo is None:  # all-NULL keys: nothing matches, all insert
+                kept = list(m["files"])
+            else:
+                for f in m["files"]:
+                    kmin, kmax = f["key_min"], f["key_max"]
+                    no_stats = kmin is None or kmax is None
+                    if no_stats or not (kmax < lo or kmin > hi):
+                        touched.append(f)
+                    else:
+                        kept.append(f)
             if touched:
                 old = self.spark.read.schema(schema).parquet(
                     *[str(self.path / f["path"]) for f in touched]
@@ -819,8 +858,9 @@ class TxnTable:
                 "schema": schema.json(),
                 "files": kept + _stat_entries(self.path, new_files, keys[0]),
             }
-            if meta:
-                manifest["meta"] = meta
+            rolled = _rolled_meta(m, meta)
+            if rolled:
+                manifest["meta"] = rolled
             _publish(self.path, base + 1, manifest)
             return {
                 "version": base + 1,
@@ -849,8 +889,12 @@ class TxnTable:
             "files": m["files"],
             "restored_from": version,
         }
-        if meta:
-            manifest["meta"] = meta
+        # meta rolls from the CURRENT base, not the restored snapshot:
+        # a restore rewinds data, never exactly-once batch tracking
+        # (or a replayed stream batch would re-apply after a rollback)
+        rolled = _rolled_meta(self._manifest(base), meta)
+        if rolled:
+            manifest["meta"] = rolled
         _publish(self.path, base + 1, manifest)
         return {"version": base + 1, "restored_from": version}
 
@@ -1020,9 +1064,15 @@ class TxnMergeBackend(MergeIntoBackend):
         try:
             t = TxnTable(spark, str(path))
         except TxnTableNotFound:
-            t = TxnTable.create(
-                spark, str(path), source, key_field=list(key_fields)
-            )
+            try:
+                t = TxnTable.create(
+                    spark, str(path), source, key_field=list(key_fields)
+                )
+            except ConcurrentCommitError:
+                # a racing creator published version 0 first — the
+                # table now exists, so this delta merges instead
+                t = TxnTable(spark, str(path))
+                t.merge_with_retry(source, attempts=self.attempts)
         else:
             t.merge_with_retry(source, attempts=self.attempts)
         self._publish_catalog(spark, t, dataset, table)
@@ -1067,6 +1117,20 @@ class TxnMergeBackend(MergeIntoBackend):
             spark.sql(f"CREATE TABLE {qual} USING PARQUET LOCATION '{loc}'")
         for d in sorted(t.path.glob("_snapshot-v*"))[: -self.keep_snapshots]:
             shutil.rmtree(d)
+
+
+def _rolled_meta(base_manifest: dict, meta: "dict | None") -> "dict | None":
+    """Application metadata is TABLE state, not commit trivia: every
+    commit carries the previous manifest's meta forward, overlaid with
+    its own. This is what makes ``last_meta_value`` vacuum-safe — the
+    newest manifest alone holds the full map, so pruning history (or a
+    meta-less compact/maintenance commit in between) can never erase
+    exactly-once batch-id tracking (the Delta txn-appId construction).
+    """
+    rolled = dict(base_manifest.get("meta") or {})
+    if meta:
+        rolled.update(meta)
+    return rolled or None
 
 
 def _keys(m: dict) -> list[str]:

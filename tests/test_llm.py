@@ -2524,3 +2524,35 @@ def test_aac_audio_specific_config_parse(spark):
     out = {r.path: r for r in audio_codec_info(df).collect()}
     assert out["a.mp4"].sample_rate == 44100
     assert out["x.bin"].sample_rate is None
+
+
+def test_mp4_parsers_never_raise_on_truncated_input():
+    """Malformed-input contract: every byte-level MP4/codec parser must
+    degrade to None (an all-null row), never crash a Spark task — fuzz
+    by truncating valid files at every offset and flipping the
+    descriptor/box lengths the walkers trust."""
+    from gcpde_spark.llm.multimodal import (
+        _h264_sps_info,
+        _mp4_audio_codec_info,
+        _mp4_codec_info,
+        _mp4_frame_stats,
+        _mp4_info,
+    )
+
+    aac = _make_mp4_aac()
+    avc = _make_mp4_avc(_make_sps())
+    sampled = _make_mp4_sampled([100, 200, 300])
+    for full_file in (aac, avc, sampled):
+        for cut in range(0, len(full_file), 7):
+            b = full_file[:cut]
+            for fn in (_mp4_info, _mp4_frame_stats, _mp4_codec_info,
+                       _mp4_audio_codec_info):
+                fn(b)  # must not raise
+    for cut in range(len(_make_sps())):
+        _h264_sps_info(_make_sps()[:cut])
+    # a corrupt stsz count must not allocate gigabytes: plant 0xFFFFFFFF
+    planted = sampled.replace(
+        (3).to_bytes(4, "big") + (100).to_bytes(4, "big"),
+        (0xFFFFFFFF).to_bytes(4, "big") + (100).to_bytes(4, "big"),
+    )
+    _mp4_frame_stats(planted)  # bounded by available bytes, not count

@@ -270,6 +270,27 @@ def test_funnel_counts_is_one_lazy_job(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1
     assert {(r.step, r.n_users) for r in out.collect()} == {(0, 20), (1, 20), (2, 20)}
+
+
+def test_funnel_counts_step_names_are_data_not_sql(spark):
+    """A step name containing a quote must survive the unpivot verbatim
+    (the checks.py injection class, closed for funnel_counts too)."""
+    from datetime import datetime as dt
+
+    from gcpde_spark.operators import funnel_counts
+
+    df = spark.createDataFrame(
+        [(1, "view", dt(2024, 1, 1)), (1, "clicked 'buy'", dt(2024, 1, 2))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r.step_name: r.n_users
+        for r in funnel_counts(df, ["view", "clicked 'buy'"]).collect()
+    }
+    assert got == {"view": 1, "clicked 'buy'": 1}
+
+
+def test_cohort_retention_offsets(spark):
     from datetime import datetime as dt
 
     from gcpde_spark.operators import cohort_retention

@@ -173,7 +173,7 @@ GLOBAL_WINDOW_ALLOWLIST = {"c65_gaps_islands", "c66_ratio_to_report"}
 STREAMING_ENTRIES = {
     "c60_streaming_tumbling",
     "c67_streaming_sliding",
-    "c68_streaming_static_join",
+    "c68_streaming_enrich",
     "c69_streaming_dedup",
     "c70_streaming_sessions",
 }

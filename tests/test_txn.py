@@ -757,3 +757,67 @@ def test_concurrent_writers_under_real_thread_contention(spark, tmp_path):
         for j in range(3):
             assert got[1_000 + base * 10 + j] == f"w{base}-{j}"
     assert t.version() == 9  # exactly one commit per successful merge
+
+
+def test_meta_rolls_forward_through_maintenance_and_vacuum(spark, tmp_path):
+    """Exactly-once batch tracking must survive compact + vacuum: meta
+    is table state carried by every commit, so the newest manifest
+    alone holds it (the review finding: a meta-less compact followed by
+    vacuum(keep_last=1) used to erase stream_batch_id and let a
+    replayed batch re-apply)."""
+    t = _mk(spark, tmp_path / "t", n=20)
+    t.merge(
+        spark.createDataFrame([(3, "B")], "id long, v string"),
+        meta={"stream_batch_id": 7},
+    )
+    t.compact(n_files=2)
+    t.append(spark.createDataFrame([(100, "x")], "id long, v string"))
+    t.vacuum(keep_last=1)
+    assert t.last_meta_value("stream_batch_id") == 7
+    # restore rewinds DATA but not tracking (a rollback must not make
+    # old stream batches look unapplied)
+    t2 = _mk(spark, tmp_path / "t2", n=5)
+    t2.merge(
+        spark.createDataFrame([(1, "B")], "id long, v string"),
+        meta={"stream_batch_id": 9},
+    )
+    t2.restore(0)
+    assert t2.last_meta_value("stream_batch_id") == 9
+
+
+def test_create_recovers_from_crash_residue_and_refuses_live_tables(
+    spark, tmp_path
+):
+    """An empty _txn_log (create crashed before publishing v0) is NOT a
+    table: the constructor raises TxnTableNotFound and a retried
+    create() succeeds over the residue; a PUBLISHED table still refuses
+    re-creation."""
+    residue = tmp_path / "t" / "_txn_log"
+    residue.mkdir(parents=True)
+    with pytest.raises(TxnTableNotFound):
+        TxnTable(spark, str(tmp_path / "t"))
+    t = _mk(spark, tmp_path / "t", n=5)  # create over the residue
+    assert t.read().count() == 5
+    with pytest.raises(ValueError, match="already exists"):
+        _mk(spark, tmp_path / "t", n=5)
+
+
+def test_merge_with_all_null_keys_inserts_consistently(spark, tmp_path):
+    """NULL merge keys never match stored keys, so null-key delta rows
+    INSERT — identically whether or not a non-null sibling key forces
+    the rewrite path (the review finding: the all-null case used to be
+    silently dropped as an empty delta)."""
+    t = _mk(spark, tmp_path / "t", n=5)
+    all_null = spark.createDataFrame(
+        [(None, "n1"), (None, "n2")], "id long, v string"
+    )
+    res = t.merge(all_null)
+    assert res["version"] == 1 and res["rewritten"] == 0
+    assert t.read().count() == 7
+    mixed = spark.createDataFrame(
+        [(2, "UPD"), (None, "n3")], "id long, v string"
+    )
+    t.merge(mixed)
+    rows = t.read().collect()
+    assert sum(1 for r in rows if r.id is None) == 3
+    assert {r.v for r in rows if r.id == 2} == {"UPD"}
