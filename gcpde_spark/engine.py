@@ -97,3 +97,24 @@ class Engine:
         from gcpde_spark.sheets import InMemorySheetBackend, SheetStore
 
         return SheetStore(self.spark, backend or InMemorySheetBackend())
+
+    def txn(self, path: str):
+        """Open the transactional table at ``path`` (snapshot reads,
+        file-pruned MERGE/DELETE/UPDATE, time travel, change feed —
+        :class:`gcpde_spark.txn.TxnTable`)."""
+        from gcpde_spark.txn import TxnTable
+
+        return TxnTable(self.spark, path)
+
+    def use_txn_backend(self, root: str, **kwargs):
+        """Route ``engine.tables.upsert_table_df`` through the
+        transactional backend rooted at ``root`` (file-pruned MERGE +
+        atomic catalog publication instead of the parquet rewrite
+        paths — the production default at scale). Returns the attached
+        :class:`gcpde_spark.txn.TxnMergeBackend` for history / time
+        travel / vacuum access via ``backend.table``."""
+        from gcpde_spark.txn import TxnMergeBackend
+
+        backend = TxnMergeBackend(root, **kwargs)
+        self.tables.merge_backend = backend
+        return backend

@@ -64,3 +64,34 @@ def test_datasets_facade_caches_by_base_path(engine, tmp_path):
 def test_paginated_facade(engine):
     records, token = engine.query_paginated("SELECT id FROM range(5) ORDER BY id", 2)
     assert [r["id"] for r in records] == [0, 1] and token is not None
+
+
+def test_engine_txn_facade(spark, tmp_path):
+    """engine.txn / engine.use_txn_backend: the transactional layer
+    through the facade — upserts route to file-pruned MERGE and the
+    opened TxnTable sees the same commits."""
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.engine import Engine
+
+    eng = Engine(spark, warehouse_dir=str(tmp_path / "wh"))
+    backend = eng.use_txn_backend(str(tmp_path / "lake"))
+    assert eng.tables.merge_backend is backend
+    try:
+        df = spark.range(50).select(
+            F.col("id"), (F.col("id") % 2).cast("string").alias("v")
+        )
+        eng.tables.upsert_table_df("eds", "t", df, "id")
+        eng.tables.upsert_table_df(
+            "eds",
+            "t",
+            spark.createDataFrame([(7, "UPD")], "id long, v string"),
+            "id",
+        )
+        t = eng.txn(str(tmp_path / "lake" / "eds" / "t"))
+        assert [h["op"] for h in t.history()] == ["merge", "create"]
+        got = {r["id"]: r["v"] for r in eng.sql("SELECT * FROM eds.t")}
+        assert got[7] == "UPD" and len(got) == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS eds.t")
+        spark.sql("DROP DATABASE IF EXISTS eds")
