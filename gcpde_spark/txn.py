@@ -163,9 +163,11 @@ class TxnTable:
         tables to one file, which defeats pruning.
 
         ``key_field`` may be a list for composite merge keys; file
-        pruning uses the LEADING key's [min, max] (sound for composite
-        keys too: a file whose leading-key range misses the delta's
-        cannot contain any matching key tuple)."""
+        pruning intersects EVERY key dimension's [min, max] (sound: a
+        key tuple matches only if all dimensions match, so a file
+        disjoint on any one dimension cannot contain it — with a
+        low-cardinality leading key the later dimensions do the real
+        pruning)."""
         keys = [key_field] if isinstance(key_field, str) else list(key_field)
         p = Path(path)
         log = p / _LOG_DIR
@@ -306,25 +308,20 @@ class TxnTable:
         else:
             _check_schema(source, schema, self.path)
         bounds = source.agg(
-            F.min(keys[0]).alias("lo"),
-            F.max(keys[0]).alias("hi"),
-            F.count(F.lit(1)).alias("n"),
+            *_key_bound_aggs(keys), F.count(F.lit(1)).alias("n")
         ).collect()[0]
-        lo, hi = bounds["lo"], bounds["hi"]
         if bounds["n"] == 0:  # empty delta → nothing to do, no new version
             return {"version": base_version, "rewritten": 0, "kept": len(m["files"])}
         touched, kept = [], []
-        if lo is None:
-            # every delta key is NULL: NULL never equals a stored key,
-            # so no file can match — all rows INSERT (the same outcome
-            # a null-key row gets when a non-null sibling key forces
-            # the rewrite path; consistent, no silent drop)
+        if bounds["lo0"] is None:
+            # every delta row's LEADING key is NULL: NULL never equals a
+            # stored key, so no file can match — all rows INSERT (the
+            # same outcome a null-key row gets when a non-null sibling
+            # key forces the rewrite path; consistent, no silent drop)
             kept = list(m["files"])
         else:
             for f in m["files"]:
-                kmin, kmax = f["key_min"], f["key_max"]
-                no_stats = kmin is None or kmax is None
-                if no_stats or not (kmax < lo or kmin > hi):
+                if _file_overlaps_delta(f, keys, bounds):
                     touched.append(f)
                 else:
                     kept.append(f)
@@ -794,11 +791,8 @@ class TxnTable:
         latest.persist()
         try:
             bounds = latest.agg(
-                F.min(keys[0]).alias("lo"),
-                F.max(keys[0]).alias("hi"),
-                F.count(F.lit(1)).alias("n"),
+                *_key_bound_aggs(keys), F.count(F.lit(1)).alias("n")
             ).collect()[0]
-            lo, hi = bounds["lo"], bounds["hi"]
             if bounds["n"] == 0:
                 if meta is None:
                     return {
@@ -831,13 +825,11 @@ class TxnTable:
             )
             dels = latest.where(F.col("_change_type") == "delete").select(*keys)
             touched, kept = [], []
-            if lo is None:  # all-NULL keys: nothing matches, all insert
+            if bounds["lo0"] is None:  # all-NULL keys: nothing matches
                 kept = list(m["files"])
             else:
                 for f in m["files"]:
-                    kmin, kmax = f["key_min"], f["key_max"]
-                    no_stats = kmin is None or kmax is None
-                    if no_stats or not (kmax < lo or kmin > hi):
+                    if _file_overlaps_delta(f, keys, bounds):
                         touched.append(f)
                     else:
                         kept.append(f)
@@ -1117,6 +1109,38 @@ class TxnMergeBackend(MergeIntoBackend):
             spark.sql(f"CREATE TABLE {qual} USING PARQUET LOCATION '{loc}'")
         for d in sorted(t.path.glob("_snapshot-v*"))[: -self.keep_snapshots]:
             shutil.rmtree(d)
+
+
+def _key_bound_aggs(keys: list[str]) -> list[Column]:
+    """min/max aggregate columns for every merge-key dimension
+    (aliased lo0/hi0, lo1/hi1, ...)."""
+    out: list[Column] = []
+    for i, k in enumerate(keys):
+        out.append(F.min(k).alias(f"lo{i}"))
+        out.append(F.max(k).alias(f"hi{i}"))
+    return out
+
+
+def _file_overlaps_delta(f: dict, keys: list[str], bounds) -> bool:
+    """Can this data file contain any delta key tuple? A key tuple
+    matches only if EVERY dimension matches, so a file disjoint from
+    the delta's range on ANY key dimension is safely skipped — at two+
+    key columns this prunes strictly better than the leading key alone
+    (e.g. a low-cardinality leading key leaves the second dimension to
+    do the real pruning). Dimensions without stats (or with an all-NULL
+    delta side) are conservative: they never exclude."""
+    for i, k in enumerate(keys):
+        lo, hi = bounds[f"lo{i}"], bounds[f"hi{i}"]
+        if lo is None:
+            continue
+        st = (f.get("stats") or {}).get(k)
+        if st is None and i == 0:
+            st = [f.get("key_min"), f.get("key_max")]
+        if not st or st[0] is None or st[1] is None:
+            continue
+        if st[1] < lo or st[0] > hi:
+            return False
+    return True
 
 
 def _rolled_meta(base_manifest: dict, meta: "dict | None") -> "dict | None":

@@ -821,3 +821,79 @@ def test_merge_with_all_null_keys_inserts_consistently(spark, tmp_path):
     rows = t.read().collect()
     assert sum(1 for r in rows if r.id is None) == 3
     assert {r.v for r in rows if r.id == 2} == {"UPD"}
+
+
+def test_composite_key_pruning_uses_every_dimension(spark, tmp_path):
+    """With a 2-value leading key, leading-dimension pruning alone
+    keeps half the files; the second dimension's stats must narrow a
+    point delta to exactly one file."""
+    df = spark.range(8_000).select(
+        (F.col("id") % 2).alias("k1"),
+        F.col("id").alias("k2"),
+        (F.col("id") % 7).cast("string").alias("v"),
+    )
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), df, key_field=["k1", "k2"], n_files=8
+    )
+    delta = spark.createDataFrame(
+        [(0, 2, "UPD")], "k1 long, k2 long, v string"
+    )
+    # leading-dimension-only pruning would rewrite every file whose k1
+    # range covers 0 (~half the table, plus the k1-boundary straddler)
+    leading_only = sum(
+        1
+        for f in t._manifest()["files"]
+        if f["key_min"] <= 0 <= f["key_max"]
+    )
+    res = t.merge(delta)
+    assert res["rewritten"] < leading_only, (res, leading_only)
+    assert res["rewritten"] <= 2  # target file + at most the straddler
+    got = {(r.k1, r.k2): r.v for r in t.read().collect()}
+    assert got[(0, 2)] == "UPD" and len(got) == 8_000
+
+
+def test_read_ranges_equals_full_filter_on_random_ranges(spark, tmp_path):
+    """Property: manifest data skipping is invisible to results — for
+    arbitrary (possibly open-ended, possibly empty) ranges over any
+    column combination, read(ranges=) returns exactly what a full scan
+    plus the same filters returns."""
+    from hypothesis import given, settings, strategies as st
+
+    df = spark.range(4_000).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("a"),
+        (F.col("id") / 40).cast("bigint").alias("b"),
+    )
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, key_field="id")
+    t.compact(n_files=8, cluster_by=["a", "b"])
+    full = t.read()
+
+    bound = st.one_of(st.none(), st.integers(-10, 4_100))
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        cols=st.sets(st.sampled_from(["id", "a", "b"]), min_size=1, max_size=3),
+        los=st.lists(bound, min_size=3, max_size=3),
+        his=st.lists(bound, min_size=3, max_size=3),
+    )
+    def check(cols, los, his):
+        ranges = {}
+        for i, c in enumerate(sorted(cols)):
+            lo, hi = los[i], his[i]
+            if lo is None and hi is None:
+                lo = 0
+            ranges[c] = (lo, hi)
+        got = t.read(ranges=ranges)
+        expect = full
+        for c, (lo, hi) in ranges.items():
+            if lo is not None and hi is not None:
+                expect = expect.where(F.col(c).between(lo, hi))
+            elif lo is not None:
+                expect = expect.where(F.col(c) >= lo)
+            else:
+                expect = expect.where(F.col(c) <= hi)
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in expect.collect()
+        }
+
+    check()
