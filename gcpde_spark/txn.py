@@ -320,11 +320,7 @@ class TxnTable:
             # key forces the rewrite path; consistent, no silent drop)
             kept = list(m["files"])
         else:
-            for f in m["files"]:
-                if _file_overlaps_delta(f, keys, bounds):
-                    touched.append(f)
-                else:
-                    kept.append(f)
+            touched, kept = _split_by_delta_bounds(m["files"], keys, bounds)
         src = source.select(*[f.name for f in schema.fields])
         if touched:
             old = self.spark.read.schema(schema).parquet(
@@ -766,8 +762,9 @@ class TxnTable:
         highest-version change wins (a feed spanning many commits may
         update then delete the same key — order matters), winners of
         type insert/update_postimage merge in, winners of type delete
-        anti-join out. File targeting is the same leading-key-range
-        prune as :meth:`merge`, so cost is O(changes + touched files).
+        anti-join out. File targeting is the same every-key-dimension
+        range prune as :meth:`merge`, so cost is O(changes + touched
+        files).
         This is the write half of the CDC relay — :func:`sync_table`
         pairs it with :meth:`read_changes` for exactly-once
         incremental replication. ``merge_schema`` allows the feed to
@@ -828,11 +825,9 @@ class TxnTable:
             if bounds["lo0"] is None:  # all-NULL keys: nothing matches
                 kept = list(m["files"])
             else:
-                for f in m["files"]:
-                    if _file_overlaps_delta(f, keys, bounds):
-                        touched.append(f)
-                    else:
-                        kept.append(f)
+                touched, kept = _split_by_delta_bounds(
+                    m["files"], keys, bounds
+                )
             if touched:
                 old = self.spark.read.schema(schema).parquet(
                     *[str(self.path / f["path"]) for f in touched]
@@ -1121,26 +1116,27 @@ def _key_bound_aggs(keys: list[str]) -> list[Column]:
     return out
 
 
-def _file_overlaps_delta(f: dict, keys: list[str], bounds) -> bool:
-    """Can this data file contain any delta key tuple? A key tuple
-    matches only if EVERY dimension matches, so a file disjoint from
-    the delta's range on ANY key dimension is safely skipped — at two+
-    key columns this prunes strictly better than the leading key alone
-    (e.g. a low-cardinality leading key leaves the second dimension to
-    do the real pruning). Dimensions without stats (or with an all-NULL
-    delta side) are conservative: they never exclude."""
-    for i, k in enumerate(keys):
-        lo, hi = bounds[f"lo{i}"], bounds[f"hi{i}"]
-        if lo is None:
-            continue
-        st = (f.get("stats") or {}).get(k)
-        if st is None and i == 0:
-            st = [f.get("key_min"), f.get("key_max")]
-        if not st or st[0] is None or st[1] is None:
-            continue
-        if st[1] < lo or st[0] > hi:
-            return False
-    return True
+def _split_by_delta_bounds(
+    files: list[dict], keys: list[str], bounds
+) -> tuple[list[dict], list[dict]]:
+    """(touched, kept): files that could vs. cannot contain a delta key
+    tuple. A tuple matches only if EVERY dimension matches, so a file
+    disjoint from the delta's range on ANY key dimension is safely
+    kept — at two+ key columns this prunes strictly better than the
+    leading key alone (a low-cardinality leading key leaves the later
+    dimensions to do the real pruning). The disjointness test itself is
+    :func:`_prune_by_ranges` — ONE authoritative predicate shared with
+    ``read(ranges=)``, conservative on missing stats and legacy
+    manifests."""
+    ranges = {
+        k: (bounds[f"lo{i}"], bounds[f"hi{i}"])
+        for i, k in enumerate(keys)
+        if bounds[f"lo{i}"] is not None
+    }
+    touched = _prune_by_ranges(files, ranges, keys[0])
+    touched_paths = {f["path"] for f in touched}
+    kept = [f for f in files if f["path"] not in touched_paths]
+    return touched, kept
 
 
 def _rolled_meta(base_manifest: dict, meta: "dict | None") -> "dict | None":
