@@ -29,10 +29,12 @@ from gcpde_spark.errors import (
 from gcpde_spark.session import build_session
 from gcpde_spark.tables import MergeIntoBackend
 from gcpde_spark.txn import TxnMergeBackend, TxnTable, sync_table
+from gcpde_spark.views import MaterializedAggView
 
 __all__ = [
     "Engine",
     "EngineException",
+    "MaterializedAggView",
     "MergeIntoBackend",
     "SchemaInferenceConflict",
     "SchemaMismatchException",

@@ -106,6 +106,16 @@ class Engine:
 
         return TxnTable(self.spark, path)
 
+    def materialized_view(self, base, path: str):
+        """Open the materialized aggregate view at ``path`` over
+        transactional table ``base`` (incremental group-scoped refresh
+        from the precise change feed —
+        :class:`gcpde_spark.views.MaterializedAggView`; build a new one
+        with ``MaterializedAggView.create``)."""
+        from gcpde_spark.views import MaterializedAggView
+
+        return MaterializedAggView(self.spark, base, path)
+
     def use_txn_backend(self, root: str, **kwargs):
         """Route ``engine.tables.upsert_table_df`` through the
         transactional backend rooted at ``root`` (file-pruned MERGE +

@@ -650,6 +650,7 @@ class TxnTable:
         since_version: int,
         end_version: int | None = None,
         precise: bool = False,
+        preimages: bool = False,
     ) -> DataFrame:
         """Change feed over commits ``(since_version, end_version]`` —
         the incremental-consumption primitive (downstream refresh,
@@ -672,7 +673,14 @@ class TxnTable:
         files. Both sides are the touched region only, so the cost is
         O(changed region per commit), not O(table): this is what makes
         a change feed viable on a 100 TB table where snapshot diffing
-        (l38) would scan everything."""
+        (l38) would scan everything. ``preimages=True`` (precise mode
+        only) additionally emits ``update_preimage`` rows carrying each
+        updated key's OLD values — required by consumers partitioned on
+        a mutable non-key column (incremental view maintenance must
+        also touch the group a row left); :meth:`apply_changes` ignores
+        them, so a preimage-carrying feed stays directly applicable."""
+        if preimages and not precise:
+            raise ValueError("preimages=True requires precise=True")
         end = self.version() if end_version is None else end_version
         if since_version > end:
             raise ValueError(f"since_version {since_version} > end {end}")
@@ -735,7 +743,7 @@ class TxnTable:
                 if removed
                 else self.spark.createDataFrame([], old_schema)
             )
-            parts.append(_keyed_diff(new, old, _keys(m), v))
+            parts.append(_keyed_diff(new, old, _keys(m), v, preimages))
         if not parts:
             m = self._manifest(end)
             schema = StructType.fromJson(json.loads(m["schema"]))
@@ -768,7 +776,12 @@ class TxnTable:
         This is the write half of the CDC relay — :func:`sync_table`
         pairs it with :meth:`read_changes` for exactly-once
         incremental replication. ``merge_schema`` allows the feed to
-        carry additively-evolved columns (as in :meth:`merge`)."""
+        carry additively-evolved columns (as in :meth:`merge`).
+        ``update_preimage`` rows (a ``preimages=True`` feed) are
+        dropped up front: the preimage shares its key AND commit
+        version with the postimage, so letting it into the
+        latest-per-key window would make the winner arbitrary."""
+        changes = changes.where(F.col("_change_type") != "update_preimage")
         base = self.version()
         m = self._manifest(base)
         keys = _keys(m)
@@ -1189,12 +1202,23 @@ def _evolved_schema(
 
 
 def _keyed_diff(
-    new: DataFrame, old: DataFrame, keys: list[str], version: int
+    new: DataFrame,
+    old: DataFrame,
+    keys: list[str],
+    version: int,
+    preimages: bool = False,
 ) -> DataFrame:
     """Exact change rows between one commit's added files (``new``) and
     its removed files (``old``): full outer join on the merge key over
     the touched region only. Rows present on both sides with identical
-    content are rewritten-but-unchanged neighbors and are dropped."""
+    content are rewritten-but-unchanged neighbors and are dropped.
+    ``preimages`` additionally emits an ``update_preimage`` row (the
+    OLD values) for every ``update_postimage`` — what a consumer needs
+    when a changed non-key column drives its own partitioning (e.g.
+    incremental view maintenance must touch the group a row LEFT, not
+    just the one it entered). Columns the old schema lacks (or that
+    only the old schema had, after a restore) surface as NULL: the feed
+    schema is always the commit's NEW schema."""
     non_keys_old = [c for c in old.columns if c not in keys]
     o = old.select(
         *[F.col(k) for k in keys],
@@ -1237,11 +1261,27 @@ def _keyed_diff(
             )
         else:
             out_cols.append(F.col(c).alias(c))
-    return j.select(
+    out = j.select(
         *out_cols,
         "_change_type",
         F.lit(version).cast("int").alias("_commit_version"),
     )
+    if not preimages:
+        return out
+    pre_cols = []
+    for f in new.schema.fields:
+        if f.name in keys:
+            pre_cols.append(F.col(f.name).alias(f.name))
+        elif f"_old_{f.name}" in j.columns:
+            pre_cols.append(F.col(f"_old_{f.name}").alias(f.name))
+        else:  # column added by evolution: no old value existed
+            pre_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    pre = j.where(F.col("_change_type") == "update_postimage").select(
+        *pre_cols,
+        F.lit("update_preimage").alias("_change_type"),
+        F.lit(version).cast("int").alias("_commit_version"),
+    )
+    return out.unionByName(pre)
 
 
 def _mname(version: int) -> str:

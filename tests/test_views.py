@@ -1,0 +1,207 @@
+"""Incrementally-maintained materialized aggregate views
+(gcpde_spark/views.py): group-scoped recompute from the precise change
+feed ≡ full re-aggregation, preimage-driven group migration, vanished
+groups, base-file pruning receipts, exactly-once version tracking."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcpde_spark.txn import TxnTable
+from gcpde_spark.views import MaterializedAggView
+
+AGGS = {
+    "n": "count(1)",
+    "total": "sum(x)",
+    "lo": "min(x)",
+    "hi": "max(x)",
+    "n_keys": "count(distinct k)",
+}
+
+
+def _base(spark, path, n=60):
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 6).cast("string").alias("g"),
+        (F.col("id") * 10).cast("long").alias("x"),
+    )
+    return TxnTable.create(spark, str(path), df, key_field="k")
+
+
+def _expect(base, group_by=("g",)):
+    return {
+        tuple(r)
+        for r in base.read()
+        .groupBy(*group_by)
+        .agg(*[F.expr(s).alias(n) for n, s in AGGS.items()])
+        .collect()
+    }
+
+
+def _got(view):
+    return {tuple(r) for r in view.read().collect()}
+
+
+def test_preimage_feed_and_apply_changes_ignores_it(spark, tmp_path):
+    t = _base(spark, tmp_path / "t", n=10)
+    t.update({"x": F.lit(999)}, F.col("k") == 3)
+    plain = t.read_changes(0, precise=True).collect()
+    assert {r._change_type for r in plain} == {"update_postimage"}
+    both = t.read_changes(0, precise=True, preimages=True).collect()
+    by_type = {r._change_type: r for r in both}
+    assert set(by_type) == {"update_preimage", "update_postimage"}
+    assert by_type["update_preimage"].x == 30  # the OLD value
+    assert by_type["update_postimage"].x == 999
+    assert (
+        by_type["update_preimage"]._commit_version
+        == by_type["update_postimage"]._commit_version
+    )
+    with pytest.raises(ValueError):
+        t.read_changes(0, preimages=True)  # precise=False
+    # a preimage-carrying feed applies identically to a preimage-free one
+    mirror = TxnTable.create(
+        spark, str(tmp_path / "m"), t.read(version=0), key_field="k"
+    )
+    mirror.apply_changes(t.read_changes(0, precise=True, preimages=True))
+    assert {(r.k, r.x) for r in mirror.read().collect()} == {
+        (r.k, r.x) for r in t.read().collect()
+    }
+
+
+def test_create_matches_full_groupby_and_reopen(spark, tmp_path):
+    base = _base(spark, tmp_path / "b")
+    v = MaterializedAggView.create(
+        spark, base, tmp_path / "v", ["g"], AGGS
+    )
+    assert _got(v) == _expect(base)
+    # reopen from disk: spec round-trips through commit metadata
+    again = MaterializedAggView(spark, base, tmp_path / "v")
+    assert again.group_by == ["g"] and again.aggs == AGGS
+    assert _got(again) == _expect(base)
+    with pytest.raises(ValueError):
+        MaterializedAggView.create(
+            spark, base, tmp_path / "v2", ["g"], {"g": "count(1)"}
+        )
+
+
+def test_incremental_refresh_tracks_every_commit_kind(spark, tmp_path):
+    """The core invariant: after ANY base mutation, one refresh makes
+    the view ≡ a full re-aggregation — including non-invertible
+    aggregates (min/max/count distinct), which delta folding can't
+    maintain under deletes."""
+    base = _base(spark, tmp_path / "b")
+    view = MaterializedAggView.create(spark, base, tmp_path / "v", ["g"], AGGS)
+    steps = [
+        lambda: base.append(
+            spark.createDataFrame([(100, "2", 5), (101, "7", 7)], "k long, g string, x long")
+        ),  # new rows incl. a brand-new group "7"
+        lambda: base.merge(
+            spark.createDataFrame([(0, "0", 12345), (102, "3", 1)], "k long, g string, x long")
+        ),  # update (x of k=0 was the max-path value) + insert
+        lambda: base.delete(F.col("g") == "7"),  # the whole group vanishes
+        lambda: base.update({"g": F.lit("0")}, F.col("k") == 5),  # migrates 5 from g=5 to g=0
+        lambda: base.delete(F.col("k") % 6 == 1),  # deletes shrink several groups' min/max
+        lambda: base.compact(),  # logical no-op commit
+        lambda: base.overwrite(base.read().where(F.col("k") < 50)),
+    ]
+    for i, step in enumerate(steps):
+        step()
+        rec = view.refresh()
+        assert _got(view) == _expect(base), f"diverged after step {i}"
+        assert rec["base_version"] == base.version()
+    # group "7" really left the view (not just zeroed)
+    assert "7" not in {r.g for r in view.read().collect()}
+
+
+def test_refresh_is_exactly_once_and_noop_when_fresh(spark, tmp_path):
+    base = _base(spark, tmp_path / "b")
+    view = MaterializedAggView.create(spark, base, tmp_path / "v", ["g"], AGGS)
+    assert view.refresh()["mode"] == "noop"
+    base.append(spark.createDataFrame([(200, "1", 3)], "k long, g string, x long"))
+    rec = view.refresh()
+    assert rec["mode"] == "incremental" and rec["groups_refreshed"] == 1
+    vv = view.table.version()
+    assert view.refresh()["mode"] == "noop"  # same base version: no new commit
+    assert view.table.version() == vv
+    assert view.staleness() == (base.version(), base.version())
+
+
+def test_refresh_prunes_base_files_by_group_range(spark, tmp_path):
+    """The scale receipt: with the base clustered by the group column,
+    refreshing one group's change reads a strict subset of base files."""
+    df = spark.range(8000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 80).alias("g"),
+        F.col("id").alias("x"),
+    )
+    base = TxnTable.create(spark, str(tmp_path / "b"), df, key_field="k")
+    base.compact(cluster_by=["g"], n_files=8)
+    view = MaterializedAggView.create(
+        spark, base, tmp_path / "v", ["g"], {"total": "sum(x)", "hi": "max(x)"}
+    )
+    base.merge(spark.createDataFrame([(3, 3, 10_000_000)], "k long, g long, x long"))
+    rec = view.refresh()
+    assert rec["mode"] == "incremental"
+    assert rec["base_files_scanned"] < rec["base_files_total"]
+    got = {r.g: (r.total, r.hi) for r in view.read().collect()}
+    exp = {
+        r.g: (r.total, r.hi)
+        for r in base.read()
+        .groupBy("g")
+        .agg(F.sum("x").alias("total"), F.max("x").alias("hi"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_full_rebuild_route_when_most_groups_touched(spark, tmp_path):
+    base = _base(spark, tmp_path / "b")
+    view = MaterializedAggView.create(spark, base, tmp_path / "v", ["g"], AGGS)
+    base.update({"x": F.col("x") + 1}, F.col("k") >= 0)  # every group touched
+    rec = view.refresh(max_incremental_groups=2)
+    assert rec["mode"] == "full"
+    assert _got(view) == _expect(base)
+    # the full route still records the base version exactly-once
+    assert view.refresh(max_incremental_groups=2)["mode"] == "noop"
+
+
+def test_engine_facade_opens_views(spark, tmp_path):
+    from gcpde_spark import Engine, MaterializedAggView as Exported
+
+    assert Exported is MaterializedAggView
+    base = _base(spark, tmp_path / "b", n=12)
+    MaterializedAggView.create(spark, base, tmp_path / "v", ["g"], {"n": "count(1)"})
+    eng = Engine(spark)
+    v = eng.materialized_view(base, str(tmp_path / "v"))
+    assert v.aggs == {"n": "count(1)"}
+    assert v.read().count() == 6
+
+
+def test_null_groups_and_composite_group_keys(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, None, "a", 1), (1, "g1", "a", 2), (2, "g1", None, 3), (3, None, "a", 4)],
+        "k long, g string, h string, x long",
+    )
+    base = TxnTable.create(spark, str(tmp_path / "b"), df, key_field="k")
+    aggs = {"total": "sum(x)", "n": "count(1)"}
+    view = MaterializedAggView.create(
+        spark, base, tmp_path / "v", ["g", "h"], aggs
+    )
+    exp = lambda: {
+        tuple(r)
+        for r in base.read()
+        .groupBy("g", "h")
+        .agg(F.expr("sum(x)").alias("total"), F.expr("count(1)").alias("n"))
+        .collect()
+    }
+    assert _got(view) == exp()
+    # touch the NULL group and migrate a row INTO a null group
+    base.merge(spark.createDataFrame([(0, None, "a", 100)], df.schema))
+    base.update({"g": F.lit(None).cast("string")}, F.col("k") == 1)
+    view.refresh()
+    assert _got(view) == exp()
+    # delete every row of the (None, "a") group
+    base.delete(F.col("g").isNull() & (F.col("h") == "a"))
+    view.refresh()
+    assert _got(view) == exp()
