@@ -460,13 +460,14 @@ class TableStore:
                 "reduce bits per column (locality degrades gracefully) "
                 "or cluster on fewer columns"
             )
+        proxies = [_zorder_proxy(df.schema[c]) for c in cols]
         stats = df.agg(
-            *[F.min(c).cast("double").alias(f"_mn_{i}") for i, c in enumerate(cols)],
-            *[F.max(c).cast("double").alias(f"_mx_{i}") for i, c in enumerate(cols)],
+            *[F.min(p).alias(f"_mn_{i}") for i, p in enumerate(proxies)],
+            *[F.max(p).alias(f"_mx_{i}") for i, p in enumerate(proxies)],
         ).collect()[0]
         cells = 1 << bits
         parts = []
-        for i, c in enumerate(cols):
+        for i, p in enumerate(proxies):
             mn, mx = stats[f"_mn_{i}"], stats[f"_mx_{i}"]
             if mn is None or mx is None or mx <= mn:
                 parts.append(F.lit(0))
@@ -474,9 +475,7 @@ class TableStore:
             cell = F.least(
                 F.lit(cells - 1),
                 F.floor(
-                    (F.col(c).cast("double") - F.lit(mn))
-                    / F.lit(mx - mn)
-                    * F.lit(cells)
+                    (p - F.lit(mn)) / F.lit(mx - mn) * F.lit(cells)
                 ).cast("bigint"),
             )
             cell = F.coalesce(cell, F.lit(0))
@@ -922,6 +921,45 @@ class TableStore:
         finally:
             timer.cancel()
             sc.setJobGroup("", "")
+
+
+def _zorder_proxy(field) -> F.Column:
+    """A double-valued, order-preserving projection of a cluster
+    column, so Z-order bucketing works on every orderable type — the
+    naive ``cast("double")`` throws on TIMESTAMP and yields NULL for
+    every string (silently clustering on nothing). Strings map through
+    their first 6 UTF-8 bytes as a big-endian integer (48 bits, exact
+    in a double): lexicographic on the prefix, which is what gives
+    per-file min/max stats their narrowness."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    dt, col = field.dataType, F.col(field.name)
+    if isinstance(dt, NumericType):
+        return col.cast("double")
+    if isinstance(dt, BooleanType):
+        return col.cast("int").cast("double")
+    if isinstance(dt, DateType):
+        return F.unix_date(col).cast("double")
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(col).cast("double")
+    if isinstance(dt, TimestampNTZType):
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    if isinstance(dt, StringType):
+        return F.conv(
+            F.hex(F.substring(col.cast("binary"), 1, 6)), 16, 10
+        ).cast("double")
+    raise ValueError(
+        f"cannot Z-order on {dt.simpleString()} column {field.name}: no "
+        "order-preserving numeric projection (cluster on an orderable "
+        "column instead)"
+    )
 
 
 def _ddl(schema: StructType) -> str:

@@ -43,6 +43,7 @@ column-level stats beyond the merge key.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
@@ -72,7 +73,26 @@ class TxnTableNotFound(Exception):
 
 
 _STATS_MAX_COLS = 32
-_STATS_TYPES = (int, float, str, bool)
+_STATS_TYPES = (int, float, str, bool, datetime.date, datetime.datetime)
+
+
+def _stat_repr(v: Any) -> Any:
+    """Canonical JSON-safe form of a stats/bound value. Timestamps and
+    dates become ISO-8601 strings — lexicographic order on them equals
+    chronological order (fixed-width date, '.' < any digit, so varying
+    fractional precision still compares correctly), which is what lets
+    string comparison prune soundly. Aware timestamps normalize to
+    UTC-naive; naive values are taken AS UTC — sound because the repo
+    pins ``spark.sql.session.timeZone`` to UTC (session.py), so query
+    bounds, Spark agg results, and parquet-footer stats all describe
+    the same clock. Everything else passes through."""
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
 
 
 def _file_stats(path: str) -> tuple[dict[str, list], int]:
@@ -106,10 +126,11 @@ def _file_stats(path: str) -> tuple[dict[str, list], int]:
                 bad.add(name)
                 agg.pop(name, None)
                 continue
+            mn, mx = _stat_repr(st.min), _stat_repr(st.max)
             if name in agg:
-                agg[name] = [min(agg[name][0], st.min), max(agg[name][1], st.max)]
+                agg[name] = [min(agg[name][0], mn), max(agg[name][1], mx)]
             else:
-                agg[name] = [st.min, st.max]
+                agg[name] = [mn, mx]
                 order.append(name)
     kept = [n for n in order if n in agg][:_STATS_MAX_COLS]
     return {n: agg[n] for n in kept}, md.num_rows
@@ -1302,10 +1323,26 @@ def _check_schema(df: DataFrame, schema: StructType, path: Path) -> None:
 def _write_data_files(spark: SparkSession, root: Path, df: DataFrame) -> list[str]:
     """Write ``df`` as immutable parquet files under a fresh commit
     subdirectory; returns table-relative paths. Files are never moved
-    or modified after this — manifests only reference them."""
+    or modified after this — manifests only reference them. Timestamps
+    are forced to TIMESTAMP_MICROS: Spark's default INT96 encoding
+    carries NO usable footer min/max (the stats are deprecated in the
+    format), which would silently exclude timestamp columns — the most
+    common range predicate — from manifest pruning."""
     sub = f"{_DATA_DIR}/{uuid.uuid4().hex[:12]}"
     out = root / sub
-    df.write.parquet(str(out))
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        df.write.parquet(str(out))
+    finally:
+        # restore races among concurrent writers are benign: the value
+        # only affects whether footers carry stats, and missing stats
+        # degrade to conservative (no-prune), never unsound
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     return [
         f"{sub}/{p.name}"
         for p in sorted(out.glob("*.parquet"))
@@ -1344,6 +1381,7 @@ def _prune_by_ranges(
     for f in entries:
         keep = True
         for col, (lo, hi) in ranges.items():
+            lo, hi = _stat_repr(lo), _stat_repr(hi)
             st = (f.get("stats") or {}).get(col)
             if st is None and col == key_field:
                 st = [f.get("key_min"), f.get("key_max")]

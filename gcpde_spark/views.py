@@ -96,10 +96,14 @@ class MaterializedAggView:
         aggs: Mapping[str, str],
         n_files: int | None = None,
     ) -> "MaterializedAggView":
-        """Full build at the base's current version. ``group_by`` are
-        the view's merge keys; keep the BASE clustered by the same
-        columns (``compact(cluster_by=group_by)``) so refreshes prune
-        its files by group range instead of scanning it."""
+        """Full build at the base's current version. For refreshes
+        that prune the base instead of scanning it, give the BASE a
+        group-leading layout: best is a composite merge key
+        ``(group_col, unique_id)`` (narrow file ranges on the group
+        column AND the full key, so base merges stay file-pruned too);
+        ``compact(cluster_by=group_by)`` also works but scatters the
+        base's own merge key, trading merge pruning for refresh
+        pruning."""
         group_by = list(group_by)
         if not group_by or not aggs:
             raise ValueError("group_by and aggs must both be non-empty")

@@ -12,7 +12,9 @@ times show the floor:
   the cost an unpartitioned parquet merge+swap pays);
 - predicate DELETE hitting one file's key range;
 - ``read(ranges=...)`` manifest-skipped vs full-scan-and-filter;
-- ``sync_table``: incremental 2-row relay vs re-seeding the mirror.
+- ``sync_table``: incremental 2-row relay vs re-seeding the mirror;
+- materialized-view refresh after a 1-row change (group-scoped,
+  base-file-pruned) vs a forced full rebuild.
 
 Plans are warmed before timing (codegen excluded — it is a one-time
 cost, measured separately by the main bench). Run ALONE.
@@ -35,6 +37,7 @@ from pyspark.sql import functions as F
 
 from gcpde_spark.session import build_session
 from gcpde_spark.txn import TxnTable, _publish, sync_table
+from gcpde_spark.views import MaterializedAggView
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -108,6 +111,45 @@ def main() -> None:
         t, r = timed(lambda: sync_table(spark, tbl, str(root / "mirror")))
         res["sync_incremental_s"] = round(t, 3)
         res["sync_incremental_mode"] = r["mode"]
+
+        # materialized view: incremental group-scoped refresh vs full
+        # rebuild. The base uses the layout the view docstring tells
+        # adopters to keep — a group-leading composite merge key, so
+        # file ranges stay narrow on the group column (refresh prunes)
+        # AND on the full key (merge prunes); clustering by the group
+        # column alone would scatter the unique key and turn every
+        # merge into a many-file rewrite
+        vb = TxnTable.create(
+            spark,
+            str(root / "vb"),
+            li,
+            key_field=["l_shipdate", "rid"],
+            n_files=N_FILES,
+        )
+        t, view = timed(
+            lambda: MaterializedAggView.create(
+                spark,
+                vb,
+                str(root / "v"),
+                ["l_shipdate"],
+                {"n": "count(1)", "qty": "sum(l_quantity)", "hi": "max(l_quantity)"},
+            )
+        )
+        res["view_build_s"] = round(t, 3)
+        touch = vb.read().limit(1).withColumn("l_quantity", F.lit(777.0))
+        touch.persist().count()
+        vb.merge(touch)
+        view.refresh()  # plan warm-up cycle
+        vb.merge(touch.withColumn("l_quantity", F.lit(778.0)))
+        t, rec = timed(lambda: view.refresh())
+        res["view_refresh_incremental_s"] = round(t, 3)
+        res["view_refresh_groups"] = rec["groups_refreshed"]
+        res["view_refresh_base_files_scanned"] = rec["base_files_scanned"]
+        res["view_refresh_base_files_total"] = rec["base_files_total"]
+        vb.merge(touch.withColumn("l_quantity", F.lit(779.0)))
+        t, rec = timed(lambda: view.refresh(max_incremental_groups=0))
+        res["view_refresh_full_s"] = round(t, 3)
+        touch.unpersist()
 
         # LAST (blanked stats would poison later pruning): disable
         # pruning so every file is touched — the full-rewrite baseline

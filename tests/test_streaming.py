@@ -522,3 +522,62 @@ def test_corpus_totals_processor_accumulates_across_batches():
     b2 = pd.DataFrame({"n_tokens": [5]})
     out2 = list(proc.handleInputRows(("web",), iter([b2]), None))[0]
     assert (out2.n_docs[0], out2.n_tokens[0]) == (4, 35)
+
+
+def test_streaming_cdc_base_feeds_incremental_view(
+    spark, event_dataset, tmp_path_factory
+):
+    """End-to-end composition of the transactional layer: events stream
+    exactly-once into a TxnTable (upsert CDC), and a materialized
+    aggregate view refreshes from that table's precise change feed —
+    stream -> table -> view, each hop O(changes), and the view equals
+    the batch aggregate of the table at every step."""
+    from gcpde_spark.streaming import read_dataset_stream, upsert_stream_to_txn_table
+    from gcpde_spark.txn import TxnTable
+    from gcpde_spark.views import MaterializedAggView
+
+    base, events = event_dataset
+    tpath = str(tmp_path_factory.mktemp("view_cdc") / "user_latest")
+    ckpt = str(tmp_path_factory.mktemp("view_ckpt"))
+
+    q = upsert_stream_to_txn_table(
+        read_dataset_stream(spark, base, "ev", EVENT_SCHEMA),
+        tpath, "user_id", ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+    t = TxnTable(spark, tpath)
+    aggs = {"n_users": "count(1)", "last_ts": "max(ts)"}
+    view = MaterializedAggView.create(
+        spark, t, str(tmp_path_factory.mktemp("view")) + "/v", ["event_type"], aggs
+    )
+
+    def batch_agg():
+        return {
+            (r.event_type, r.n_users, r.last_ts)
+            for r in t.read()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_users"), F.max("ts").alias("last_ts"))
+            .collect()
+        }
+
+    assert {tuple(r) for r in view.read().collect()} == batch_agg()
+
+    # late micro-batch: a user flips to a brand-new event type
+    target = t.read().limit(1).collect()[0]
+    new_ts = target.ts + dt.timedelta(days=2)
+    DatasetStore(spark, base).add_dataframe_to_dataset(
+        spark.createDataFrame(
+            [(20_000_000, target.user_id, "view_probe", new_ts)], EVENT_SCHEMA
+        ),
+        "ev", ts_column="ts",
+    )
+    q2 = upsert_stream_to_txn_table(
+        read_dataset_stream(spark, base, "ev", EVENT_SCHEMA),
+        tpath, "user_id", ckpt, available_now=True,
+    )
+    q2.awaitTermination(120)
+    rec = view.refresh()
+    assert rec["mode"] == "incremental"
+    # the refresh touched the group the user LEFT and the one it joined
+    assert rec["groups_refreshed"] == 2
+    assert {tuple(r) for r in view.read().collect()} == batch_agg()

@@ -4,6 +4,7 @@ time travel, vacuum."""
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 
 import pytest
@@ -530,6 +531,40 @@ def test_data_skipping_on_non_key_columns_after_zorder(spark, tmp_path):
     assert {r.tag for r in hi.collect()} == {"u00098", "u00099"}
     # a column without stats (absent name) must not prune or fail
     assert t.read(ranges={"id": (1, 2)}).count() == 2
+
+
+def test_zorder_clusters_timestamp_and_string_columns(spark, tmp_path):
+    """Z-order must work on every orderable type, not just numerics:
+    timestamps (the single most common clustering key) used to throw on
+    the double cast, and strings silently bucketed to nothing. Both now
+    go through order-preserving numeric proxies — receipts are narrowed
+    per-file ranges that actually prune."""
+    df = spark.range(8_192).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 60).alias("ts"),
+        F.concat(
+            F.lit("d"), F.format_string("%05d", (F.col("id") / 82).cast("int"))
+        ).alias("domain"),
+    )
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, key_field="id")
+    t.compact(n_files=16, cluster_by=["ts", "domain"])
+    full = t.read()
+    lo_ts = full.agg(F.min("ts")).collect()[0][0]
+    hi_ts = lo_ts + dt.timedelta(minutes=1_000)
+    got = t.read(ranges={"ts": (lo_ts, hi_ts)})
+    assert 0 < len(got.inputFiles()) < len(full.inputFiles())
+    assert got.count() == full.where(F.col("ts") <= F.lit(hi_ts)).count()
+    by_dom = t.read(ranges={"domain": ("d00000", "d00009")})
+    assert 0 < len(by_dom.inputFiles()) < len(full.inputFiles())
+    assert (
+        by_dom.count()
+        == full.where(F.col("domain") <= "d00009").count()
+    )
+    # unorderable types refuse loudly instead of clustering on nothing
+    df2 = df.withColumn("m", F.create_map(F.lit("k"), F.col("id")))
+    t2 = TxnTable.create(spark, str(tmp_path / "t2"), df2, key_field="id")
+    with pytest.raises(ValueError, match="Z-order"):
+        t2.compact(n_files=4, cluster_by=["m"])
 
 
 def test_stats_survive_delete_update_and_legacy_manifests(spark, tmp_path):

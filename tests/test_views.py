@@ -166,6 +166,28 @@ def test_full_rebuild_route_when_most_groups_touched(spark, tmp_path):
     assert view.refresh(max_incremental_groups=2)["mode"] == "noop"
 
 
+def test_view_change_feed_carries_only_refreshed_groups(spark, tmp_path):
+    """Chained incrementality: the view is a TxnTable, so DOWNSTREAM
+    consumers read ITS precise change feed and see one delta row per
+    refreshed group — aggregate changes propagate O(changed groups)
+    through a whole pipeline of views, never O(view)."""
+    base = _base(spark, tmp_path / "b")
+    view = MaterializedAggView.create(spark, base, tmp_path / "v", ["g"], AGGS)
+    v0 = view.table.version()
+    base.merge(
+        spark.createDataFrame([(300, "4", 9)], "k long, g string, x long")
+    )
+    view.refresh()
+    feed = view.table.read_changes(v0, precise=True).collect()
+    assert {r.g for r in feed} == {"4"}
+    assert {r._change_type for r in feed} == {"update_postimage"}
+    # a vanished group propagates downstream as a delete
+    base.delete(F.col("g") == "4")
+    view.refresh()
+    feed2 = view.table.read_changes(view.table.version() - 1, precise=True).collect()
+    assert [(r.g, r._change_type) for r in feed2] == [("4", "delete")]
+
+
 def test_engine_facade_opens_views(spark, tmp_path):
     from gcpde_spark import Engine, MaterializedAggView as Exported
 
