@@ -51,7 +51,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from gcpde_spark.txn import TxnTable, _keys, _prune_by_ranges
+from gcpde_spark.txn import (
+    ConcurrentCommitError,
+    TxnTable,
+    TxnTableNotFound,
+    _keys,
+    _prune_by_ranges,
+)
 
 _SPEC_KEY = "view_spec"
 _BASE_VERSION_KEY = "view_base_version"
@@ -145,6 +151,13 @@ class MaterializedAggView:
         (``base_files_scanned`` / ``base_files_total``). Idempotent —
         re-running at the same base version is a no-op, and a crashed
         refresh leaves no partial state (the commit is the last step).
+        Concurrent refreshers resolve via the table's commit
+        arbitration: the loser checks whether the winner's commit
+        already covers its target base version and returns a
+        ``lost_race`` receipt instead of raising (both computed the
+        same recompute, so dropping the loser's is exactly-once, not
+        lost work); a rival commit that does NOT cover it (a concurrent
+        restore/maintenance) re-raises for the caller to retry.
         """
         last, end = self.staleness()
         if end <= last:
@@ -153,7 +166,16 @@ class MaterializedAggView:
                 "base_version": last,
                 "groups_refreshed": 0,
             }
-        changes = self.base.read_changes(last, end, precise=True, preimages=True)
+        try:
+            changes = self.base.read_changes(
+                last, end, precise=True, preimages=True
+            )
+        except TxnTableNotFound:
+            # base vacuumed past our last refresh (retention shorter
+            # than refresh lag): the feed is unreadable — fall back to
+            # one full rebuild, loud in the receipt, never silent
+            # (sync_table's contract, mirrored)
+            return self._full_rebuild(end, mode="full_vacuumed")
         affected = _with_gkey(
             changes.select(*self.group_by).distinct(), self.group_by
         )
@@ -177,25 +199,17 @@ class MaterializedAggView:
                 # compact commits) — record the base version so the
                 # next refresh starts past these commits
                 empty = self._empty_feed()
-                self.table.apply_changes(empty, meta=self._meta(end))
+                try:
+                    self.table.apply_changes(empty, meta=self._meta(end))
+                except ConcurrentCommitError:
+                    return self._lost_race(end)
                 return {
                     "mode": "noop",
                     "base_version": end,
                     "groups_refreshed": 0,
                 }
             if n_groups > max_incremental_groups:
-                out = _with_gkey(
-                    self.base.read(version=end)
-                    .groupBy(*self.group_by)
-                    .agg(*_agg_exprs(self.aggs)),
-                    self.group_by,
-                )
-                self.table.overwrite(out, meta=self._meta(end))
-                return {
-                    "mode": "full",
-                    "base_version": end,
-                    "groups_refreshed": n_groups,
-                }
+                return self._full_rebuild(end, groups=n_groups)
             # a column may bound the scan ONLY if no affected group is
             # NULL in it: min/max ignore NULLs, and the range re-applies
             # as a row filter in read(), which NULL rows always fail —
@@ -253,7 +267,10 @@ class MaterializedAggView:
             feed = ups.unionByName(gone).withColumn(
                 "_commit_version", F.lit(end).cast("int")
             )
-            self.table.apply_changes(feed, meta=self._meta(end))
+            try:
+                self.table.apply_changes(feed, meta=self._meta(end))
+            except ConcurrentCommitError:
+                return self._lost_race(end)
             return {
                 "mode": "incremental",
                 "base_version": end,
@@ -265,6 +282,43 @@ class MaterializedAggView:
             affected.unpersist()
 
     # -- internals ---------------------------------------------------------
+
+    def _full_rebuild(
+        self, end: int, mode: str = "full", groups: int = 0
+    ) -> dict:
+        out = _with_gkey(
+            self.base.read(version=end)
+            .groupBy(*self.group_by)
+            .agg(*_agg_exprs(self.aggs)),
+            self.group_by,
+        )
+        try:
+            self.table.overwrite(out, meta=self._meta(end))
+        except ConcurrentCommitError:
+            return self._lost_race(end)
+        return {
+            "mode": mode,
+            "base_version": end,
+            "groups_refreshed": groups,
+        }
+
+    def _lost_race(self, end: int) -> dict:
+        """A rival committed our target version first. If its commit
+        (meta rolls forward, so the newest manifest tells) already
+        reflects base version ``end``, the refresh work is done —
+        by a twin refresher that computed the identical recompute."""
+        recorded = int(self.table.last_meta_value(_BASE_VERSION_KEY))
+        if recorded >= end:
+            return {
+                "mode": "lost_race",
+                "base_version": recorded,
+                "groups_refreshed": 0,
+            }
+        raise ConcurrentCommitError(
+            f"view refresh to base version {end} lost the commit race to "
+            f"a rival that only covers base version {recorded} — re-run "
+            "refresh()"
+        )
 
     def _meta(self, base_version: int) -> dict:
         return {

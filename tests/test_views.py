@@ -188,6 +188,82 @@ def test_view_change_feed_carries_only_refreshed_groups(spark, tmp_path):
     assert [(r.g, r._change_type) for r in feed2] == [("4", "delete")]
 
 
+def test_base_vacuumed_past_refresh_lag_falls_back_to_full_rebuild(
+    spark, tmp_path
+):
+    """Retention shorter than refresh lag: the change feed since the
+    view's last refresh is unreadable, so the refresh must degrade to
+    one LOUD full rebuild (sync_table's contract) — never a silent
+    wrong answer, never an unhandled missing-manifest error."""
+    base = _base(spark, tmp_path / "b")
+    view = MaterializedAggView.create(spark, base, tmp_path / "v", ["g"], AGGS)
+    for i in range(3):
+        base.merge(
+            spark.createDataFrame(
+                [(600 + i, str(i), 8)], "k long, g string, x long"
+            )
+        )
+    base.vacuum(keep_last=1)
+    rec = view.refresh()
+    assert rec["mode"] == "full_vacuumed"
+    assert rec["base_version"] == base.version()
+    assert _got(view) == _expect(base)
+    assert view.refresh()["mode"] == "noop"
+
+
+def test_concurrent_refreshers_resolve_via_lost_race(
+    spark, tmp_path, monkeypatch
+):
+    """Two refreshers racing to the same view version: the commit
+    arbitration picks one winner; the loser sees the winner already
+    covers its base version and reports lost_race instead of raising.
+    A rival commit that does NOT cover it re-raises."""
+    import json as _json
+
+    import gcpde_spark.txn as txn
+    from gcpde_spark.txn import ConcurrentCommitError, _mname
+
+    base = _base(spark, tmp_path / "b")
+    view = MaterializedAggView.create(spark, base, tmp_path / "v", ["g"], AGGS)
+    base.append(spark.createDataFrame([(500, "1", 3)], "k long, g string, x long"))
+    end = base.version()
+
+    vlog = tmp_path / "v" / "_txn_log"
+    real_publish = txn._publish
+
+    def rival_wins_first(root, version, manifest):
+        # a twin refresher lands the same refresh just before ours
+        if root == (tmp_path / "v") and not (vlog / _mname(version)).exists():
+            m = _json.loads((vlog / _mname(version - 1)).read_text())
+            m["version"] = version
+            m.setdefault("meta", {})["view_base_version"] = end
+            real_publish(root, version, m)
+        real_publish(root, version, manifest)
+
+    monkeypatch.setattr(txn, "_publish", rival_wins_first)
+    rec = view.refresh()
+    assert rec["mode"] == "lost_race" and rec["base_version"] == end
+    monkeypatch.setattr(txn, "_publish", real_publish)
+    assert view.refresh()["mode"] == "noop"
+
+    # rival that does NOT cover the target: stale meta -> re-raise
+    base.append(spark.createDataFrame([(501, "2", 4)], "k long, g string, x long"))
+    stale = end  # rival only reflects the OLD base version
+    end = base.version()
+
+    def stale_rival_wins(root, version, manifest):
+        if root == (tmp_path / "v") and not (vlog / _mname(version)).exists():
+            m = _json.loads((vlog / _mname(version - 1)).read_text())
+            m["version"] = version
+            m.setdefault("meta", {})["view_base_version"] = stale
+            real_publish(root, version, m)
+        real_publish(root, version, manifest)
+
+    monkeypatch.setattr(txn, "_publish", stale_rival_wins)
+    with pytest.raises(ConcurrentCommitError, match="re-run"):
+        view.refresh()
+
+
 def test_engine_facade_opens_views(spark, tmp_path):
     from gcpde_spark import Engine, MaterializedAggView as Exported
 
