@@ -952,8 +952,14 @@ def _zorder_proxy(field) -> F.Column:
     if isinstance(dt, TimestampNTZType):
         return F.unix_micros(col.cast("timestamp")).cast("double")
     if isinstance(dt, StringType):
+        # RIGHT-pad the hex to 12 nibbles: a shorter string must not
+        # collapse to a numerically smaller integer ('z' has to sort
+        # above 'amazon', and a strict prefix pads with 0x00, the
+        # lowest byte — exactly lexicographic)
         return F.conv(
-            F.hex(F.substring(col.cast("binary"), 1, 6)), 16, 10
+            F.rpad(F.hex(F.substring(col.cast("binary"), 1, 6)), 12, "0"),
+            16,
+            10,
         ).cast("double")
     raise ValueError(
         f"cannot Z-order on {dt.simpleString()} column {field.name}: no "

@@ -77,15 +77,14 @@ _STATS_TYPES = (int, float, str, bool, datetime.date, datetime.datetime)
 
 
 def _stat_repr(v: Any) -> Any:
-    """Canonical JSON-safe form of a stats/bound value. Timestamps and
-    dates become ISO-8601 strings — lexicographic order on them equals
-    chronological order (fixed-width date, '.' < any digit, so varying
-    fractional precision still compares correctly), which is what lets
-    string comparison prune soundly. Aware timestamps normalize to
-    UTC-naive; naive values are taken AS UTC — sound because the repo
-    pins ``spark.sql.session.timeZone`` to UTC (session.py), so query
-    bounds, Spark agg results, and parquet-footer stats all describe
-    the same clock. Everything else passes through."""
+    """Canonical JSON-safe STORAGE form of a parquet-footer stat.
+    Timestamps and dates become ISO-8601 strings — lexicographic order
+    on them equals chronological order (fixed-width date, '.' < any
+    digit, so varying fractional precision still compares correctly),
+    which is what lets string comparison prune soundly. Aware
+    timestamps (instant columns: parquet isAdjustedToUTC) normalize to
+    UTC-naive; naive ones (TIMESTAMP_NTZ: wall-clock semantics) store
+    their wall value as-is. Everything else passes through."""
     if isinstance(v, datetime.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
@@ -93,6 +92,42 @@ def _stat_repr(v: Any) -> Any:
     if isinstance(v, datetime.date):
         return v.isoformat()
     return v
+
+
+def _norm_bound(v: Any, dtype: Any) -> Any:
+    """Normalize ONE query/delta bound into the same representation
+    :func:`_stat_repr` stored for its column — type-aware, because the
+    sound interpretation of a naive datetime depends on the column:
+
+    - instant (TIMESTAMP) column: stats are true UTC. A naive bound is
+      interpreted in the DRIVER-LOCAL zone — that is what PySpark
+      itself does with naive datetimes (``collect()`` returns
+      driver-local naive; ``TimestampType.toInternal`` reads naive as
+      local), so merge-path bounds collected from Spark and user
+      literals both land on the instant Spark's own row filter uses.
+    - TIMESTAMP_NTZ column: wall-clock on both sides; pass through.
+    - DATE column: a datetime bound floors to its date — widening-only
+      on both ends (a lo of midnight must NOT out-sort a stats max of
+      the same day, the classic off-by-equality; any sharper time part
+      only over-keeps, and the residual row filter is exact anyway).
+    """
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if v is None:
+        return None
+    if isinstance(dtype, DateType):
+        if isinstance(v, datetime.datetime):
+            v = v.date()
+        return v.isoformat() if isinstance(v, datetime.date) else v
+    if isinstance(dtype, TimestampType) and isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.astimezone()  # driver-local, per PySpark semantics
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None).isoformat()
+    if isinstance(dtype, TimestampNTZType) and isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    return _stat_repr(v)
 
 
 def _file_stats(path: str) -> tuple[dict[str, list], int]:
@@ -243,15 +278,27 @@ class TxnTable:
         filters — file ranges overlap a request without every row
         matching — so results are exact, and a column without stats
         simply doesn't prune (conservative, never lossy)."""
+        return self.read_with_receipt(version, key_range, ranges)[0]
+
+    def read_with_receipt(
+        self,
+        version: int | None = None,
+        key_range: tuple[Any, Any] | None = None,
+        ranges: "dict[str, tuple[Any, Any]] | None" = None,
+    ) -> "tuple[DataFrame, int, int]":
+        """:meth:`read` plus the data-skipping evidence:
+        ``(df, files_scanned, files_total)`` — for callers (refresh
+        receipts, audits) that would otherwise re-run the manifest
+        prune just to count it."""
         m = self._manifest(version)
+        schema = StructType.fromJson(json.loads(m["schema"]))
         all_ranges = dict(ranges or {})
         if key_range is not None:
             all_ranges[_keys(m)[0]] = key_range
         entries = m["files"]
         if all_ranges:
-            entries = _prune_by_ranges(entries, all_ranges, _keys(m)[0])
+            entries = _prune_by_ranges(entries, all_ranges, _keys(m)[0], schema)
         files = [str(self.path / f["path"]) for f in entries]
-        schema = StructType.fromJson(json.loads(m["schema"]))
         if not files:
             df = self.spark.createDataFrame([], schema)
         else:
@@ -263,7 +310,7 @@ class TxnTable:
                 df = df.where(F.col(col) >= lo)
             elif hi is not None:
                 df = df.where(F.col(col) <= hi)
-        return df
+        return df, len(entries), len(m["files"])
 
     def history(self) -> list[dict]:
         """Commit log, newest first (version, op, file/row counts)."""
@@ -341,7 +388,9 @@ class TxnTable:
             # key forces the rewrite path; consistent, no silent drop)
             kept = list(m["files"])
         else:
-            touched, kept = _split_by_delta_bounds(m["files"], keys, bounds)
+            touched, kept = _split_by_delta_bounds(
+                m["files"], keys, bounds, schema
+            )
         src = source.select(*[f.name for f in schema.fields])
         if touched:
             old = self.spark.read.schema(schema).parquet(
@@ -860,7 +909,7 @@ class TxnTable:
                 kept = list(m["files"])
             else:
                 touched, kept = _split_by_delta_bounds(
-                    m["files"], keys, bounds
+                    m["files"], keys, bounds, schema
                 )
             if touched:
                 old = self.spark.read.schema(schema).parquet(
@@ -1151,7 +1200,10 @@ def _key_bound_aggs(keys: list[str]) -> list[Column]:
 
 
 def _split_by_delta_bounds(
-    files: list[dict], keys: list[str], bounds
+    files: list[dict],
+    keys: list[str],
+    bounds,
+    schema: StructType | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """(touched, kept): files that could vs. cannot contain a delta key
     tuple. A tuple matches only if EVERY dimension matches, so a file
@@ -1167,7 +1219,7 @@ def _split_by_delta_bounds(
         for i, k in enumerate(keys)
         if bounds[f"lo{i}"] is not None
     }
-    touched = _prune_by_ranges(files, ranges, keys[0])
+    touched = _prune_by_ranges(files, ranges, keys[0], schema)
     touched_paths = {f["path"] for f in touched}
     kept = [f for f in files if f["path"] not in touched_paths]
     return touched, kept
@@ -1370,18 +1422,28 @@ def _prune_by_ranges(
     entries: list[dict],
     ranges: "dict[str, tuple[Any, Any]]",
     key_field: str | None = None,
+    schema: StructType | None = None,
 ) -> list[dict]:
     """Data skipping: drop manifest entries whose per-column [min, max]
     cannot intersect every requested range (``None`` bound = open).
     A file without stats for a column is always KEPT — pruning is
     conservative, never lossy. ``key_field`` names the column whose
     bounds also live in the legacy ``key_min``/``key_max`` fields
-    (pre-stats manifests)."""
+    (pre-stats manifests). ``schema`` enables the type-aware bound
+    normalization of :func:`_norm_bound` (date/timestamp soundness);
+    bounds are normalized ONCE here, not per file."""
+    fields = {f.name: f.dataType for f in schema.fields} if schema else {}
+    norm: dict[str, tuple[Any, Any]] = {}
+    for col, (lo, hi) in ranges.items():
+        dtype = fields.get(col)
+        if dtype is not None:
+            norm[col] = (_norm_bound(lo, dtype), _norm_bound(hi, dtype))
+        else:
+            norm[col] = (_stat_repr(lo), _stat_repr(hi))
     out = []
     for f in entries:
         keep = True
-        for col, (lo, hi) in ranges.items():
-            lo, hi = _stat_repr(lo), _stat_repr(hi)
+        for col, (lo, hi) in norm.items():
             st = (f.get("stats") or {}).get(col)
             if st is None and col == key_field:
                 st = [f.get("key_min"), f.get("key_max")]

@@ -55,8 +55,6 @@ from gcpde_spark.txn import (
     ConcurrentCommitError,
     TxnTable,
     TxnTableNotFound,
-    _keys,
-    _prune_by_ranges,
 )
 
 _SPEC_KEY = "view_spec"
@@ -116,6 +114,14 @@ class MaterializedAggView:
         clash = set(group_by) & set(aggs)
         if clash:
             raise ValueError(f"agg names collide with group columns: {clash}")
+        reserved = {"_gkey", "_change_type", "_commit_version"} & (
+            set(group_by) | set(aggs)
+        )
+        if reserved:
+            raise ValueError(
+                f"column names {sorted(reserved)} are reserved by the view "
+                "machinery (surrogate key / change-feed tags)"
+            )
         v = base.version()
         out = _with_gkey(
             base.read(version=v).groupBy(*group_by).agg(*_agg_exprs(aggs)),
@@ -220,23 +226,21 @@ class MaterializedAggView:
                 for c in self.group_by
                 if stats[f"_lo_{c}"] is not None and not stats[f"_nulls_{c}"]
             }
-            m = self.base._manifest(end)
-            pruned = (
-                _prune_by_ranges(m["files"], ranges, _keys(m)[0])
-                if ranges
-                else m["files"]
+            base_scan, n_scanned, n_total = self.base.read_with_receipt(
+                version=end, ranges=ranges or None
             )
             # the surrogate key makes group matching a plain (and
             # never-NULL) equi-join: scope the pruned scan with a
-            # broadcast semi-join, re-aggregate just those groups
-            scan = _with_gkey(
-                self.base.read(version=end, ranges=ranges or None),
-                self.group_by,
-            )
+            # semi-join, re-aggregate just those groups. Broadcast is
+            # hinted only while the key set is genuinely small — 1M
+            # sha256 keys is >100 MB shipped to every executor, where a
+            # shuffle semi-join is the right plan; AQE decides there.
+            keyset = affected.select("_gkey")
+            if n_groups <= 100_000:
+                keyset = F.broadcast(keyset)
+            scan = _with_gkey(base_scan, self.group_by)
             recomputed = _with_gkey(
-                scan.join(
-                    F.broadcast(affected.select("_gkey")), "_gkey", "leftsemi"
-                )
+                scan.join(keyset, "_gkey", "leftsemi")
                 .groupBy(*self.group_by)
                 .agg(*_agg_exprs(self.aggs)),
                 self.group_by,
@@ -275,8 +279,8 @@ class MaterializedAggView:
                 "mode": "incremental",
                 "base_version": end,
                 "groups_refreshed": n_groups,
-                "base_files_scanned": len(pruned),
-                "base_files_total": len(m["files"]),
+                "base_files_scanned": n_scanned,
+                "base_files_total": n_total,
             }
         finally:
             affected.unpersist()

@@ -567,6 +567,62 @@ def test_zorder_clusters_timestamp_and_string_columns(spark, tmp_path):
         t2.compact(n_files=4, cluster_by=["m"])
 
 
+def test_norm_bound_is_type_aware_and_tz_sound():
+    """Pure-function contracts behind timestamp/date pruning soundness:
+    naive instant bounds are driver-local (PySpark's own literal and
+    collect() semantics), NTZ stays wall-clock, and datetime bounds on
+    a DATE column floor to the date so midnight equality never prunes a
+    file whose max is that same day."""
+    import time as _time
+
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    from gcpde_spark.txn import _norm_bound, _prune_by_ranges
+
+    old_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/New_York"
+        _time.tzset()
+        naive = dt.datetime(2023, 6, 30, 16, 0)  # EDT = UTC-4
+        assert _norm_bound(naive, TimestampType()) == "2023-06-30T20:00:00"
+        assert _norm_bound(naive, TimestampNTZType()) == "2023-06-30T16:00:00"
+        aware = naive.replace(tzinfo=dt.timezone(dt.timedelta(hours=2)))
+        assert _norm_bound(aware, TimestampType()) == "2023-06-30T14:00:00"
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+    # DATE column: datetime bounds floor (widening-only on both ends)
+    assert _norm_bound(dt.datetime(2023, 6, 30, 0, 0), DateType()) == "2023-06-30"
+    assert _norm_bound(dt.datetime(2023, 6, 30, 23, 59), DateType()) == "2023-06-30"
+    assert _norm_bound(None, DateType()) is None
+    # the off-by-equality this exists for: a file whose date max IS the
+    # midnight lo bound must be KEPT
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([StructField("d", DateType(), True)])
+    entry = {"path": "f", "stats": {"d": ["2023-06-01", "2023-06-30"]}}
+    kept = _prune_by_ranges(
+        [entry], {"d": (dt.datetime(2023, 6, 30, 0, 0), None)}, None, schema
+    )
+    assert kept == [entry]
+
+
+def test_zorder_string_proxy_is_order_preserving_for_mixed_lengths(spark):
+    """The 6-byte string proxy must right-pad: without it every short
+    string collapses below every long one ('z.io' under 'amazon') and
+    the per-file string ranges never prune."""
+    from gcpde_spark.tables import _zorder_proxy
+
+    vals = ["z.io", "amazon", "ab", "abc", "abd", "", "zz", "a"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select("s", _zorder_proxy(df.schema["s"]).alias("p")).collect()
+    by_proxy = [r.s for r in sorted(rows, key=lambda r: (r.p is None, r.p))]
+    assert by_proxy == sorted(vals)
+
+
 def test_stats_survive_delete_update_and_legacy_manifests(spark, tmp_path):
     t = _mk_wide(spark, tmp_path / "t", n=1_000, files=4)
     t.update({"v": F.lit("zz")}, F.col("id") < 5)

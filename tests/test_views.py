@@ -83,6 +83,16 @@ def test_create_matches_full_groupby_and_reopen(spark, tmp_path):
         MaterializedAggView.create(
             spark, base, tmp_path / "v2", ["g"], {"g": "count(1)"}
         )
+    # reserved machinery names refuse up front instead of silently
+    # being overwritten by the surrogate key / feed tags
+    with pytest.raises(ValueError, match="reserved"):
+        MaterializedAggView.create(
+            spark, base, tmp_path / "v3", ["g"], {"_gkey": "count(1)"}
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        MaterializedAggView.create(
+            spark, base, tmp_path / "v4", ["_change_type"], {"n": "count(1)"}
+        )
 
 
 def test_incremental_refresh_tracks_every_commit_kind(spark, tmp_path):
