@@ -943,6 +943,74 @@ def test_composite_key_pruning_uses_every_dimension(spark, tmp_path):
     assert got[(0, 2)] == "UPD" and len(got) == 8_000
 
 
+def test_read_ranges_skip_equals_filter_on_temporal_and_string_columns(
+    spark, tmp_path
+):
+    """The same skip≡filter property over the types whose pruning goes
+    through ISO normalization (date/timestamp) and the padded string
+    prefix — including datetime bounds on the DATE column (the midnight
+    off-by-equality class) and string bounds of mixed lengths."""
+    from hypothesis import given, settings, strategies as st
+
+    df = spark.range(3_000).select(
+        F.col("id"),
+        F.date_add(F.lit("2023-01-01").cast("date"), (F.col("id") % 365).cast("int")).alias("d"),
+        F.timestamp_seconds(F.lit(1_672_531_200) + F.col("id") * 977).alias("ts"),
+        F.concat(F.lit("do"), F.format_string("%03d", (F.col("id") % 70))).alias("s"),
+    )
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, key_field="id")
+    t.compact(n_files=8, cluster_by=["d", "ts", "s"])
+    full = t.read()
+    d0 = dt.date(2023, 1, 1)
+    ts0 = dt.datetime(2023, 1, 1, 0, 0)
+
+    date_bound = st.one_of(
+        st.none(),
+        st.integers(-5, 370).map(lambda n: d0 + dt.timedelta(days=n)),
+        # datetime bounds against a DATE column, incl. exact midnight
+        st.tuples(st.integers(-5, 370), st.sampled_from([0, 1, 86_399])).map(
+            lambda p: ts0 + dt.timedelta(days=p[0], seconds=p[1])
+        ),
+    )
+    ts_bound = st.one_of(
+        st.none(),
+        st.integers(-1000, 3_000 * 977 + 1000).map(
+            lambda n: ts0 + dt.timedelta(seconds=n)
+        ),
+    )
+    s_bound = st.one_of(
+        st.none(), st.text(alphabet="do0123456789z", max_size=7)
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(dlo=date_bound, dhi=date_bound, tlo=ts_bound, thi=ts_bound,
+           slo=s_bound, shi=s_bound)
+    def check(dlo, dhi, tlo, thi, slo, shi):
+        ranges = {}
+        if dlo is not None or dhi is not None:
+            ranges["d"] = (dlo, dhi)
+        if tlo is not None or thi is not None:
+            ranges["ts"] = (tlo, thi)
+        if slo is not None or shi is not None:
+            ranges["s"] = (slo, shi)
+        if not ranges:
+            ranges = {"d": (d0, None)}
+        got = t.read(ranges=ranges)
+        expect = full
+        for c, (lo, hi) in ranges.items():
+            if lo is not None and hi is not None:
+                expect = expect.where(F.col(c).between(lo, hi))
+            elif lo is not None:
+                expect = expect.where(F.col(c) >= lo)
+            else:
+                expect = expect.where(F.col(c) <= hi)
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in expect.collect()
+        }
+
+    check()
+
+
 def test_read_ranges_equals_full_filter_on_random_ranges(spark, tmp_path):
     """Property: manifest data skipping is invisible to results — for
     arbitrary (possibly open-ended, possibly empty) ranges over any
