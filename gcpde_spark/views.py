@@ -21,7 +21,8 @@ aggregate expression and costs O(changed groups' data), because:
 2. the base re-read is manifest-pruned by the affected groups'
    per-column [min, max] (``TxnTable.read(ranges=...)`` data skipping —
    sharp when the base is clustered by the group columns), then scoped
-   exactly with a broadcast null-safe semi-join;
+   exactly with a semi-join on the surrogate group key (broadcast while
+   the key set is small, shuffle beyond that);
 3. the view itself is a TxnTable keyed by ``_gkey``, a hidden
    never-NULL surrogate (sha256 of the JSON-encoded group tuple) —
    NULL is a legitimate GROUP BY value but can never match itself
