@@ -198,6 +198,43 @@ def test_view_change_feed_carries_only_refreshed_groups(spark, tmp_path):
     assert [(r.g, r._change_type) for r in feed2] == [("4", "delete")]
 
 
+def test_cascaded_views_refresh_incrementally(spark, tmp_path):
+    """A view's storage IS a TxnTable, so a second-level view stacks on
+    it directly: base -> per-group totals -> distribution of group
+    sizes. Each hop refreshes from the precise change feed of the hop
+    below — O(changed groups) all the way up the cascade."""
+    base = _base(spark, tmp_path / "b")
+    v1 = MaterializedAggView.create(
+        spark, base, tmp_path / "v1", ["g"], {"total": "sum(x)", "n": "count(1)"}
+    )
+    v2 = MaterializedAggView.create(
+        spark, v1.table, tmp_path / "v2", ["n"], {"n_groups": "count(1)"}
+    )
+
+    def expect_v2():
+        return {
+            (r.n, r.n_groups)
+            for r in v1.read().groupBy("n").agg(
+                F.count(F.lit(1)).alias("n_groups")
+            ).collect()
+        }
+
+    assert {(r.n, r.n_groups) for r in v2.read().collect()} == expect_v2()
+    # one new row changes ONE group's size; both hops stay incremental
+    base.merge(
+        spark.createDataFrame([(700, "3", 2)], "k long, g string, x long")
+    )
+    rec1 = v1.refresh()
+    rec2 = v2.refresh()
+    assert rec1["mode"] == "incremental" and rec1["groups_refreshed"] == 1
+    assert rec2["mode"] == "incremental"
+    # the v1 commit feeds v2 exactly the changed size-buckets: the
+    # bucket group "3" left plus the one it entered
+    assert rec2["groups_refreshed"] == 2
+    assert {(r.n, r.n_groups) for r in v2.read().collect()} == expect_v2()
+    assert v2.refresh()["mode"] == "noop"
+
+
 def test_base_vacuumed_past_refresh_lag_falls_back_to_full_rebuild(
     spark, tmp_path
 ):
