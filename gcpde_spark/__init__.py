@@ -28,6 +28,7 @@ from gcpde_spark.errors import (
 )
 from gcpde_spark.session import build_session
 from gcpde_spark.tables import MergeIntoBackend
+from gcpde_spark.cdf_source import register_cdf_source
 from gcpde_spark.txn import TxnMergeBackend, TxnTable, sync_table
 from gcpde_spark.views import MaterializedAggView
 
@@ -35,6 +36,7 @@ __all__ = [
     "Engine",
     "EngineException",
     "MaterializedAggView",
+    "register_cdf_source",
     "MergeIntoBackend",
     "SchemaInferenceConflict",
     "SchemaMismatchException",

@@ -1,0 +1,118 @@
+"""The txn-cdf Structured-Streaming source (gcpde_spark/cdf_source.py):
+version offsets in the checkpoint, per-added-file partitions, upsert
+feed ≡ the batch change feed, loud refusal of row-removing commits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcpde_spark.cdf_source import register_cdf_source
+from gcpde_spark.txn import TxnTable
+
+
+def _mk(spark, path, n=20):
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("v")
+    )
+    return TxnTable.create(spark, str(path), df, key_field="k", n_files=2)
+
+
+def _drain(spark, path, name, ckpt=None, starting=None):
+    register_cdf_source(spark)
+    r = spark.readStream.format("txn-cdf").option("path", str(path))
+    if starting is not None:
+        r = r.option("startingVersion", starting)
+    w = r.load().writeStream.format("memory").queryName(name)
+    if ckpt:
+        w = w.option("checkpointLocation", str(ckpt))
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_feed_equals_batch_change_feed(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.merge(spark.createDataFrame([(5, "X"), (99, "NEW")], "k long, v string"))
+    t.append(spark.createDataFrame([(200, "a")], "k long, v string"))
+    got = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in _drain(spark, tmp_path / "t", "cdf_eq", starting=0).collect()
+    }
+    expect = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in t.read_changes(-1, precise=False).collect()
+    }
+    assert got == expect and len(got) > 20
+
+
+def test_checkpoint_restart_resumes_from_committed_version(spark, tmp_path):
+    """The exactly-once contract: offsets are table versions in the
+    query checkpoint — a restarted stream emits only commits made
+    after the last drained one, never re-delivering old versions."""
+    t = _mk(spark, tmp_path / "t")
+    register_cdf_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain_to_parquet():
+        q = (
+            spark.readStream.format("txn-cdf")
+            .option("path", str(tmp_path / "t"))
+            .option("startingVersion", 0)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    first = drain_to_parquet()
+    assert {r._commit_version for r in first.collect()} == {0}
+    t.merge(spark.createDataFrame([(99, "NEW")], "k long, v string"))
+    second = drain_to_parquet()
+    vs = sorted(
+        r._commit_version
+        for r in second.select("_commit_version").distinct().collect()
+    )
+    # the restart appended ONLY version 1 — version 0 was not
+    # re-delivered despite startingVersion=0, because the offset in the
+    # checkpoint wins
+    assert vs == [0, 1]
+    n_v0 = second.where("_commit_version = 0").count()
+    assert n_v0 == first.count()  # exactly one copy of version 0's rows
+
+
+def test_default_start_is_latest_and_compact_skipped(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.merge(spark.createDataFrame([(99, "NEW")], "k long, v string"))
+    # no startingVersion: follow-on only — the history is not replayed
+    assert _drain(spark, tmp_path / "t", "cdf_latest").count() == 0
+    t.compact(n_files=2)
+    t.append(spark.createDataFrame([(300, "b")], "k long, v string"))
+    rows = _drain(spark, tmp_path / "t", "cdf_follow", starting=2).collect()
+    # compact (v2) is a logical no-op: only the append's rows surface
+    assert {(r.k, r._commit_version) for r in rows} == {(300, 3)}
+
+
+def test_row_removing_commit_fails_the_stream_loudly(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.delete(F.col("k") == 3)
+    with pytest.raises(Exception, match="DELETE"):
+        _drain(spark, tmp_path / "t", "cdf_del", starting=0)
+
+
+def test_evolved_history_yields_nulls_for_new_columns(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=4)
+    t.append(
+        spark.createDataFrame([(50, "z", 7)], "k long, v string, extra long"),
+        merge_schema=True,
+    )
+    rows = _drain(spark, tmp_path / "t", "cdf_evo", starting=0).collect()
+    by_version = {}
+    for r in rows:
+        by_version.setdefault(r._commit_version, set()).add((r.k, r.extra))
+    assert all(extra is None for _, extra in by_version[0])  # pre-evolution
+    assert (50, 7) in by_version[1]
