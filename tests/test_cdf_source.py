@@ -116,3 +116,45 @@ def test_evolved_history_yields_nulls_for_new_columns(spark, tmp_path):
         by_version.setdefault(r._commit_version, set()).add((r.k, r.extra))
     assert all(extra is None for _, extra in by_version[0])  # pre-evolution
     assert (50, 7) in by_version[1]
+
+
+def test_streaming_table_to_table_replication(spark, tmp_path):
+    """Source and sink compose into fully streaming replication:
+    txn-cdf feed -> upsert_stream_to_txn_table mirror. Within one
+    drained batch the sink's latest-per-key window keyed on
+    _commit_version resolves multi-version keys, and the checkpoint
+    makes follow-up drains incremental."""
+    from gcpde_spark.streaming import upsert_stream_to_txn_table
+
+    src = _mk(spark, tmp_path / "src")
+    src.merge(spark.createDataFrame([(5, "X"), (99, "NEW")], "k long, v string"))
+    register_cdf_source(spark)
+    mirror_path = str(tmp_path / "mirror")
+    ckpt = str(tmp_path / "ckpt")
+
+    def relay():
+        feed = (
+            spark.readStream.format("txn-cdf")
+            .option("path", str(tmp_path / "src"))
+            .option("startingVersion", 0)
+            .load()
+            .drop("_change_type")
+        )
+        q = upsert_stream_to_txn_table(
+            feed, mirror_path, "k", ckpt,
+            available_now=True, ts_col="_commit_version",
+        )
+        q.awaitTermination(120)
+
+    relay()
+    mirror = TxnTable(spark, mirror_path)
+    src_rows = {(r.k, r.v) for r in src.read().collect()}
+    assert {(r.k, r.v) for r in mirror.read().collect()} == src_rows
+    # follow-up commits relay incrementally under the same checkpoint
+    src.merge(spark.createDataFrame([(5, "Y"), (300, "b")], "k long, v string"))
+    v_before = mirror.version()
+    relay()
+    assert mirror.version() == v_before + 1
+    assert {(r.k, r.v) for r in mirror.read().collect()} == {
+        (r.k, r.v) for r in src.read().collect()
+    }
