@@ -49,9 +49,14 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from gcpde_spark.txn import _LOG_DIR, _mname
+from gcpde_spark.txn import (
+    TxnTableNotFound,
+    _list_versions,
+    _load_manifest,
+)
 
 _UPSERT_OPS = {"create", "append", "merge", "update"}
+_TAG_COLS = ("_change_type", "_commit_version")
 
 
 def register_cdf_source(spark) -> None:
@@ -59,19 +64,23 @@ def register_cdf_source(spark) -> None:
     spark.dataSource.register(TxnChangeFeedDataSource)
 
 
-def _read_manifest(root: Path, version: int) -> dict:
-    return json.loads((root / _LOG_DIR / _mname(version)).read_text())
-
-
 def _latest_version(root: Path) -> int:
-    versions = [
-        int(p.stem)
-        for p in (root / _LOG_DIR).glob("*.json")
-        if p.stem.isdigit()
-    ]
-    if not versions:
-        raise ValueError(f"no transactional table at {root}")
-    return max(versions)
+    return max(_list_versions(root))
+
+
+def _manifest_or_lag_error(root: Path, version: int) -> dict:
+    try:
+        return _load_manifest(root, version)
+    except TxnTableNotFound as exc:
+        raise TxnTableNotFound(
+            f"manifest for version {version} of {root} is gone (vacuumed "
+            "past this stream's offset — retention shorter than consumer "
+            "lag). The missing commits may include row removals, so "
+            "replaying the current snapshot as upserts would be silently "
+            "wrong; re-seed the consumer (e.g. sync_table full resync) "
+            "and restart the stream from a retained version whose "
+            "PREDECESSOR is also retained"
+        ) from exc
 
 
 class _FilePartition(InputPartition):
@@ -96,7 +105,7 @@ class TxnChangeFeedDataSource(DataSource):
 
     def schema(self) -> StructType:
         root = self._root()
-        m = _read_manifest(root, _latest_version(root))
+        m = _load_manifest(root, _latest_version(root))
         base = StructType.fromJson(json.loads(m["schema"]))
         return StructType(base.fields).add("_change_type", "string").add(
             "_commit_version", "integer"
@@ -134,12 +143,26 @@ class _CdfStreamReader(DataSourceStreamReader):
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
-        names = [f.name for f in self.schema.fields[:-2]]
+        # data columns by NAME, not position: a user-supplied schema
+        # may order fields differently, and slicing [-2:] off would
+        # silently misalign rows against it
+        names = [f.name for f in self.schema.fields if f.name not in _TAG_COLS]
+        first = start["version"] + 1
         out: list[InputPartition] = []
-        for v in range(start["version"] + 1, end["version"] + 1):
-            m = _read_manifest(self.root, v)
+        prev: set[str] = (
+            {
+                f["path"]
+                for f in _manifest_or_lag_error(self.root, first - 1)["files"]
+            }
+            if first > 0
+            else set()
+        )
+        for v in range(first, end["version"] + 1):
+            m = _manifest_or_lag_error(self.root, v)
             op = m["op"]
+            cur = {f["path"] for f in m["files"]}
             if op == "compact":
+                prev = cur  # logical no-op, but the FILE SET changed
                 continue
             if op not in _UPSERT_OPS:
                 raise ValueError(
@@ -148,18 +171,28 @@ class _CdfStreamReader(DataSourceStreamReader):
                     "relay removals with TxnTable.read_changes("
                     "precise=True) + apply_changes instead"
                 )
-            prev = (
-                {f["path"] for f in _read_manifest(self.root, v - 1)["files"]}
-                if v > 0
-                else set()
-            )
+            # a commit carrying columns the stream schema lacks would
+            # otherwise have them silently DROPPED forever (the offset
+            # advances past the commit) — refuse loudly, like Delta
+            # fails a stream on schema change; restart re-infers
+            commit_fields = {
+                f["name"] for f in json.loads(m["schema"])["fields"]
+            }
+            extra = commit_fields - set(names)
+            if extra:
+                raise ValueError(
+                    f"version {v} evolved the schema with column(s) "
+                    f"{sorted(extra)} the running stream does not carry "
+                    "— restart the stream to pick up the new schema "
+                    "(its checkpoint offset has NOT advanced past this "
+                    "commit, so no rows are lost)"
+                )
             for f in m["files"]:
                 if f["path"] not in prev:
                     out.append(
-                        _FilePartition(
-                            str(self.root / f["path"]), v, names
-                        )
+                        _FilePartition(str(self.root / f["path"]), v, names)
                     )
+            prev = cur
         return out
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:

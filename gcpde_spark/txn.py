@@ -996,21 +996,11 @@ class TxnTable:
     # -- internals ---------------------------------------------------------
 
     def _versions(self) -> list[int]:
-        vs = [
-            int(p.stem)
-            for p in (self.path / _LOG_DIR).glob("*.json")
-            if p.stem.isdigit()
-        ]
-        if not vs:
-            raise TxnTableNotFound(f"empty commit log at {self.path}")
-        return vs
+        return _list_versions(self.path)
 
     def _manifest(self, version: int | None = None) -> dict:
         v = self.version() if version is None else version
-        p = self.path / _LOG_DIR / _mname(v)
-        if not p.exists():
-            raise TxnTableNotFound(f"version {v} not found at {self.path}")
-        return json.loads(p.read_text())
+        return _load_manifest(self.path, v)
 
 
 def sync_table(
@@ -1359,6 +1349,28 @@ def _keyed_diff(
 
 def _mname(version: int) -> str:
     return f"{version:020d}.json"
+
+
+def _list_versions(root: Path) -> list[int]:
+    """Manifest versions present at ``root`` (vacuum may have pruned a
+    prefix). Raises :class:`TxnTableNotFound` on an empty log — the one
+    error type every consumer (batch reads, sync, the streaming
+    source) keys its fallback behavior on."""
+    vs = [
+        int(p.stem)
+        for p in (root / _LOG_DIR).glob("*.json")
+        if p.stem.isdigit()
+    ]
+    if not vs:
+        raise TxnTableNotFound(f"empty commit log at {root}")
+    return vs
+
+
+def _load_manifest(root: Path, version: int) -> dict:
+    p = root / _LOG_DIR / _mname(version)
+    if not p.exists():
+        raise TxnTableNotFound(f"version {version} not found at {root}")
+    return json.loads(p.read_text())
 
 
 def _check_schema(df: DataFrame, schema: StructType, path: Path) -> None:

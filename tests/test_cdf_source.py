@@ -158,3 +158,44 @@ def test_streaming_table_to_table_replication(spark, tmp_path):
     assert {(r.k, r.v) for r in mirror.read().collect()} == {
         (r.k, r.v) for r in src.read().collect()
     }
+
+
+def test_mid_stream_schema_evolution_refuses_instead_of_dropping(
+    spark, tmp_path
+):
+    """A commit carrying columns the running stream's schema lacks must
+    FAIL the stream (Delta's behavior), not silently emit rows without
+    them — the offset would advance and the values would be lost to
+    the feed forever. The error says a restart recovers losslessly."""
+    t = _mk(spark, tmp_path / "t", n=4)
+    register_cdf_source(spark)
+    feed = (
+        spark.readStream.format("txn-cdf")
+        .option("path", str(tmp_path / "t"))
+        .option("startingVersion", 0)
+        .load()
+    )  # schema captured here, BEFORE the evolution lands
+    t.append(
+        spark.createDataFrame([(50, "z", 7)], "k long, v string, extra long"),
+        merge_schema=True,
+    )
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("cdf_mid_evo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="evolved the schema"):
+        q.awaitTermination(120)
+    # a RESTARTED stream (fresh schema inference) replays everything
+    rows = _drain(spark, tmp_path / "t", "cdf_mid_evo2", starting=0).collect()
+    assert (50, 7) in {(r.k, r.extra) for r in rows if r._commit_version == 1}
+
+
+def test_vacuumed_offset_gap_fails_with_guidance(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=4)
+    for i in range(3):
+        t.merge(spark.createDataFrame([(90 + i, "m")], "k long, v string"))
+    t.vacuum(keep_last=1)
+    with pytest.raises(Exception, match="vacuumed"):
+        _drain(spark, tmp_path / "t", "cdf_vac", starting=1)
