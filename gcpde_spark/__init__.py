@@ -30,7 +30,7 @@ from gcpde_spark.session import build_session
 from gcpde_spark.tables import MergeIntoBackend
 from gcpde_spark.cdf_source import register_cdf_source
 from gcpde_spark.txn import TxnMergeBackend, TxnTable, sync_table
-from gcpde_spark.views import MaterializedAggView
+from gcpde_spark.views import MaterializedAggView, refresh_view_stream
 
 __all__ = [
     "Engine",
@@ -43,6 +43,7 @@ __all__ = [
     "TxnMergeBackend",
     "TxnTable",
     "build_session",
+    "refresh_view_stream",
     "sync_table",
 ]
 

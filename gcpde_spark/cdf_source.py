@@ -16,7 +16,13 @@ size and parallelize across executors, never with table size), and each
 executor reads its parquet file directly with pyarrow — no driver
 collect, no second Spark job.
 
-Semantics match ``TxnTable.read_changes`` default mode: an
+``option("mode", "commits")`` switches to a **commit-log stream**: one
+marker row per commit (data columns NULL, ``_change_type`` = the
+commit op, ``_commit_version``), every op included and zero data files
+read — the trigger/monitor feed behind
+:func:`gcpde_spark.views.refresh_view_stream` and ops dashboards.
+
+Default ``mode=upsert`` matches ``TxnTable.read_changes``: an
 at-least-once **upsert feed** (rows from files added by
 create/append/merge/update commits, tagged ``_change_type='upsert'`` +
 ``_commit_version``; rewritten-but-unchanged neighbor rows included, so
@@ -92,6 +98,13 @@ class _FilePartition(InputPartition):
         self.field_names = field_names
 
 
+class _CommitPartition(InputPartition):
+    def __init__(self, version: int, op: str, n_fields: int):
+        self.version = version
+        self.op = op
+        self.n_fields = n_fields
+
+
 class TxnChangeFeedDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -107,16 +120,26 @@ class TxnChangeFeedDataSource(DataSource):
         root = self._root()
         m = _load_manifest(root, _latest_version(root))
         base = StructType.fromJson(json.loads(m["schema"]))
-        return StructType(base.fields).add("_change_type", "string").add(
+        # every data column is nullable in the FEED even when the table
+        # column is not: commit markers (mode=commits) carry NULL data,
+        # and pre-evolution files NULL-fill later columns
+        from pyspark.sql.types import StructField
+
+        fields = [StructField(f.name, f.dataType, True) for f in base.fields]
+        return StructType(fields).add("_change_type", "string").add(
             "_commit_version", "integer"
         )
 
     def streamReader(self, schema: StructType) -> "_CdfStreamReader":
         start = self.options.get("startingVersion")
+        mode = self.options.get("mode", "upsert")
+        if mode not in ("upsert", "commits"):
+            raise ValueError(f"unknown txn-cdf mode {mode!r}: upsert|commits")
         return _CdfStreamReader(
             self._root(),
             schema,
             None if start is None else int(start),
+            mode,
         )
 
 
@@ -125,11 +148,16 @@ class _CdfStreamReader(DataSourceStreamReader):
     everything up to and including commit N has been emitted."""
 
     def __init__(
-        self, root: Path, schema: StructType, starting_version: "int | None"
+        self,
+        root: Path,
+        schema: StructType,
+        starting_version: "int | None",
+        mode: str = "upsert",
     ):
         self.root = root
         self.schema = schema
         self.starting_version = starting_version
+        self.mode = mode
 
     def initialOffset(self) -> dict:
         if self.starting_version is not None:
@@ -154,12 +182,18 @@ class _CdfStreamReader(DataSourceStreamReader):
                 f["path"]
                 for f in _manifest_or_lag_error(self.root, first - 1)["files"]
             }
-            if first > 0
+            if first > 0 and self.mode == "upsert"
             else set()
         )
         for v in range(first, end["version"] + 1):
             m = _manifest_or_lag_error(self.root, v)
             op = m["op"]
+            if self.mode == "commits":
+                # commit-log stream: ONE marker row per commit, any op,
+                # zero data files read — the trigger/monitor feed
+                # (continuous view maintenance, ops dashboards)
+                out.append(_CommitPartition(v, op, len(names)))
+                continue
             cur = {f["path"] for f in m["files"]}
             if op == "compact":
                 prev = cur  # logical no-op, but the FILE SET changed
@@ -195,9 +229,15 @@ class _CdfStreamReader(DataSourceStreamReader):
             prev = cur
         return out
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
         import pyarrow.parquet as pq
 
+        if isinstance(partition, _CommitPartition):
+            marker = (None,) * partition.n_fields + (
+                partition.op,
+                partition.version,
+            )
+            return iter([marker])
         table = pq.read_table(partition.file_path)
         present = set(table.column_names)
         cols = []

@@ -341,6 +341,50 @@ class MaterializedAggView:
         )
 
 
+def refresh_view_stream(
+    view: MaterializedAggView,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Continuous view maintenance: follow the base table's change feed
+    (the ``txn-cdf`` streaming source) and run one :meth:`refresh` per
+    micro-batch of new commits. The feed's rows are only the TRIGGER —
+    the refresh itself reads versions from the base's manifests under
+    the view's own exactly-once base-version tracking, so a replayed
+    micro-batch (at-least-once ``foreachBatch``) lands as a no-op and a
+    batch spanning several commits refreshes them in one commit.
+    Returns the :class:`~pyspark.sql.streaming.StreamingQuery`.
+
+    The feed runs in ``mode=commits`` (one marker row per commit, any
+    op, no data files read), so base deletes/overwrites — which an
+    upsert feed must refuse — trigger refreshes instead of failing the
+    stream, and it starts at the view's recorded base version so
+    commits landed between view creation and stream start are not
+    skipped."""
+    from gcpde_spark.cdf_source import register_cdf_source
+
+    register_cdf_source(view.spark)
+    feed = (
+        view.spark.readStream.format("txn-cdf")
+        .option("path", str(view.base.path))
+        .option("mode", "commits")
+        .option("startingVersion", view.staleness()[0] + 1)
+        .load()
+    )
+
+    def _refresh(batch: DataFrame, batch_id: int) -> None:
+        view.refresh()
+
+    writer = (
+        feed.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _agg_exprs(aggs: Mapping[str, str]) -> list:
     return [F.expr(sql).alias(name) for name, sql in aggs.items()]
 

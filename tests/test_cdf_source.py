@@ -199,3 +199,65 @@ def test_vacuumed_offset_gap_fails_with_guidance(spark, tmp_path):
     t.vacuum(keep_last=1)
     with pytest.raises(Exception, match="vacuumed"):
         _drain(spark, tmp_path / "t", "cdf_vac", starting=1)
+
+
+def test_commits_mode_emits_one_marker_per_commit_any_op(spark, tmp_path):
+    """mode=commits is the commit-log stream: every op surfaces as one
+    NULL-data marker row — deletes and compacts included, no refusal,
+    no data files read."""
+    t = _mk(spark, tmp_path / "t", n=6)
+    t.merge(spark.createDataFrame([(99, "NEW")], "k long, v string"))
+    t.delete(F.col("k") == 1)
+    t.compact(n_files=1)
+    register_cdf_source(spark)
+    q = (
+        spark.readStream.format("txn-cdf")
+        .option("path", str(tmp_path / "t"))
+        .option("mode", "commits")
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_commits")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("cdf_commits").collect()
+    assert [(r._commit_version, r._change_type) for r in sorted(rows, key=lambda r: r._commit_version)] == [
+        (0, "create"), (1, "merge"), (2, "delete"), (3, "compact"),
+    ]
+    assert all(r.k is None and r.v is None for r in rows)
+
+
+def test_refresh_view_stream_maintains_the_view_continuously(spark, tmp_path):
+    """Continuous maintenance: commits made after view creation —
+    including a DELETE, which the upsert feed would refuse — drain as
+    triggers and leave the view ≡ a full re-aggregation."""
+    from gcpde_spark.views import MaterializedAggView, refresh_view_stream
+
+    base = _mk(spark, tmp_path / "b", n=12)
+    view = MaterializedAggView.create(
+        spark, base, tmp_path / "v", ["v"], {"n": "count(1)", "hi": "max(k)"}
+    )
+    # commits AFTER creation, BEFORE the stream starts — must not skip
+    base.merge(spark.createDataFrame([(99, "9")], "k long, v string"))
+    base.delete(F.col("k") == 0)
+    q = refresh_view_stream(view, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    def expect():
+        return {
+            (r.v, r.n, r.hi)
+            for r in base.read()
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("k").alias("hi"))
+            .collect()
+        }
+
+    assert {tuple(r) for r in view.read().collect()} == expect()
+    assert view.staleness() == (base.version(), base.version())
+    # second drain under the same checkpoint picks up only new commits
+    base.merge(spark.createDataFrame([(100, "0")], "k long, v string"))
+    q2 = refresh_view_stream(view, str(tmp_path / "ckpt"), available_now=True)
+    q2.awaitTermination(120)
+    assert {tuple(r) for r in view.read().collect()} == expect()
