@@ -660,6 +660,77 @@ class TxnTable:
             if str((self.path / f["path"]).resolve()) in matched
         ]
 
+    def layout_stats(self) -> dict:
+        """Manifest-only layout health (no data or footer reads): file
+        count, rows, and how many files OVERLAP another on the leading
+        merge key — the number that decides whether MERGE pruning still
+        works. Merges and appends accumulate small files with
+        overlapping ranges; once many files cover the same key region,
+        every delta touches them all. Files without key stats count as
+        overlapping (they can never be pruned). Composite keys are
+        measured on the leading dimension only — conservative: later
+        dimensions can only prune MORE than this signal suggests."""
+        m = self._manifest()
+        entries = m["files"]
+        spans, missing = [], 0
+        for f in entries:
+            lo, hi = f.get("key_min"), f.get("key_max")
+            if lo is None or hi is None:
+                st = (f.get("stats") or {}).get(_keys(m)[0])
+                lo, hi = (st if st else (None, None))
+            if lo is None or hi is None:
+                missing += 1
+            else:
+                spans.append((lo, hi))
+        spans.sort()
+        overlapping = 0
+        prev_hi = None
+        run = False  # whether the previous file is already counted
+        for lo, hi in spans:
+            if prev_hi is not None and lo <= prev_hi:
+                overlapping += 1 if run else 2
+                run = True
+            else:
+                run = False
+            prev_hi = hi if prev_hi is None else max(prev_hi, hi)
+        overlapping += missing
+        n = len(entries)
+        return {
+            "version": m["version"],
+            "n_files": n,
+            "n_rows": sum(f.get("rows", 0) for f in entries),
+            "n_overlapping": overlapping,
+            "overlap_fraction": (overlapping / n) if n else 0.0,
+            "n_stats_missing": missing,
+        }
+
+    def maybe_compact(
+        self,
+        target_files: int | None = None,
+        overlap_threshold: float = 0.3,
+        file_factor: float = 2.0,
+        cluster_by: "Sequence[str] | None" = None,
+        bits: int = 8,
+    ) -> "dict | None":
+        """The OPTIMIZE scheduling policy: compact ONLY when the layout
+        has degraded enough to pay for a full rewrite — more than
+        ``overlap_threshold`` of files overlap on the merge key (MERGE
+        pruning eroding), or the file count exceeds ``file_factor`` ×
+        ``target_files`` (small-file accumulation). Returns the compact
+        receipt, or None when the layout is healthy — call it after
+        every K commits (or from the commit-log stream) and it
+        self-regulates; the decision reads only the manifest."""
+        st = self.layout_stats()
+        degraded = st["overlap_fraction"] > overlap_threshold or (
+            target_files is not None
+            and st["n_files"] > file_factor * target_files
+        )
+        if not degraded:
+            return None
+        return self.compact(
+            n_files=target_files, cluster_by=cluster_by, bits=bits
+        )
+
     def compact(
         self,
         n_files: int | None = None,

@@ -1056,3 +1056,38 @@ def test_read_ranges_equals_full_filter_on_random_ranges(spark, tmp_path):
         }
 
     check()
+
+
+def test_maybe_compact_policy_self_regulates(spark, tmp_path):
+    """The OPTIMIZE scheduler: healthy layout -> None (no rewrite);
+    merges that erode pruning push overlap_fraction up until
+    maybe_compact rewrites once and the layout is healthy again -- all
+    decisions from the manifest alone."""
+    df = spark.range(4_000).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("v")
+    )
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, key_field="id", n_files=8)
+    st0 = t.layout_stats()
+    assert st0["n_files"] == 8 and st0["n_overlapping"] == 0
+    assert t.maybe_compact(target_files=8, overlap_threshold=0.1) is None
+    assert t.version() == 0  # healthy: no commit happened
+
+    # wide deltas force multi-file rewrites whose outputs overlap
+    for i in range(5):
+        t.merge(
+            spark.createDataFrame(
+                [(10 + i, "W"), (3_900 - i, "W")], "id long, v string"
+            )
+        )
+    st1 = t.layout_stats()
+    assert st1["overlap_fraction"] > 0.1
+    rec = t.maybe_compact(target_files=8, overlap_threshold=0.1)
+    assert rec is not None
+    st2 = t.layout_stats()
+    assert st2["n_files"] == 8 and st2["n_overlapping"] == 0
+    assert t.maybe_compact(target_files=8, overlap_threshold=0.1) is None
+    got = {r.id: r.v for r in t.read().collect()}
+    assert len(got) == 4_000 and got[10] == "W" and got[3_899] == "W"
+    # file-count trigger fires independently of overlap
+    assert t.maybe_compact(target_files=2, overlap_threshold=0.99) is not None
+    assert t.layout_stats()["n_files"] == 2
