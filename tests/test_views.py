@@ -350,3 +350,88 @@ def test_null_groups_and_composite_group_keys(spark, tmp_path):
     base.delete(F.col("g").isNull() & (F.col("h") == "a"))
     view.refresh()
     assert _got(view) == exp()
+
+
+def test_random_base_op_sequences_keep_the_view_consistent(spark, tmp_path):
+    """Model-based integration fuzz across the whole stack: arbitrary
+    interleavings of merge / append / delete / update / compact /
+    maybe_compact on the base, with refreshes sprinkled at random
+    points, always leave the view ≡ a dict-model re-aggregation —
+    group migrations (updates rewrite the group column), vanished
+    groups, and maintenance commits included."""
+    from hypothesis import given, settings, strategies as st
+
+    val = st.text(alphabet="abc", min_size=1, max_size=2)
+    op = st.one_of(
+        st.tuples(
+            st.just("merge"),
+            st.dictionaries(st.integers(0, 25), val, min_size=1, max_size=4),
+        ),
+        st.tuples(st.just("delete"), st.integers(0, 25), st.integers(0, 8)),
+        st.tuples(
+            st.just("update"), st.integers(0, 25), st.integers(0, 8), val
+        ),
+        st.tuples(st.just("compact"), st.integers(1, 3)),
+        st.tuples(st.just("maybe_compact")),
+    )
+    counter = {"n": 0}
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        ops=st.lists(st.tuples(op, st.booleans()), min_size=1, max_size=5)
+    )
+    def check(ops):
+        counter["n"] += 1
+        root = tmp_path / f"vm-{counter['n']}"
+        init = {i: str(i % 4) for i in range(10)}
+        model = dict(init)
+        t = TxnTable.create(
+            spark,
+            str(root / "b"),
+            spark.createDataFrame(sorted(init.items()), "id long, v string"),
+            key_field="id",
+            n_files=3,
+        )
+        view = MaterializedAggView.create(
+            spark, t, root / "view", ["v"], {"n": "count(1)", "hi": "max(id)"}
+        )
+
+        def expected():
+            groups = {}
+            for k, v in model.items():
+                c, h = groups.get(v, (0, None))
+                groups[v] = (c + 1, k if h is None else max(h, k))
+            return {(v, c, h) for v, (c, h) in groups.items()}
+
+        for (o, do_refresh) in ops:
+            if o[0] == "merge":
+                t.merge(
+                    spark.createDataFrame(
+                        sorted(o[1].items()), "id long, v string"
+                    )
+                )
+                model.update(o[1])
+            elif o[0] == "delete":
+                lo, w = o[1], o[2]
+                t.delete(F.col("id").between(lo, lo + w))
+                model = {
+                    k: v for k, v in model.items() if not lo <= k <= lo + w
+                }
+            elif o[0] == "update":
+                lo, w, nv = o[1], o[2], o[3]
+                t.update({"v": F.lit(nv)}, F.col("id").between(lo, lo + w))
+                model = {
+                    k: (nv if lo <= k <= lo + w else v)
+                    for k, v in model.items()
+                }
+            elif o[0] == "compact":
+                t.compact(n_files=o[1])
+            else:
+                t.maybe_compact(target_files=3, overlap_threshold=0.5)
+            if do_refresh:
+                view.refresh()
+                assert {tuple(r) for r in view.read().collect()} == expected()
+        view.refresh()
+        assert {tuple(r) for r in view.read().collect()} == expected()
+
+    check()
