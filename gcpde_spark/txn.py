@@ -47,6 +47,7 @@ import datetime
 import json
 import os
 import shutil
+import time
 import urllib.parse
 import uuid
 from pathlib import Path
@@ -321,11 +322,35 @@ class TxnTable:
                 {
                     "version": v,
                     "op": m["op"],
+                    "ts": m.get("ts"),
                     "n_files": len(m["files"]),
                     "n_rows": sum(f["rows"] for f in m["files"]),
                 }
             )
         return out
+
+    def version_at(self, when: "float | datetime.datetime") -> int:
+        """Timestamp time travel: the newest version committed at or
+        before ``when`` (epoch seconds, or a datetime — naive is
+        driver-local, PySpark's own convention). Pre-timestamp legacy
+        manifests fall back to their file mtime. Raises if every
+        retained commit is later than ``when`` (history before the
+        oldest retained version is gone — vacuum)."""
+        if isinstance(when, datetime.datetime):
+            when = when.timestamp()
+        best = None
+        for v in sorted(self._versions()):
+            m = self._manifest(v)
+            ts = m.get("ts")
+            if ts is None:
+                ts = (self.path / _LOG_DIR / _mname(v)).stat().st_mtime
+            if ts <= when:
+                best = v
+        if best is None:
+            raise TxnTableNotFound(
+                f"no commit at or before {when} is retained at {self.path}"
+            )
+        return best
 
     def version(self) -> int:
         return max(self._versions())
@@ -1041,6 +1066,44 @@ class TxnTable:
 
     # -- maintenance -------------------------------------------------------
 
+    def clone(self, dest: str, version: int | None = None) -> "TxnTable":
+        """Zero-copy branch (shallow CLONE): hard-link the snapshot's
+        data files into a NEW independent table whose history starts at
+        version 0. No data is read or copied — O(file count) metadata,
+        the same ``link(2)`` mechanism as catalog publication. Safe
+        because the format is copy-on-write: neither table ever
+        modifies a shared file in place, they diverge by writing new
+        files, and a ``vacuum`` on either side only unlinks its own
+        NAME — the shared inode survives for the other. The clone's
+        create commit records its lineage in ``meta`` (and drops any
+        exactly-once stream/sync tracking inherited from the source,
+        which would otherwise suppress re-delivery into the branch)."""
+        m = self._manifest(version)
+        dp = Path(dest)
+        log = dp / _LOG_DIR
+        log.mkdir(parents=True, exist_ok=True)
+        if any(q.stem.isdigit() for q in log.glob("*.json")):
+            raise ValueError(f"transactional table already exists at {dest}")
+        for f in m["files"]:
+            target = dp / f["path"]
+            target.parent.mkdir(parents=True, exist_ok=True)
+            if not target.exists():
+                os.link(self.path / f["path"], target)
+        manifest = {
+            "version": 0,
+            "op": "create",
+            "key_field": m["key_field"],
+            "key_fields": _keys(m),
+            "schema": m["schema"],
+            "files": m["files"],
+            "meta": {
+                "cloned_from": str(self.path),
+                "cloned_version": m["version"],
+            },
+        }
+        _publish(dp, 0, manifest)
+        return TxnTable(self.spark, dest)
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Delete data files referenced by NO retained manifest and
         prune the manifest log to the newest ``keep_last`` versions.
@@ -1547,6 +1610,9 @@ def _publish(root: Path, version: int, manifest: dict) -> None:
     the stage. POSIX link(2) is atomic; the manifest is either fully
     visible or absent."""
     log = root / _LOG_DIR
+    # commit wall-clock at the single publish choke point — what
+    # timestamp time travel (version_at) resolves against
+    manifest.setdefault("ts", time.time())
     stage = log / f".tmp-{uuid.uuid4().hex}.json"
     stage.write_text(json.dumps(manifest))
     final = log / _mname(version)

@@ -1091,3 +1091,63 @@ def test_maybe_compact_policy_self_regulates(spark, tmp_path):
     # file-count trigger fires independently of overlap
     assert t.maybe_compact(target_files=2, overlap_threshold=0.99) is not None
     assert t.layout_stats()["n_files"] == 2
+
+
+def test_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """Shallow CLONE: hard-linked snapshot, no data copied (same
+    inodes), fully independent histories afterwards, and a source-side
+    vacuum cannot pull files out from under the branch (unlink drops a
+    NAME, the shared inode survives)."""
+    df = spark.range(1_000).select(
+        F.col("id"), F.col("id").cast("string").alias("v")
+    )
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, key_field="id", n_files=4)
+    t.merge(spark.createDataFrame([(5, "X")], "id long, v string"))
+    c = t.clone(str(tmp_path / "branch"))
+    # zero-copy receipts: identical inodes, identical content
+    for f in c._manifest()["files"]:
+        assert (
+            os.stat(tmp_path / "branch" / f["path"]).st_ino
+            == os.stat(tmp_path / "t" / f["path"]).st_ino
+        )
+    assert {(r.id, r.v) for r in c.read().collect()} == {
+        (r.id, r.v) for r in t.read().collect()
+    }
+    assert c.version() == 0 and c.last_meta_value("cloned_from") == str(t.path)
+    assert c.last_meta_value("cloned_version") == 1
+    # divergence is independent in both directions
+    c.merge(spark.createDataFrame([(5, "BRANCH")], "id long, v string"))
+    t.delete(F.col("id") == 7)
+    assert {r.v for r in t.read().collect() if r.id == 5} == {"X"}
+    assert {r.v for r in c.read().collect() if r.id == 5} == {"BRANCH"}
+    assert c.read().where("id = 7").count() == 1  # source delete invisible
+    # source compact+vacuum unlinks its old names; the branch survives
+    t.compact(n_files=4)
+    t.vacuum(keep_last=1)
+    assert c.read().count() == 1_000
+    # a second clone at an old version refuses to overwrite a live table
+    with pytest.raises(ValueError, match="already exists"):
+        t.clone(str(tmp_path / "branch"))
+
+
+def test_version_at_timestamp_time_travel(spark, tmp_path):
+    import time as _time
+
+    t = _mk(spark, tmp_path / "t", n=10)
+    ts0 = t._manifest(0)["ts"]
+    _time.sleep(0.05)
+    t.merge(spark.createDataFrame([(99, "NEW")], "id long, v string"))
+    ts1 = t._manifest(1)["ts"]
+    assert ts1 > ts0
+    assert t.version_at(ts0) == 0
+    assert t.version_at((ts0 + ts1) / 2) == 0
+    assert t.version_at(ts1) == 1
+    assert t.version_at(_time.time() + 60) == 1
+    # naive datetime = driver-local wall clock (+1ms: fromtimestamp
+    # truncates to micros, which can land a hair BEFORE the float ts)
+    assert t.version_at(dt.datetime.fromtimestamp(ts1 + 0.001)) == 1
+    with pytest.raises(TxnTableNotFound):
+        t.version_at(ts0 - 100)
+    assert t.history()[0]["ts"] == ts1  # newest first, surfaced in history
+    # the canonical use: read the snapshot as of a wall-clock instant
+    assert t.read(version=t.version_at(ts0)).count() == 10
