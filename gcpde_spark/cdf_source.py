@@ -195,9 +195,9 @@ class _CdfStreamReader(DataSourceStreamReader):
                 out.append(_CommitPartition(v, op, len(names)))
                 continue
             cur = {f["path"] for f in m["files"]}
-            if op == "compact":
-                prev = cur  # logical no-op, but the FILE SET changed
-                continue
+            if op in ("compact", "constraints"):
+                prev = cur  # logical no-ops (compact changes the FILE
+                continue  # SET without changing rows)
             if op not in _UPSERT_OPS:
                 raise ValueError(
                     f"version {v} is a {op.upper()} commit, which can "

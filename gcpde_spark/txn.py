@@ -62,6 +62,52 @@ from gcpde_spark.tables import MergeIntoBackend, merge_dataframes
 
 _LOG_DIR = "_txn_log"
 _DATA_DIR = "data"
+_CONSTRAINTS_KEY = "table_constraints"
+
+
+def _check_constraints(df: DataFrame, constraints: "dict[str, str]") -> None:
+    """Enforce CHECK constraints on a write's rows in ONE aggregation
+    pass (all conditional counts share the hash-agg buffer — the same
+    one-scan shape as checks.run_checks). SQL CHECK semantics: a row
+    violates only when the expression is FALSE; NULL passes. Cost is
+    one extra job over the rows being written — the touched region,
+    never the table (the price Delta's invariants pay too)."""
+    if not constraints:
+        return
+    names = sorted(constraints)
+    aggs = [
+        F.sum(
+            F.when(
+                F.coalesce(F.expr(constraints[name]), F.lit(True))
+                == F.lit(False),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"_c{i}")
+        for i, name in enumerate(names)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {
+        name: int(row[f"_c{i}"])
+        for i, name in enumerate(names)
+        if row[f"_c{i}"]
+    }
+    if bad:
+        raise ConstraintViolation(bad, constraints)
+
+
+class ConstraintViolation(Exception):
+    """A write's rows violate the table's CHECK constraints. Carries
+    ``violations``: {constraint name: violating-row count}."""
+
+    def __init__(self, violations: "dict[str, int]", sqls: "dict[str, str]"):
+        self.violations = violations
+        detail = ", ".join(
+            f"{name} ({n} rows: CHECK {sqls[name]!r})"
+            for name, n in sorted(violations.items())
+        )
+        super().__init__(f"CHECK constraint(s) violated: {detail}")
 
 
 class ConcurrentCommitError(Exception):
@@ -210,6 +256,7 @@ class TxnTable:
         sort_by_key: bool = True,
         n_files: int | None = None,
         meta: dict | None = None,
+        constraints: "dict[str, str] | None" = None,
     ) -> "TxnTable":
         """Initialize a table from ``df``. ``sort_by_key`` range-sorts
         the initial files by the merge key, which is what makes future
@@ -236,6 +283,9 @@ class TxnTable:
         log.mkdir(parents=True, exist_ok=True)
         if any(q.stem.isdigit() for q in log.glob("*.json")):
             raise ValueError(f"transactional table already exists at {path}")
+        if constraints:
+            _check_constraints(df, constraints)
+            meta = {**(meta or {}), _CONSTRAINTS_KEY: dict(constraints)}
         if sort_by_key:
             out = (
                 df.repartitionByRange(n_files, *keys)
@@ -329,6 +379,48 @@ class TxnTable:
             )
         return out
 
+    def constraints(self) -> "dict[str, str]":
+        """The table's CHECK constraints ({name: sql}), enforced on the
+        rows of every write verb. Live in rolled commit metadata, so
+        compact/vacuum/maintenance can never silently drop them."""
+        return dict(self.last_meta_value(_CONSTRAINTS_KEY) or {})
+
+    def add_constraint(self, name: str, sql: str) -> dict:
+        """Add a CHECK constraint. Validates EXISTING rows first (one
+        full scan — the price of the guarantee, as Delta pays) and then
+        publishes a metadata-only ``constraints`` commit; all
+        subsequent writes enforce it on their touched region only."""
+        current = self.constraints()
+        if name in current:
+            raise ValueError(f"constraint {name!r} already exists")
+        _check_constraints(self.read(), {name: sql})
+        return self._constraints_commit({**current, name: sql})
+
+    def drop_constraint(self, name: str) -> dict:
+        current = self.constraints()
+        if name not in current:
+            raise ValueError(f"no constraint named {name!r}")
+        current.pop(name)
+        return self._constraints_commit(current)
+
+    def _constraints_commit(self, new_map: "dict[str, str]") -> dict:
+        base = self.version()
+        m = self._manifest(base)
+        manifest = {
+            "version": base + 1,
+            "op": "constraints",
+            "key_field": _keys(m)[0],
+            "key_fields": _keys(m),
+            "schema": m["schema"],
+            "files": m["files"],
+            "meta": _rolled_meta(m, {_CONSTRAINTS_KEY: new_map}),
+        }
+        _publish(self.path, base + 1, manifest)
+        return {"version": base + 1, "constraints": dict(new_map)}
+
+    def _enforce(self, df: DataFrame, m: dict) -> None:
+        _check_constraints(df, (m.get("meta") or {}).get(_CONSTRAINTS_KEY) or {})
+
     def version_at(self, when: "float | datetime.datetime") -> int:
         """Timestamp time travel: the newest version committed at or
         before ``when`` (epoch seconds, or a datetime — naive is
@@ -417,6 +509,7 @@ class TxnTable:
                 m["files"], keys, bounds, schema
             )
         src = source.select(*[f.name for f in schema.fields])
+        self._enforce(src, m)
         if touched:
             old = self.spark.read.schema(schema).parquet(
                 *[str(self.path / f["path"]) for f in touched]
@@ -485,6 +578,7 @@ class TxnTable:
         else:
             _check_schema(df, schema, self.path)
         out = df.select(*[f.name for f in schema.fields])
+        self._enforce(out, m)
         new_files = _write_data_files(self.spark, self.path, out)
         manifest = {
             "version": base + 1,
@@ -523,6 +617,7 @@ class TxnTable:
         else:
             _check_schema(df, schema, self.path)
         out = df.select(*[f.name for f in schema.fields])
+        self._enforce(out, m)
         if sort_by_key:
             out = (
                 out.repartitionByRange(n_files, *keys)
@@ -638,6 +733,9 @@ class TxnTable:
             upd = upd.withColumn(
                 c, F.when(cond, col.cast(types[c])).otherwise(F.col(c))
             )
+        # POST-assignment rows must satisfy the constraints (no-op job
+        # unless the table has any)
+        self._enforce(upd.where(cond), m)
         new_files = _write_data_files(self.spark, self.path, upd)
         manifest = {
             "version": base + 1,
@@ -854,8 +952,8 @@ class TxnTable:
         for v in range(since_version + 1, end + 1):
             m = self._manifest(v)
             op = m["op"]
-            if op == "compact":
-                continue
+            if op in ("compact", "constraints"):
+                continue  # logical no-ops: the row set is unchanged
             schema = StructType.fromJson(json.loads(m["schema"]))
             prev_paths = (
                 {f["path"] for f in self._manifest(v - 1)["files"]}
@@ -999,6 +1097,7 @@ class TxnTable:
             ups = latest.where(F.col("_change_type") != "delete").select(
                 *[f.name for f in schema.fields]
             )
+            self._enforce(ups, m)
             dels = latest.where(F.col("_change_type") == "delete").select(*keys)
             touched, kept = [], []
             if bounds["lo0"] is None:  # all-NULL keys: nothing matches
@@ -1099,6 +1198,13 @@ class TxnTable:
             "meta": {
                 "cloned_from": str(self.path),
                 "cloned_version": m["version"],
+                # constraints are TABLE semantics and follow the branch;
+                # stream/sync batch tracking does not (see docstring)
+                **(
+                    {_CONSTRAINTS_KEY: (m.get("meta") or {})[_CONSTRAINTS_KEY]}
+                    if _CONSTRAINTS_KEY in (m.get("meta") or {})
+                    else {}
+                ),
             },
         }
         _publish(dp, 0, manifest)

@@ -1151,3 +1151,73 @@ def test_version_at_timestamp_time_travel(spark, tmp_path):
     assert t.history()[0]["ts"] == ts1  # newest first, surfaced in history
     # the canonical use: read the snapshot as of a wall-clock instant
     assert t.read(version=t.version_at(ts0)).count() == 10
+
+
+def test_check_constraints_enforced_on_every_write_verb(spark, tmp_path):
+    """Delta-invariant parity: CHECK constraints live in rolled commit
+    metadata and every write verb validates ITS rows (touched region,
+    one extra agg) before anything lands — a violating write raises and
+    leaves no new version. NULL passes (SQL CHECK semantics)."""
+    from gcpde_spark.txn import ConstraintViolation
+
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") % 9 + 1).alias("qty")
+    )
+    with pytest.raises(ConstraintViolation, match="qty_pos"):
+        TxnTable.create(
+            spark, str(tmp_path / "bad"), df.withColumn("qty", F.lit(-1)),
+            key_field="id", constraints={"qty_pos": "qty > 0"},
+        )
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), df, key_field="id",
+        constraints={"qty_pos": "qty > 0"},
+    )
+    assert t.constraints() == {"qty_pos": "qty > 0"}
+    v = t.version()
+    for bad_write in (
+        lambda: t.merge(spark.createDataFrame([(5, -3)], "id long, qty long")),
+        lambda: t.append(spark.createDataFrame([(99, 0)], "id long, qty long")),
+        lambda: t.overwrite(spark.createDataFrame([(1, -1)], "id long, qty long")),
+        lambda: t.update({"qty": F.lit(-7)}, F.col("id") == 2),
+    ):
+        with pytest.raises(ConstraintViolation, match="qty_pos"):
+            bad_write()
+        assert t.version() == v  # nothing committed
+    # the exception carries the counts
+    try:
+        t.merge(spark.createDataFrame([(5, -3), (6, -4)], "id long, qty long"))
+    except ConstraintViolation as exc:
+        assert exc.violations == {"qty_pos": 2}
+    t.merge(spark.createDataFrame([(5, 100)], "id long, qty long"))  # valid
+    # NULL passes per SQL CHECK semantics
+    t.merge(spark.createDataFrame([(7, None)], "id long, qty long"))
+    assert t.version() == v + 2
+    # constraints survive compaction and follow a clone
+    t.compact(n_files=2)
+    assert t.constraints() == {"qty_pos": "qty > 0"}
+    branch = t.clone(str(tmp_path / "branch"))
+    with pytest.raises(ConstraintViolation):
+        branch.merge(spark.createDataFrame([(5, -1)], "id long, qty long"))
+
+
+def test_add_drop_constraint_lifecycle_and_feed_classification(spark, tmp_path):
+    from gcpde_spark.txn import ConstraintViolation
+
+    t = _mk(spark, tmp_path / "t", n=10)
+    # adding a constraint the existing data violates refuses up front
+    with pytest.raises(ConstraintViolation, match="v_short"):
+        t.add_constraint("v_short", "length(v) > 5")
+    rec = t.add_constraint("qty_like", "id < 1000")
+    assert rec["constraints"] == {"qty_like": "id < 1000"}
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("qty_like", "id < 2000")
+    with pytest.raises(ConstraintViolation):
+        t.merge(spark.createDataFrame([(5000, "x")], "id long, v string"))
+    # the metadata-only commit is a logical no-op to every feed
+    assert t.read_changes(rec["version"] - 1, precise=True).count() == 0
+    assert t.read_changes(rec["version"] - 1).count() == 0
+    t.drop_constraint("qty_like")
+    t.merge(spark.createDataFrame([(5000, "x")], "id long, v string"))
+    assert t.read().where("id = 5000").count() == 1
+    with pytest.raises(ValueError, match="no constraint"):
+        t.drop_constraint("ghost")
