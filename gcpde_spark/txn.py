@@ -65,33 +65,30 @@ _DATA_DIR = "data"
 _CONSTRAINTS_KEY = "table_constraints"
 
 
+def _constraints_of(m: dict) -> "dict[str, str]":
+    return (m.get("meta") or {}).get(_CONSTRAINTS_KEY) or {}
+
+
 def _check_constraints(df: DataFrame, constraints: "dict[str, str]") -> None:
     """Enforce CHECK constraints on a write's rows in ONE aggregation
-    pass (all conditional counts share the hash-agg buffer — the same
-    one-scan shape as checks.run_checks). SQL CHECK semantics: a row
-    violates only when the expression is FALSE; NULL passes. Cost is
-    one extra job over the rows being written — the touched region,
+    pass — delegated to :func:`gcpde_spark.checks.run_checks` (one
+    scan, all conditional counts in a shared hash-agg buffer) rather
+    than re-implementing the same plan shape. SQL CHECK semantics: a
+    row violates only when the expression is FALSE; NULL passes. Cost
+    is one extra job over the rows being written — the touched region,
     never the table (the price Delta's invariants pay too)."""
     if not constraints:
         return
-    names = sorted(constraints)
-    aggs = [
-        F.sum(
-            F.when(
-                F.coalesce(F.expr(constraints[name]), F.lit(True))
-                == F.lit(False),
-                1,
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias(f"_c{i}")
-        for i, name in enumerate(names)
+    from gcpde_spark.checks import run_checks
+
+    preds = [
+        (name, F.coalesce(F.expr(constraints[name]), F.lit(True)) == F.lit(False))
+        for name in sorted(constraints)
     ]
-    row = df.agg(*aggs).collect()[0]
     bad = {
-        name: int(row[f"_c{i}"])
-        for i, name in enumerate(names)
-        if row[f"_c{i}"]
+        r["check"]: int(r["n_violations"])
+        for r in run_checks(df, preds).collect()
+        if r["n_violations"]
     }
     if bad:
         raise ConstraintViolation(bad, constraints)
@@ -294,7 +291,7 @@ class TxnTable:
             )
         else:
             out = df
-        files = _write_data_files(spark, p, out)
+        files = _write_data_files(spark, p, out, constraints)
         manifest = {
             "version": 0,
             "op": "create",
@@ -389,23 +386,33 @@ class TxnTable:
         """Add a CHECK constraint. Validates EXISTING rows first (one
         full scan — the price of the guarantee, as Delta pays) and then
         publishes a metadata-only ``constraints`` commit; all
-        subsequent writes enforce it on their touched region only."""
-        current = self.constraints()
+        subsequent writes enforce it on their touched region only.
+        Optimistic concurrency like every other verb: the base version
+        is captured BEFORE the validation scan, so a rival commit in
+        between (whose rows this scan never saw, or whose own
+        constraint change this one would erase) collides at publish
+        with :class:`ConcurrentCommitError` instead of being silently
+        absorbed."""
+        base = self.version()
+        m = self._manifest(base)
+        current = dict((m.get("meta") or {}).get(_CONSTRAINTS_KEY) or {})
         if name in current:
             raise ValueError(f"constraint {name!r} already exists")
-        _check_constraints(self.read(), {name: sql})
-        return self._constraints_commit({**current, name: sql})
+        _check_constraints(self.read(version=base), {name: sql})
+        return self._constraints_commit(base, m, {**current, name: sql})
 
     def drop_constraint(self, name: str) -> dict:
-        current = self.constraints()
+        base = self.version()
+        m = self._manifest(base)
+        current = dict((m.get("meta") or {}).get(_CONSTRAINTS_KEY) or {})
         if name not in current:
             raise ValueError(f"no constraint named {name!r}")
         current.pop(name)
-        return self._constraints_commit(current)
+        return self._constraints_commit(base, m, current)
 
-    def _constraints_commit(self, new_map: "dict[str, str]") -> dict:
-        base = self.version()
-        m = self._manifest(base)
+    def _constraints_commit(
+        self, base: int, m: dict, new_map: "dict[str, str]"
+    ) -> dict:
         manifest = {
             "version": base + 1,
             "op": "constraints",
@@ -419,7 +426,7 @@ class TxnTable:
         return {"version": base + 1, "constraints": dict(new_map)}
 
     def _enforce(self, df: DataFrame, m: dict) -> None:
-        _check_constraints(df, (m.get("meta") or {}).get(_CONSTRAINTS_KEY) or {})
+        _check_constraints(df, _constraints_of(m))
 
     def version_at(self, when: "float | datetime.datetime") -> int:
         """Timestamp time travel: the newest version committed at or
@@ -519,7 +526,9 @@ class TxnTable:
             )
         else:
             merged = src
-        new_files = _write_data_files(self.spark, self.path, merged)
+        new_files = _write_data_files(
+            self.spark, self.path, merged, _constraints_of(m)
+        )
         manifest = {
             "version": base_version + 1,
             "op": "merge",
@@ -579,7 +588,9 @@ class TxnTable:
             _check_schema(df, schema, self.path)
         out = df.select(*[f.name for f in schema.fields])
         self._enforce(out, m)
-        new_files = _write_data_files(self.spark, self.path, out)
+        new_files = _write_data_files(
+            self.spark, self.path, out, _constraints_of(m)
+        )
         manifest = {
             "version": base + 1,
             "op": "append",
@@ -624,7 +635,9 @@ class TxnTable:
                 if n_files
                 else out.repartitionByRange(*keys)
             )
-        new_files = _write_data_files(self.spark, self.path, out)
+        new_files = _write_data_files(
+            self.spark, self.path, out, _constraints_of(m)
+        )
         manifest = {
             "version": base + 1,
             "op": "overwrite",
@@ -727,16 +740,32 @@ class TxnTable:
             *[str(self.path / f["path"]) for f in touched]
         )
         n_updated = old.where(cond).count()  # bounded by the touched region
-        upd = old
-        for c, expr in assignments.items():
-            col = F.expr(expr) if isinstance(expr, str) else expr
-            upd = upd.withColumn(
-                c, F.when(cond, col.cast(types[c])).otherwise(F.col(c))
-            )
-        # POST-assignment rows must satisfy the constraints (no-op job
-        # unless the table has any)
-        self._enforce(upd.where(cond), m)
-        new_files = _write_data_files(self.spark, self.path, upd)
+        # SQL UPDATE semantics: the WHERE predicate and EVERY assignment
+        # expression see the ORIGINAL row (SET a=b, b=a swaps). One
+        # select with a pre-evaluated match flag gives exactly that —
+        # chained withColumn would let later expressions (and the
+        # re-used predicate) observe earlier assignments' new values
+        flagged = old.withColumn("_upd_match", cond)
+        out_cols = []
+        for f in schema.fields:
+            if f.name in assignments:
+                expr = assignments[f.name]
+                col = F.expr(expr) if isinstance(expr, str) else expr
+                out_cols.append(
+                    F.when(F.col("_upd_match"), col.cast(types[f.name]))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                out_cols.append(F.col(f.name))
+        upd = flagged.select(*out_cols, F.col("_upd_match"))
+        # POST-assignment values of the ORIGINALLY-matched rows must
+        # satisfy the constraints (no-op job unless the table has any)
+        self._enforce(upd.where(F.col("_upd_match")).drop("_upd_match"), m)
+        upd = upd.drop("_upd_match")
+        new_files = _write_data_files(
+            self.spark, self.path, upd, _constraints_of(m)
+        )
         manifest = {
             "version": base + 1,
             "op": "update",
@@ -1114,7 +1143,9 @@ class TxnTable:
                 merged = merge_dataframes(surviving, ups, keys)
             else:
                 merged = ups
-            new_files = _write_data_files(self.spark, self.path, merged)
+            new_files = _write_data_files(
+                self.spark, self.path, merged, _constraints_of(m)
+            )
             manifest = {
                 "version": base + 1,
                 "op": "apply_changes",
@@ -1142,9 +1173,25 @@ class TxnTable:
         the table). History stays intact: the bad commits remain
         readable via time travel until :meth:`vacuum`, and the restore
         itself is one more auditable commit. Raises
-        :class:`TxnTableNotFound` if ``version`` was vacuumed."""
+        :class:`TxnTableNotFound` if ``version`` was vacuumed. The
+        restored SNAPSHOT is validated against the surviving CHECK
+        constraints (they roll from the current base and stay active;
+        reinstating pre-constraint rows unvalidated would put the table
+        in silent violation of its own contract) — one scan of the
+        restored files, and a violation refuses the restore."""
         base = self.version()
         m = self._manifest(version)
+        cur = self._manifest(base)
+        constraints = (cur.get("meta") or {}).get(_CONSTRAINTS_KEY) or {}
+        if constraints:
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            files = [str(self.path / f["path"]) for f in m["files"]]
+            snap = (
+                self.spark.read.schema(schema).parquet(*files)
+                if files
+                else self.spark.createDataFrame([], schema)
+            )
+            _check_constraints(snap, constraints)
         manifest = {
             "version": base + 1,
             "op": "restore",
@@ -1157,7 +1204,7 @@ class TxnTable:
         # meta rolls from the CURRENT base, not the restored snapshot:
         # a restore rewinds data, never exactly-once batch tracking
         # (or a replayed stream batch would re-apply after a rollback)
-        rolled = _rolled_meta(self._manifest(base), meta)
+        rolled = _rolled_meta(cur, meta)
         if rolled:
             manifest["meta"] = rolled
         _publish(self.path, base + 1, manifest)
@@ -1624,14 +1671,38 @@ def _check_schema(df: DataFrame, schema: StructType, path: Path) -> None:
         )
 
 
-def _write_data_files(spark: SparkSession, root: Path, df: DataFrame) -> list[str]:
+def _write_data_files(
+    spark: SparkSession,
+    root: Path,
+    df: DataFrame,
+    constraints: "dict[str, str] | None" = None,
+) -> list[str]:
     """Write ``df`` as immutable parquet files under a fresh commit
     subdirectory; returns table-relative paths. Files are never moved
     or modified after this — manifests only reference them. Timestamps
     are forced to TIMESTAMP_MICROS: Spark's default INT96 encoding
     carries NO usable footer min/max (the stats are deprecated in the
     format), which would silently exclude timestamp columns — the most
-    common range predicate — from manifest pruning."""
+    common range predicate — from manifest pruning.
+
+    ``constraints`` installs an IN-PLAN assert on every written row
+    (Delta's invariant construction): the pre-write validation agg runs
+    as a SEPARATE job, so a source whose re-computation differs between
+    jobs (non-deterministic UDF, concurrently-growing input dir) could
+    pass validation yet materialize violating rows — this guard throws
+    INSIDE the write job instead, before any commit publishes. Zero
+    extra jobs; the write fails loudly and the orphaned files fall to
+    vacuum."""
+    if constraints:
+        ok = F.lit(True)
+        for sql in constraints.values():
+            ok = ok & F.coalesce(F.expr(sql), F.lit(True))
+        msg = (
+            "CHECK constraint violated at write time (source re-computed "
+            "differently than at validation): "
+            + ", ".join(sorted(constraints))
+        )
+        df = df.where(F.coalesce(F.assert_true(ok, F.lit(msg)), F.lit(True)))
     sub = f"{_DATA_DIR}/{uuid.uuid4().hex[:12]}"
     out = root / sub
     key = "spark.sql.parquet.outputTimestampType"

@@ -1184,10 +1184,9 @@ def test_check_constraints_enforced_on_every_write_verb(spark, tmp_path):
             bad_write()
         assert t.version() == v  # nothing committed
     # the exception carries the counts
-    try:
+    with pytest.raises(ConstraintViolation) as exc_info:
         t.merge(spark.createDataFrame([(5, -3), (6, -4)], "id long, qty long"))
-    except ConstraintViolation as exc:
-        assert exc.violations == {"qty_pos": 2}
+    assert exc_info.value.violations == {"qty_pos": 2}
     t.merge(spark.createDataFrame([(5, 100)], "id long, qty long"))  # valid
     # NULL passes per SQL CHECK semantics
     t.merge(spark.createDataFrame([(7, None)], "id long, qty long"))
@@ -1221,3 +1220,96 @@ def test_add_drop_constraint_lifecycle_and_feed_classification(spark, tmp_path):
     assert t.read().where("id = 5000").count() == 1
     with pytest.raises(ValueError, match="no constraint"):
         t.drop_constraint("ghost")
+
+
+def test_update_where_on_assigned_column_still_enforced_and_simultaneous(
+    spark, tmp_path
+):
+    """Two subtleties of UPDATE semantics: (1) the WHERE predicate and
+    constraint enforcement bind to the ORIGINAL rows even when SET
+    rewrites the very column the WHERE references; (2) assignments are
+    simultaneous (SET a=b, b=a swaps), not sequential."""
+    from gcpde_spark.txn import ConstraintViolation
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") + 1).alias("qty"))
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), df, key_field="id",
+        constraints={"qty_pos": "qty > 0"},
+    )
+    # WHERE references qty, SET rewrites qty to a violating value: the
+    # enforcement must see the post-assignment rows of the ORIGINALLY
+    # matched set, not re-match on the new values (which would be empty)
+    with pytest.raises(ConstraintViolation, match="qty_pos"):
+        t.update({"qty": F.lit(-7)}, F.col("qty") == 2)
+    assert {r.qty for r in t.read().collect() if r.id == 1} == {2}
+    # simultaneous assignment: swap two columns via each other
+    df2 = spark.range(4).select(
+        F.col("id"), (F.col("id") * 10).alias("a"), (F.col("id") * 100).alias("b")
+    )
+    t2 = TxnTable.create(spark, str(tmp_path / "t2"), df2, key_field="id")
+    t2.update({"a": F.col("b"), "b": F.col("a")}, F.col("id") == 2)
+    r = t2.read().where("id = 2").collect()[0]
+    assert (r.a, r.b) == (200, 20)  # swapped, not b=a-after-a=b
+
+
+def test_restore_refuses_snapshots_violating_active_constraints(
+    spark, tmp_path
+):
+    from gcpde_spark.txn import ConstraintViolation
+
+    df = spark.createDataFrame(
+        [(0, -5), (1, 3), (2, 7)], "id long, qty long"
+    )
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, key_field="id")
+    t.delete(F.col("qty") < 0)  # v1: now clean
+    t.add_constraint("qty_pos", "qty > 0")  # v2: validates v1's rows
+    with pytest.raises(ConstraintViolation, match="qty_pos"):
+        t.restore(0)  # v0 holds qty=-5 under the active constraint
+    assert t.version() == 2  # refusal committed nothing
+    t.drop_constraint("qty_pos")
+    assert t.restore(0)["restored_from"] == 0  # without it, restore works
+
+
+def test_add_constraint_loses_commit_race_loudly(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency for metadata commits: a rival landing
+    between add_constraint's validation scan and its publish collides
+    via link(2) — never silently absorbed (which could erase the
+    rival's constraint or activate ours over unvalidated rows)."""
+    import gcpde_spark.txn as txn
+
+    t = _mk(spark, tmp_path / "t", n=10)
+    log = tmp_path / "t" / "_txn_log"
+    real_publish = txn._publish
+
+    def rival_wins_first(root, version, manifest):
+        if not (log / _mname(version)).exists():
+            m = __import__("json").loads((log / _mname(version - 1)).read_text())
+            m["version"] = version
+            real_publish(root, version, m)
+        real_publish(root, version, manifest)
+
+    monkeypatch.setattr(txn, "_publish", rival_wins_first)
+    with pytest.raises(ConcurrentCommitError):
+        t.add_constraint("id_small", "id < 1000")
+    monkeypatch.setattr(txn, "_publish", real_publish)
+    assert t.add_constraint("id_small", "id < 1000")["version"] == 2
+
+
+def test_in_plan_guard_catches_rows_that_slipped_past_validation(
+    spark, tmp_path, monkeypatch
+):
+    """Defense in depth: the pre-write validation is a separate job, so
+    a source that re-computes differently could pass it yet write
+    violating rows — the in-plan assert throws INSIDE the write job and
+    no commit publishes. Simulated by disabling the validation pass."""
+    import gcpde_spark.txn as txn
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") + 1).alias("qty"))
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), df, key_field="id",
+        constraints={"qty_pos": "qty > 0"},
+    )
+    monkeypatch.setattr(txn, "_check_constraints", lambda df, cs: None)
+    with pytest.raises(Exception, match="at write time"):
+        t.merge(spark.createDataFrame([(5, -3)], "id long, qty long"))
+    assert t.version() == 0  # the failed write published nothing
