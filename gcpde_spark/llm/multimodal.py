@@ -26,10 +26,15 @@ coverage (published specs, no imaging/audio library):
 - frame inventory: animated-GIF per-frame delays/offsets (GCE parse);
   MP4 per-frame sizes/timing/keyframes from the stsz/stts/stss sample
   tables → fps, frame-size burstiness, keyframe ratio, size envelope
+- MP4 payload extraction: absolute per-sample byte ranges + timestamps
+  resolved from the full stsd/stsz/stsc/stco(co64)/stts chunk map
+  (ISO 14496-12); MJPEG video samples decode to real pixels (T.81
+  decoder), PCM audio tracks (``twos``/``sowt``/``raw``) to real
+  samples feeding the WAV feature path
 
 Everything outside that coverage (H.264/AAC PAYLOAD decode — actual
-pixel/PCM reconstruction from compressed video/audio) is STUBBED with
-deterministic content-hash stand-ins, each flagged per row
+pixel/PCM reconstruction from INTER-FRAME/perceptually-coded media) is
+STUBBED with deterministic content-hash stand-ins, each flagged per row
 (``resize_applied`` / ``features_real``) — swapping in PIL/pyav is a
 body-only change to the batch functions.
 
@@ -63,7 +68,9 @@ from pyspark.sql.types import (
 _EXT_TO_TYPE = {
     "jpg": "image", "jpeg": "image", "png": "image", "gif": "image", "bmp": "image",
     "wav": "audio", "mp3": "audio", "flac": "audio", "ogg": "audio",
+    "m4a": "audio",
     "mp4": "video", "mkv": "video", "webm": "video", "avi": "video",
+    "mov": "video",
 }
 
 
@@ -465,6 +472,214 @@ def _mp4_frame_stats(b: bytes) -> "dict[str, Any] | None":
             "duration_s": duration_s,
         }
     return None
+
+
+# untrusted-input ceiling for sample-table expansion: a corrupt count
+# field must not allocate unbounded lists inside a mapInPandas task
+_MP4_MAX_SAMPLES = 1_000_000
+
+
+@_none_on_malformed
+def _mp4_track_samples(
+    b: bytes, handler: bytes = b"vide"
+) -> "dict[str, Any] | None":
+    """Resolve a track's REAL sample layout from its ISO 14496-12
+    sample tables: the stsd sample-entry fourcc, per-sample sizes
+    (``stsz``), the chunk map (``stsc`` runs), chunk file offsets
+    (``stco``/``co64``) and timing (``stts`` + ``mdhd`` timescale) —
+    combined into absolute ``(offset, size)`` byte ranges and start
+    ticks per sample, which is everything payload extraction needs.
+
+    Returns ``{codec, timescale, samples: [(offset, size)],
+    ticks: [int]}`` (+ ``channels``/``sample_bits``/``sample_rate``
+    from the AudioSampleEntry when ``handler == b"soun"``), or None
+    when no such track exists or any sample range falls outside the
+    buffer (corrupt tables must not yield garbage payloads)."""
+    if len(b) < 16 or b[4:8] not in (b"ftyp", b"moov", b"wide", b"free"):
+        return None
+
+    def find(lo, hi, typ):
+        for t, l2, h2 in _mp4_boxes(b, lo, hi):
+            if t == typ:
+                return l2, h2
+        return None
+
+    for t, lo, hi in _mp4_boxes(b, 0, len(b)):
+        if t != b"moov":
+            continue
+        for t2, lo2, hi2 in _mp4_boxes(b, lo, hi):
+            if t2 != b"trak":
+                continue
+            mdia = find(lo2, hi2, b"mdia")
+            if mdia is None:
+                continue
+            hdlr = find(*mdia, b"hdlr")
+            if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != handler:
+                continue
+            mdhd = find(*mdia, b"mdhd")
+            minf = find(*mdia, b"minf")
+            stbl = find(*minf, b"stbl") if minf else None
+            if mdhd is None or stbl is None:
+                continue
+            ver = b[mdhd[0]]
+            timescale = int.from_bytes(
+                b[mdhd[0] + (20 if ver == 1 else 12) :][:4], "big"
+            )
+            out: dict[str, Any] = {"timescale": timescale, "codec": None}
+            stsd = find(*stbl, b"stsd")
+            if stsd is not None and stsd[0] + 16 <= stsd[1]:
+                entry = stsd[0] + 8  # FullBox version/flags + entry_count
+                out["codec"] = b[entry + 4 : entry + 8].decode(
+                    "ascii", "replace"
+                )
+                if handler == b"soun" and entry + 36 <= stsd[1]:
+                    # AudioSampleEntry (§12.2.3): 16-byte SampleEntry,
+                    # then version/revision/vendor(8), channelcount(2),
+                    # samplesize(2), pre_defined(4), samplerate 16.16
+                    out["channels"] = int.from_bytes(
+                        b[entry + 24 : entry + 26], "big"
+                    )
+                    out["sample_bits"] = int.from_bytes(
+                        b[entry + 26 : entry + 28], "big"
+                    )
+                    out["sample_rate"] = (
+                        int.from_bytes(b[entry + 32 : entry + 36], "big") >> 16
+                    )
+            # stsz → per-sample byte sizes
+            stsz = find(*stbl, b"stsz")
+            if stsz is None:
+                return None
+            p = stsz[0] + 4
+            fixed = int.from_bytes(b[p : p + 4], "big")
+            count = min(
+                int.from_bytes(b[p + 4 : p + 8], "big"), _MP4_MAX_SAMPLES
+            )
+            if fixed:
+                sizes = [fixed] * count
+            else:
+                q = p + 8
+                count = min(count, max(0, (stsz[1] - q) // 4))
+                sizes = [
+                    int.from_bytes(b[q + 4 * i : q + 4 * i + 4], "big")
+                    for i in range(count)
+                ]
+            # stsc → (first_chunk, samples_per_chunk) runs
+            stsc = find(*stbl, b"stsc")
+            if stsc is None:
+                return None
+            p = stsc[0] + 4
+            n_runs = int.from_bytes(b[p : p + 4], "big")
+            q = p + 4
+            runs = [
+                (
+                    int.from_bytes(b[q + 12 * i : q + 12 * i + 4], "big"),
+                    int.from_bytes(b[q + 12 * i + 4 : q + 12 * i + 8], "big"),
+                )
+                for i in range(min(n_runs, max(0, (stsc[1] - q) // 12)))
+            ]
+            # stco / co64 → chunk file offsets
+            stco = find(*stbl, b"stco")
+            width = 4
+            if stco is None:
+                stco = find(*stbl, b"co64")
+                width = 8
+            if stco is None or not runs or not sizes:
+                return None
+            p = stco[0] + 4
+            n_chunks = min(
+                int.from_bytes(b[p : p + 4], "big"),
+                max(0, (stco[1] - p - 4) // width),
+            )
+            q = p + 4
+            chunk_offsets = [
+                int.from_bytes(b[q + width * i : q + width * (i + 1)], "big")
+                for i in range(n_chunks)
+            ]
+            # expand the chunk map: run r applies from first_chunk_r to
+            # first_chunk_{r+1}-1 (1-based), last run to the last chunk
+            samples: list[tuple[int, int]] = []
+            si = 0
+            for ri, (first, per_chunk) in enumerate(runs):
+                last = (
+                    runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+                )
+                for ci in range(first, last + 1):
+                    if ci - 1 >= n_chunks or si >= len(sizes):
+                        break
+                    off = chunk_offsets[ci - 1]
+                    for _ in range(per_chunk):
+                        if si >= len(sizes):
+                            break
+                        samples.append((off, sizes[si]))
+                        off += sizes[si]
+                        si += 1
+            if not samples or any(
+                off < 0 or size < 0 or off + size > len(b)
+                for off, size in samples
+            ):
+                return None
+            # stts → start tick per sample
+            ticks: list[int] = []
+            stts = find(*stbl, b"stts")
+            if stts is not None:
+                p = stts[0] + 4
+                n = int.from_bytes(b[p : p + 4], "big")
+                q = p + 4
+                t_acc = 0
+                for i in range(min(n, max(0, (stts[1] - q) // 8))):
+                    cnt = int.from_bytes(b[q + 8 * i : q + 8 * i + 4], "big")
+                    dlt = int.from_bytes(
+                        b[q + 8 * i + 4 : q + 8 * i + 8], "big"
+                    )
+                    for _ in range(min(cnt, len(samples) - len(ticks))):
+                        ticks.append(t_acc)
+                        t_acc += dlt
+            ticks += [0] * (len(samples) - len(ticks))
+            out["samples"] = samples
+            out["ticks"] = ticks
+            return out
+    return None
+
+
+@_none_on_malformed
+def _mp4_pcm_samples(b: bytes) -> "tuple[Any, int] | tuple[None, None]":
+    """PCM samples of an MP4/MOV audio track as float32 in [-1, 1],
+    mono-mixed, plus the sample rate — the uncompressed-audio-in-BMFF
+    codec family (``twos`` big-endian signed, ``sowt`` little-endian
+    signed, ``raw `` unsigned 8-bit; ISO 14496-12 + QTFF). Compressed
+    codecs (``mp4a``/AAC) return (None, None) — their payload decode
+    stays a flagged stub."""
+    import numpy as np
+
+    tr = _mp4_track_samples(b, b"soun")
+    if tr is None or not tr.get("samples"):
+        return None, None
+    codec = tr.get("codec")
+    bits = tr.get("sample_bits") or 16
+    rate = tr.get("sample_rate") or 0
+    nch = max(tr.get("channels") or 1, 1)
+    if codec not in ("twos", "sowt", "raw ") or not rate:
+        return None, None
+    data = b"".join(b[o : o + s] for o, s in tr["samples"])
+    if codec == "sowt" and bits == 16:
+        arr = np.frombuffer(
+            data[: len(data) // 2 * 2], dtype="<i2"
+        ).astype(np.float32) / 32768.0
+    elif codec == "twos" and bits == 16:
+        arr = np.frombuffer(
+            data[: len(data) // 2 * 2], dtype=">i2"
+        ).astype(np.float32) / 32768.0
+    elif codec == "twos" and bits == 8:
+        arr = np.frombuffer(data, dtype=np.int8).astype(np.float32) / 128.0
+    elif codec == "raw " and bits == 8:
+        arr = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    else:
+        return None, None
+    if nch > 1:
+        arr = arr[: len(arr) // nch * nch].reshape(-1, nch).mean(axis=1)
+    return arr, rate
 
 
 class _EgReader:
@@ -926,6 +1141,9 @@ def _real_features(content: bytes, media_type: str, dim: int) -> "list[float] | 
         vec = [*means, *stds, *hist, np.log1p(w) / 10.0, np.log1p(h) / 10.0]
     elif media_type == "audio":
         samples, rate = _wav_samples(b)
+        if samples is None or not len(samples) or not rate:
+            # PCM-in-BMFF (twos/sowt/raw) shares the WAV feature layout
+            samples, rate = _mp4_pcm_samples(b)
         if samples is None or not len(samples) or not rate:
             gains, grate, n_samp = _mp3_frame_gains(b)
             if gains is None:
@@ -2648,10 +2866,17 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     Extension delays come from the container (:func:`_gif_frame_delays`),
     and ``frame_png`` carries the sampled frame's composited pixels
     (:func:`_gif_frames` — LZW decode, transparency masking, disposal
-    handling) re-encoded as PNG. For video containers there is no
-    stdlib codec, so offsets come from the deterministic stub duration
-    and ``frame_png`` is NULL — rows are (offset, idx) plans a real
-    decoder (pyav) would fill via the same batch iterator."""
+    handling) re-encoded as PNG. For ISO BMFF video the sample layout
+    is REAL too: frame byte ranges and timestamps come from the
+    container's own stsz/stsc/stco/stts tables
+    (:func:`_mp4_track_samples`), and MJPEG payloads (codec
+    ``jpeg``/``mjpa``, or ``mp4v`` carrying a JFIF stream) decode to
+    real pixels via the T.81 JPEG decoder. Compressed inter-frame
+    codecs (H.264) have no stdlib decoder: those rows keep their real
+    (idx, offset, byte-range) plan with a NULL ``frame_png`` — a pyav
+    swap fills them via the same batch iterator. Containers without
+    sample tables fall back to evenly-spaced offsets over the stub
+    duration."""
     out_schema = StructType(
         [
             StructField("path", StringType(), True),
@@ -2687,6 +2912,39 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                             }
                         )
                 elif r["media_type"] == "video":
+                    tr = _mp4_track_samples(raw, b"vide")
+                    if tr is not None and tr["samples"]:
+                        # REAL sample extraction: evenly-spaced samples
+                        # by the container's own stsz/stsc/stco layout,
+                        # offsets from stts timing. MJPEG payloads
+                        # (codec 'jpeg'/'mjpa', or 'mp4v' carrying a
+                        # JFIF stream) decode to real pixels via the
+                        # T.81 decoder; other codecs (H.264) keep a
+                        # NULL frame_png — the row is still a real
+                        # (offset, byte-range) frame plan
+                        n_total = len(tr["samples"])
+                        ts = tr["timescale"] or 1
+                        n = min(n_frames, n_total)
+                        for idx in [j * n_total // n for j in range(n)]:
+                            off, size = tr["samples"][idx]
+                            payload = raw[off : off + size]
+                            png = None
+                            if payload[:2] == b"\xff\xd8":
+                                px = _jpeg_decode(payload)
+                                if px is not None:
+                                    png = _png_encode(px)
+                            rows.append(
+                                {
+                                    "path": r["path"],
+                                    "media_type": r["media_type"],
+                                    "frame_idx": idx,
+                                    "frame_offset_ms": int(
+                                        tr["ticks"][idx] * 1000 / ts
+                                    ),
+                                    "frame_png": png,
+                                }
+                            )
+                        continue
                     dur = _fake_decode(raw, "video")["duration_ms"] or 0
                     for i in range(n_frames):
                         rows.append(

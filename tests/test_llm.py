@@ -2556,3 +2556,248 @@ def test_mp4_parsers_never_raise_on_truncated_input():
         (0xFFFFFFFF).to_bytes(4, "big") + (100).to_bytes(4, "big"),
     )
     _mp4_frame_stats(planted)  # bounded by available bytes, not count
+
+
+def _mux_mp4(tracks, movie_timescale=1000):
+    """Minimal but REAL ISO BMFF muxer for tests: ftyp + mdat carrying
+    every track's samples in the declared chunk layout + moov with full
+    sample tables (stsd entry, stts, stsc runs, stsz, stco with
+    ABSOLUTE file offsets). ``tracks``: dicts with handler (b"vide" /
+    b"soun"), codec (4-byte fourcc), samples ([bytes]), chunk_sizes
+    (samples per chunk, summing to len(samples)), delta ticks,
+    timescale, and for audio channels/bits/rate."""
+    def box(t, body):
+        return (len(body) + 8).to_bytes(4, "big") + t + body
+
+    def full(t, body, version=0):
+        return box(t, bytes([version, 0, 0, 0]) + body)
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 12)
+    payload = b""
+    for tr in tracks:
+        assert sum(tr["chunk_sizes"]) == len(tr["samples"])
+        chunks, i = [], 0
+        for csize in tr["chunk_sizes"]:
+            chunk = tr["samples"][i : i + csize]
+            chunks.append((len(payload), chunk))
+            payload += b"".join(chunk)
+            i += csize
+        tr["_chunks"] = chunks
+    mdat_start = len(ftyp) + 8
+    traks = b""
+    for tr in tracks:
+        samples = tr["samples"]
+        delta = tr.get("delta", 100)
+        timescale = tr.get("timescale", 1000)
+        entry_body = bytes(6) + (1).to_bytes(2, "big")
+        if tr["handler"] == b"soun":
+            entry_body += (
+                bytes(8)
+                + tr.get("channels", 1).to_bytes(2, "big")
+                + tr.get("bits", 16).to_bytes(2, "big")
+                + bytes(4)
+                + (tr.get("rate", 8000) << 16).to_bytes(4, "big")
+            )
+        else:
+            entry_body += bytes(70)  # VideoSampleEntry fixed fields
+        stsd = full(b"stsd", (1).to_bytes(4, "big") + box(tr["codec"], entry_body))
+        stsz = full(
+            b"stsz",
+            (0).to_bytes(4, "big") + len(samples).to_bytes(4, "big")
+            + b"".join(len(s).to_bytes(4, "big") for s in samples),
+        )
+        stts = full(
+            b"stts",
+            (1).to_bytes(4, "big") + len(samples).to_bytes(4, "big")
+            + delta.to_bytes(4, "big"),
+        )
+        runs = []
+        for ci, csize in enumerate(tr["chunk_sizes"], start=1):
+            if not runs or runs[-1][1] != csize:
+                runs.append((ci, csize))
+        stsc = full(
+            b"stsc",
+            len(runs).to_bytes(4, "big")
+            + b"".join(
+                f.to_bytes(4, "big") + c.to_bytes(4, "big") + (1).to_bytes(4, "big")
+                for f, c in runs
+            ),
+        )
+        stco = full(
+            b"stco",
+            len(tr["_chunks"]).to_bytes(4, "big")
+            + b"".join(
+                (mdat_start + rel).to_bytes(4, "big") for rel, _ in tr["_chunks"]
+            ),
+        )
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        mdhd = full(
+            b"mdhd",
+            b"\x00" * 8 + timescale.to_bytes(4, "big")
+            + (len(samples) * delta).to_bytes(4, "big") + b"\x00" * 4,
+        )
+        hdlr = full(b"hdlr", b"\x00" * 4 + tr["handler"] + b"\x00" * 12)
+        mdia = box(b"mdia", mdhd + hdlr + box(b"minf", stbl))
+        traks += box(b"trak", mdia)
+    mvhd = full(
+        b"mvhd",
+        b"\x00" * 8 + movie_timescale.to_bytes(4, "big")
+        + (1000).to_bytes(4, "big") + b"\x00" * 80,
+    )
+    return ftyp + box(b"mdat", payload) + box(b"moov", mvhd + traks)
+
+
+def test_mp4_track_samples_resolves_chunked_layout():
+    """The stsd/stsz/stsc/stco/stts resolver returns EXACT absolute
+    byte ranges: planted per-sample payloads come back verbatim through
+    a multi-run chunk map (2,2,1,1 samples per chunk → two stsc runs),
+    with start ticks following the stts delta."""
+    from gcpde_spark.llm.multimodal import _mp4_track_samples
+
+    samples = [bytes([i]) * (10 + 3 * i) for i in range(6)]
+    b = _mux_mp4(
+        [
+            {
+                "handler": b"vide",
+                "codec": b"jpeg",
+                "samples": samples,
+                "chunk_sizes": [2, 2, 1, 1],
+                "delta": 40,
+                "timescale": 1000,
+            }
+        ]
+    )
+    tr = _mp4_track_samples(b, b"vide")
+    assert tr is not None
+    assert tr["codec"] == "jpeg"
+    assert tr["timescale"] == 1000
+    assert [b[o : o + s] for o, s in tr["samples"]] == samples
+    assert tr["ticks"] == [0, 40, 80, 120, 160, 200]
+    # no audio track to resolve
+    assert _mp4_track_samples(b, b"soun") is None
+    # corrupt chunk offsets (ranges past EOF) must yield None, not junk
+    stco_at = b.find(b"stco")
+    mangled = bytearray(b)
+    mangled[stco_at + 12 : stco_at + 16] = (2**31 - 1).to_bytes(4, "big")
+    assert _mp4_track_samples(bytes(mangled), b"vide") is None
+    for cut in range(0, len(b), 5):
+        _mp4_track_samples(b[:cut], b"vide")  # must never raise
+
+
+def test_sample_frames_real_mjpeg_pixels(spark, tmp_path):
+    """MJPEG-in-MP4 frame sampling yields REAL pixels: six solid-color
+    JPEG frames muxed with genuine sample tables come back as decoded
+    PNGs whose colors match the planted frames, at the container's own
+    stts timestamps."""
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import (
+        _jpeg_encode,
+        _png_decode,
+        read_binary_files,
+        sample_frames,
+    )
+
+    colors = [20, 60, 100, 140, 180, 220]
+    frames = [
+        _jpeg_encode(np.full((16, 16, 3), c, dtype=np.uint8), quality=95)
+        for c in colors
+    ]
+    clip = _mux_mp4(
+        [
+            {
+                "handler": b"vide",
+                "codec": b"jpeg",
+                "samples": frames,
+                "chunk_sizes": [3, 3],
+                "delta": 100,     # ticks at timescale 1000 → 100 ms/frame
+                "timescale": 1000,
+            }
+        ]
+    )
+    (tmp_path / "clip.mp4").write_bytes(clip)
+    rows = sorted(
+        sample_frames(read_binary_files(spark, str(tmp_path)), 3).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    assert [r.frame_offset_ms for r in rows] == [0, 200, 400]
+    for r, expected in zip(rows, [colors[0], colors[2], colors[4]]):
+        assert r.frame_png is not None
+        px = _png_decode(bytes(r.frame_png))
+        assert px.shape == (16, 16, 3)
+        assert abs(float(px.mean()) - expected) < 3.0  # JPEG-lossy tolerance
+
+
+def test_mp4_pcm_audio_features_match_wav(spark, tmp_path):
+    """PCM-in-BMFF audio decode is REAL: the same 16-bit samples packed
+    as a WAV and as an MP4 'sowt' (and big-endian 'twos') track produce
+    the same feature vector — one decode path after sample extraction."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from gcpde_spark.llm.multimodal import (
+        _mp4_pcm_samples,
+        _real_features,
+        extract_features,
+        read_binary_files,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 s of 440 Hz sine at half amplitude
+    pcm = (np.sin(2 * np.pi * 440 * t / rate) * 16000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    wav = buf.getvalue()
+
+    def mux_pcm(codec, data, chunk=1000):
+        # split the PCM byte stream into fixed 'chunk'-sample samples
+        step = 2 * chunk
+        samples = [data[i : i + step] for i in range(0, len(data), step)]
+        return _mux_mp4(
+            [
+                {
+                    "handler": b"soun",
+                    "codec": codec,
+                    "samples": samples,
+                    "chunk_sizes": [len(samples)],
+                    "delta": chunk,
+                    "timescale": rate,
+                    "channels": 1,
+                    "bits": 16,
+                    "rate": rate,
+                }
+            ]
+        )
+
+    m4_le = mux_pcm(b"sowt", pcm.tobytes())
+    m4_be = mux_pcm(b"twos", pcm.astype(">i2").tobytes())
+    arr, r = _mp4_pcm_samples(m4_le)
+    assert r == rate and len(arr) == len(pcm)
+    v_wav = _real_features(wav, "audio", 16)
+    assert v_wav is not None
+    for m4 in (m4_le, m4_be):
+        v_mp4 = _real_features(m4, "audio", 16)
+        assert v_mp4 is not None
+        assert np.allclose(v_wav, v_mp4, atol=1e-6)
+    # the Spark path flags these rows as real features
+    (tmp_path / "a.m4a").write_bytes(m4_le)
+    row = (
+        extract_features(
+            read_binary_files(spark, str(tmp_path)), dim=16, features="real"
+        )
+        .collect()[0]
+    )
+    assert row.features_real is True
+    assert abs(row.features[0] - v_wav[0]) < 1e-6  # RMS slot
+    # an AAC (mp4a) track stays outside PCM coverage → stub fallback
+    aac = _make_mp4_aac()
+    from gcpde_spark.llm.multimodal import _mp4_pcm_samples as pcm_of
+
+    assert pcm_of(aac) == (None, None)
