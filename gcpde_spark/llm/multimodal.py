@@ -373,6 +373,98 @@ def _mp4_info(b: bytes) -> "dict[str, Any] | None":
     return out if "duration_ms" in out else None
 
 
+# untrusted-input ceiling for sample-table expansion: a corrupt count
+# field must not allocate unbounded lists inside a mapInPandas task
+_MP4_MAX_SAMPLES = 1_000_000
+
+
+def _find_box(b: bytes, lo: int, hi: int, typ: bytes) -> "tuple[int, int] | None":
+    for t, l2, h2 in _mp4_boxes(b, lo, hi):
+        if t == typ:
+            return l2, h2
+    return None
+
+
+def _find_track_stbl(
+    b: bytes, handler: bytes
+) -> "tuple[int, int, int] | None":
+    """Locate the first trak whose ``hdlr`` matches ``handler`` and
+    that carries sample tables: → (stbl_lo, stbl_hi, mdhd timescale).
+    One shared box walk for the stats summary and the payload resolver,
+    so the moov/trak/mdhd parsing cannot drift between them."""
+    if len(b) < 16 or b[4:8] not in (b"ftyp", b"moov", b"wide", b"free"):
+        return None
+    moov = None
+    for t, lo, hi in _mp4_boxes(b, 0, len(b)):
+        if t == b"moov":
+            moov = (lo, hi)
+    if moov is None:
+        return None
+    for t, lo, hi in _mp4_boxes(b, *moov):
+        if t != b"trak":
+            continue
+        mdia = _find_box(b, lo, hi, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(b, *mdia, b"hdlr")
+        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != handler:
+            continue
+        mdhd = _find_box(b, *mdia, b"mdhd")
+        if mdhd is None:
+            continue
+        ver = b[mdhd[0]]
+        timescale = int.from_bytes(
+            b[mdhd[0] + (20 if ver == 1 else 12) :][:4], "big"
+        )
+        minf = _find_box(b, *mdia, b"minf")
+        stbl = _find_box(b, *minf, b"stbl") if minf else None
+        if stbl is None:
+            continue  # a later matching trak may carry full tables
+        return stbl[0], stbl[1], timescale
+    return None
+
+
+def _parse_stsz(
+    b: bytes, lo: int, hi: int
+) -> "tuple[list[int], bool] | None":
+    """``stsz`` → per-sample byte sizes capped at
+    :data:`_MP4_MAX_SAMPLES`, plus whether the cap (or a short table)
+    truncated the declared count — callers that need payload-accurate
+    totals (PCM decode) must refuse truncated tables."""
+    st = _find_box(b, lo, hi, b"stsz")
+    if st is None:
+        return None
+    p = st[0] + 4  # version/flags
+    fixed = int.from_bytes(b[p : p + 4], "big")
+    declared = int.from_bytes(b[p + 4 : p + 8], "big")
+    count = min(declared, _MP4_MAX_SAMPLES)
+    if fixed:
+        return [fixed] * count, declared > count
+    q = p + 8
+    count = min(count, max(0, (st[1] - q) // 4))
+    return [
+        int.from_bytes(b[q + 4 * i : q + 4 * i + 4], "big")
+        for i in range(count)
+    ], declared > count
+
+
+def _parse_stts(b: bytes, lo: int, hi: int) -> "list[tuple[int, int]]":
+    """``stts`` → (sample_count, delta_ticks) runs."""
+    st = _find_box(b, lo, hi, b"stts")
+    if st is None:
+        return []
+    p = st[0] + 4
+    n = int.from_bytes(b[p : p + 4], "big")
+    q = p + 4
+    return [
+        (
+            int.from_bytes(b[q + 8 * i : q + 8 * i + 4], "big"),
+            int.from_bytes(b[q + 8 * i + 4 : q + 8 * i + 8], "big"),
+        )
+        for i in range(min(n, max(0, (st[1] - q) // 8)))
+    ]
+
+
 @_none_on_malformed
 def _mp4_frame_stats(b: bytes) -> "dict[str, Any] | None":
     """Per-frame inventory of an ISO BMFF video track from the REAL
@@ -386,102 +478,36 @@ def _mp4_frame_stats(b: bytes) -> "dict[str, Any] | None":
     keyframe_ratio: float, duration_s: float}`` or None when no video
     track with sample tables exists.
     """
-    if len(b) < 16 or b[4:8] not in (b"ftyp", b"moov", b"wide", b"free"):
+    loc = _find_track_stbl(b, b"vide")
+    if loc is None:
         return None
-
-    def find(lo, hi, typ):
-        for t, l2, h2 in _mp4_boxes(b, lo, hi):
-            if t == typ:
-                return l2, h2
+    lo, hi, timescale = loc
+    parsed = _parse_stsz(b, lo, hi)
+    sizes = parsed[0] if parsed else []
+    deltas = _parse_stts(b, lo, hi)
+    stss = _find_box(b, lo, hi, b"stss")
+    keyframes = (
+        int.from_bytes(b[stss[0] + 4 : stss[0] + 8], "big") if stss else 0
+    )
+    if not sizes or not deltas or not timescale:
         return None
-
-    moov = None
-    for t, lo, hi in _mp4_boxes(b, 0, len(b)):
-        if t == b"moov":
-            moov = (lo, hi)
-    if moov is None:
+    total_ticks = sum(c * d for c, d in deltas)
+    n_frames = sum(c for c, _ in deltas)
+    if not total_ticks or not n_frames:
         return None
-    for t, lo, hi in _mp4_boxes(b, *moov):
-        if t != b"trak":
-            continue
-        mdia = find(lo, hi, b"mdia")
-        if mdia is None:
-            continue
-        hdlr = find(*mdia, b"hdlr")
-        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
-            continue
-        mdhd = find(*mdia, b"mdhd")
-        if mdhd is None:
-            continue
-        ver = b[mdhd[0]]
-        timescale = int.from_bytes(
-            b[mdhd[0] + (20 if ver == 1 else 12) :][:4], "big"
-        )
-        minf = find(*mdia, b"minf")
-        stbl = find(*minf, b"stbl") if minf else None
-        if stbl is None:
-            continue  # a later video trak may carry full sample tables
-        sizes: list[int] = []
-        deltas: list[tuple[int, int]] = []
-        keyframes = 0
-        stsz = find(*stbl, b"stsz")
-        if stsz is not None:
-            p = stsz[0] + 4  # version/flags
-            fixed = int.from_bytes(b[p : p + 4], "big")
-            count = int.from_bytes(b[p + 4 : p + 8], "big")
-            if fixed:
-                # count is untrusted: a corrupt 0xFFFFFFFF must not
-                # allocate a multi-GB list for a stats summary
-                sizes = [fixed] * min(count, 1_000_000)
-            else:
-                q = p + 8
-                count = min(count, max(0, (stsz[1] - q) // 4))
-                sizes = [
-                    int.from_bytes(b[q + 4 * i : q + 4 * i + 4], "big")
-                    for i in range(count)
-                ]
-        stts = find(*stbl, b"stts")
-        if stts is not None:
-            p = stts[0] + 4
-            n = int.from_bytes(b[p : p + 4], "big")
-            q = p + 4
-            for i in range(n):
-                if q + 8 * i + 8 > stts[1]:
-                    break
-                deltas.append(
-                    (
-                        int.from_bytes(b[q + 8 * i : q + 8 * i + 4], "big"),
-                        int.from_bytes(b[q + 8 * i + 4 : q + 8 * i + 8], "big"),
-                    )
-                )
-        stss = find(*stbl, b"stss")
-        if stss is not None:
-            keyframes = int.from_bytes(b[stss[0] + 4 : stss[0] + 8], "big")
-        if not sizes or not deltas or not timescale:
-            return None
-        total_ticks = sum(c * d for c, d in deltas)
-        n_frames = sum(c for c, _ in deltas)
-        if not total_ticks or not n_frames:
-            return None
-        duration_s = total_ticks / timescale
-        return {
-            "sizes": sizes,
-            "fps": n_frames / duration_s,
-            # no stss box = every sample is a sync sample (spec default)
-            "keyframe_ratio": (keyframes / len(sizes)) if stss else 1.0,
-            "duration_s": duration_s,
-        }
-    return None
-
-
-# untrusted-input ceiling for sample-table expansion: a corrupt count
-# field must not allocate unbounded lists inside a mapInPandas task
-_MP4_MAX_SAMPLES = 1_000_000
+    duration_s = total_ticks / timescale
+    return {
+        "sizes": sizes,
+        "fps": n_frames / duration_s,
+        # no stss box = every sample is a sync sample (spec default)
+        "keyframe_ratio": (keyframes / len(sizes)) if stss else 1.0,
+        "duration_s": duration_s,
+    }
 
 
 @_none_on_malformed
 def _mp4_track_samples(
-    b: bytes, handler: bytes = b"vide"
+    b: bytes, handler: bytes = b"vide", want_ticks: bool = True
 ) -> "dict[str, Any] | None":
     """Resolve a track's REAL sample layout from its ISO 14496-12
     sample tables: the stsd sample-entry fourcc, per-sample sizes
@@ -491,176 +517,132 @@ def _mp4_track_samples(
     ticks per sample, which is everything payload extraction needs.
 
     Returns ``{codec, timescale, samples: [(offset, size)],
-    ticks: [int]}`` (+ ``channels``/``sample_bits``/``sample_rate``
-    from the AudioSampleEntry when ``handler == b"soun"``), or None
-    when no such track exists or any sample range falls outside the
-    buffer (corrupt tables must not yield garbage payloads)."""
-    if len(b) < 16 or b[4:8] not in (b"ftyp", b"moov", b"wide", b"free"):
+    truncated: bool, ticks: [int] when want_ticks}`` (+ ``channels``/
+    ``sample_bits``/``sample_rate`` from the AudioSampleEntry when
+    ``handler == b"soun"``), or None when no such track exists, the
+    chunk map is corrupt (0-based first_chunk), or any sample range
+    falls outside the buffer (corrupt tables must not yield garbage
+    payloads). ``truncated`` is True when the :data:`_MP4_MAX_SAMPLES`
+    cap or a short chunk map dropped declared samples — the resolved
+    prefix is still byte-accurate, but payload-total consumers (PCM
+    decode) must refuse it."""
+    loc = _find_track_stbl(b, handler)
+    if loc is None:
         return None
-
-    def find(lo, hi, typ):
-        for t, l2, h2 in _mp4_boxes(b, lo, hi):
-            if t == typ:
-                return l2, h2
+    lo, hi, timescale = loc
+    out: dict[str, Any] = {"timescale": timescale, "codec": None}
+    stsd = _find_box(b, lo, hi, b"stsd")
+    if stsd is not None and stsd[0] + 16 <= stsd[1]:
+        entry = stsd[0] + 8  # FullBox version/flags + entry_count
+        out["codec"] = b[entry + 4 : entry + 8].decode("ascii", "replace")
+        if handler == b"soun" and entry + 36 <= stsd[1]:
+            # AudioSampleEntry (§12.2.3): 16-byte SampleEntry, then
+            # version/revision/vendor(8), channelcount(2),
+            # samplesize(2), pre_defined(4), samplerate 16.16
+            out["channels"] = int.from_bytes(b[entry + 24 : entry + 26], "big")
+            out["sample_bits"] = int.from_bytes(
+                b[entry + 26 : entry + 28], "big"
+            )
+            out["sample_rate"] = (
+                int.from_bytes(b[entry + 32 : entry + 36], "big") >> 16
+            )
+    parsed = _parse_stsz(b, lo, hi)
+    if parsed is None:
         return None
-
-    for t, lo, hi in _mp4_boxes(b, 0, len(b)):
-        if t != b"moov":
-            continue
-        for t2, lo2, hi2 in _mp4_boxes(b, lo, hi):
-            if t2 != b"trak":
-                continue
-            mdia = find(lo2, hi2, b"mdia")
-            if mdia is None:
-                continue
-            hdlr = find(*mdia, b"hdlr")
-            if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != handler:
-                continue
-            mdhd = find(*mdia, b"mdhd")
-            minf = find(*mdia, b"minf")
-            stbl = find(*minf, b"stbl") if minf else None
-            if mdhd is None or stbl is None:
-                continue
-            ver = b[mdhd[0]]
-            timescale = int.from_bytes(
-                b[mdhd[0] + (20 if ver == 1 else 12) :][:4], "big"
-            )
-            out: dict[str, Any] = {"timescale": timescale, "codec": None}
-            stsd = find(*stbl, b"stsd")
-            if stsd is not None and stsd[0] + 16 <= stsd[1]:
-                entry = stsd[0] + 8  # FullBox version/flags + entry_count
-                out["codec"] = b[entry + 4 : entry + 8].decode(
-                    "ascii", "replace"
-                )
-                if handler == b"soun" and entry + 36 <= stsd[1]:
-                    # AudioSampleEntry (§12.2.3): 16-byte SampleEntry,
-                    # then version/revision/vendor(8), channelcount(2),
-                    # samplesize(2), pre_defined(4), samplerate 16.16
-                    out["channels"] = int.from_bytes(
-                        b[entry + 24 : entry + 26], "big"
-                    )
-                    out["sample_bits"] = int.from_bytes(
-                        b[entry + 26 : entry + 28], "big"
-                    )
-                    out["sample_rate"] = (
-                        int.from_bytes(b[entry + 32 : entry + 36], "big") >> 16
-                    )
-            # stsz → per-sample byte sizes
-            stsz = find(*stbl, b"stsz")
-            if stsz is None:
-                return None
-            p = stsz[0] + 4
-            fixed = int.from_bytes(b[p : p + 4], "big")
-            count = min(
-                int.from_bytes(b[p + 4 : p + 8], "big"), _MP4_MAX_SAMPLES
-            )
-            if fixed:
-                sizes = [fixed] * count
-            else:
-                q = p + 8
-                count = min(count, max(0, (stsz[1] - q) // 4))
-                sizes = [
-                    int.from_bytes(b[q + 4 * i : q + 4 * i + 4], "big")
-                    for i in range(count)
-                ]
-            # stsc → (first_chunk, samples_per_chunk) runs
-            stsc = find(*stbl, b"stsc")
-            if stsc is None:
-                return None
-            p = stsc[0] + 4
-            n_runs = int.from_bytes(b[p : p + 4], "big")
-            q = p + 4
-            runs = [
-                (
-                    int.from_bytes(b[q + 12 * i : q + 12 * i + 4], "big"),
-                    int.from_bytes(b[q + 12 * i + 4 : q + 12 * i + 8], "big"),
-                )
-                for i in range(min(n_runs, max(0, (stsc[1] - q) // 12)))
-            ]
-            # stco / co64 → chunk file offsets
-            stco = find(*stbl, b"stco")
-            width = 4
-            if stco is None:
-                stco = find(*stbl, b"co64")
-                width = 8
-            if stco is None or not runs or not sizes:
-                return None
-            p = stco[0] + 4
-            n_chunks = min(
-                int.from_bytes(b[p : p + 4], "big"),
-                max(0, (stco[1] - p - 4) // width),
-            )
-            q = p + 4
-            chunk_offsets = [
-                int.from_bytes(b[q + width * i : q + width * (i + 1)], "big")
-                for i in range(n_chunks)
-            ]
-            # expand the chunk map: run r applies from first_chunk_r to
-            # first_chunk_{r+1}-1 (1-based), last run to the last chunk
-            samples: list[tuple[int, int]] = []
-            si = 0
-            for ri, (first, per_chunk) in enumerate(runs):
-                last = (
-                    runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
-                )
-                for ci in range(first, last + 1):
-                    if ci - 1 >= n_chunks or si >= len(sizes):
-                        break
-                    off = chunk_offsets[ci - 1]
-                    for _ in range(per_chunk):
-                        if si >= len(sizes):
-                            break
-                        samples.append((off, sizes[si]))
-                        off += sizes[si]
-                        si += 1
-            if not samples or any(
-                off < 0 or size < 0 or off + size > len(b)
-                for off, size in samples
-            ):
-                return None
-            # stts → start tick per sample
-            ticks: list[int] = []
-            stts = find(*stbl, b"stts")
-            if stts is not None:
-                p = stts[0] + 4
-                n = int.from_bytes(b[p : p + 4], "big")
-                q = p + 4
-                t_acc = 0
-                for i in range(min(n, max(0, (stts[1] - q) // 8))):
-                    cnt = int.from_bytes(b[q + 8 * i : q + 8 * i + 4], "big")
-                    dlt = int.from_bytes(
-                        b[q + 8 * i + 4 : q + 8 * i + 8], "big"
-                    )
-                    for _ in range(min(cnt, len(samples) - len(ticks))):
-                        ticks.append(t_acc)
-                        t_acc += dlt
-            ticks += [0] * (len(samples) - len(ticks))
-            out["samples"] = samples
-            out["ticks"] = ticks
-            return out
-    return None
+    sizes, truncated = parsed
+    # stsc → (first_chunk, samples_per_chunk) runs; first_chunk is
+    # 1-based per spec — a 0 would alias chunk_offsets[-1] below
+    stsc = _find_box(b, lo, hi, b"stsc")
+    if stsc is None:
+        return None
+    p = stsc[0] + 4
+    n_runs = int.from_bytes(b[p : p + 4], "big")
+    q = p + 4
+    runs = [
+        (
+            int.from_bytes(b[q + 12 * i : q + 12 * i + 4], "big"),
+            int.from_bytes(b[q + 12 * i + 4 : q + 12 * i + 8], "big"),
+        )
+        for i in range(min(n_runs, max(0, (stsc[1] - q) // 12)))
+    ]
+    if any(first < 1 for first, _ in runs):
+        return None
+    # stco / co64 → chunk file offsets
+    stco = _find_box(b, lo, hi, b"stco")
+    width = 4
+    if stco is None:
+        stco = _find_box(b, lo, hi, b"co64")
+        width = 8
+    if stco is None or not runs or not sizes:
+        return None
+    p = stco[0] + 4
+    n_chunks = min(
+        int.from_bytes(b[p : p + 4], "big"),
+        max(0, (stco[1] - p - 4) // width),
+    )
+    q = p + 4
+    chunk_offsets = [
+        int.from_bytes(b[q + width * i : q + width * (i + 1)], "big")
+        for i in range(n_chunks)
+    ]
+    # expand the chunk map: run r applies from first_chunk_r to
+    # first_chunk_{r+1}-1 (1-based), last run to the last chunk
+    samples: list[tuple[int, int]] = []
+    si = 0
+    for ri, (first, per_chunk) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+        for ci in range(first, last + 1):
+            if ci - 1 >= n_chunks or si >= len(sizes):
+                break
+            off = chunk_offsets[ci - 1]
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    break
+                samples.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+    if not samples or any(
+        off < 0 or size < 0 or off + size > len(b) for off, size in samples
+    ):
+        return None
+    out["samples"] = samples
+    out["truncated"] = truncated or si < len(sizes)
+    if want_ticks:
+        ticks: list[int] = []
+        t_acc = 0
+        for cnt, dlt in _parse_stts(b, lo, hi):
+            for _ in range(min(cnt, len(samples) - len(ticks))):
+                ticks.append(t_acc)
+                t_acc += dlt
+        ticks += [0] * (len(samples) - len(ticks))
+        out["ticks"] = ticks
+    return out
 
 
-@_none_on_malformed
 def _mp4_pcm_samples(b: bytes) -> "tuple[Any, int] | tuple[None, None]":
     """PCM samples of an MP4/MOV audio track as float32 in [-1, 1],
     mono-mixed, plus the sample rate — the uncompressed-audio-in-BMFF
     codec family (``twos`` big-endian signed, ``sowt`` little-endian
-    signed, ``raw `` unsigned 8-bit; ISO 14496-12 + QTFF). Compressed
-    codecs (``mp4a``/AAC) return (None, None) — their payload decode
-    stays a flagged stub."""
+    signed, ``raw `` unsigned 8-bit; ISO 14496-12 + QTFF). (None, None)
+    — the same tuple contract as :func:`_wav_samples` — for compressed
+    codecs (``mp4a``/AAC stays a flagged stub), for sample tables the
+    resolver truncated (a partial PCM stream would yield silently wrong
+    duration/energy features), and on any malformed-input error."""
     import numpy as np
 
-    tr = _mp4_track_samples(b, b"soun")
-    if tr is None or not tr.get("samples"):
+    try:
+        tr = _mp4_track_samples(b, b"soun", want_ticks=False)
+        if tr is None or not tr.get("samples") or tr.get("truncated"):
+            return None, None
+        codec = tr.get("codec")
+        bits = tr.get("sample_bits") or 16
+        rate = tr.get("sample_rate") or 0
+        nch = max(tr.get("channels") or 1, 1)
+        if codec not in ("twos", "sowt", "raw ") or not rate:
+            return None, None
+        data = b"".join(b[o : o + s] for o, s in tr["samples"])
+    except (IndexError, ValueError, OverflowError, EOFError):
         return None, None
-    codec = tr.get("codec")
-    bits = tr.get("sample_bits") or 16
-    rate = tr.get("sample_rate") or 0
-    nch = max(tr.get("channels") or 1, 1)
-    if codec not in ("twos", "sowt", "raw ") or not rate:
-        return None, None
-    data = b"".join(b[o : o + s] for o, s in tr["samples"])
     if codec == "sowt" and bits == 16:
         arr = np.frombuffer(
             data[: len(data) // 2 * 2], dtype="<i2"

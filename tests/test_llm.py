@@ -2680,6 +2680,12 @@ def test_mp4_track_samples_resolves_chunked_layout():
     mangled = bytearray(b)
     mangled[stco_at + 12 : stco_at + 16] = (2**31 - 1).to_bytes(4, "big")
     assert _mp4_track_samples(bytes(mangled), b"vide") is None
+    # a 0-based first_chunk (spec says 1-based) must be rejected, not
+    # silently alias chunk_offsets[-1] via a negative index
+    stsc_at = b.find(b"stsc")
+    mangled = bytearray(b)
+    mangled[stsc_at + 12 : stsc_at + 16] = (0).to_bytes(4, "big")
+    assert _mp4_track_samples(bytes(mangled), b"vide") is None
     for cut in range(0, len(b), 5):
         _mp4_track_samples(b[:cut], b"vide")  # must never raise
 
@@ -2797,7 +2803,12 @@ def test_mp4_pcm_audio_features_match_wav(spark, tmp_path):
     assert row.features_real is True
     assert abs(row.features[0] - v_wav[0]) < 1e-6  # RMS slot
     # an AAC (mp4a) track stays outside PCM coverage → stub fallback
-    aac = _make_mp4_aac()
-    from gcpde_spark.llm.multimodal import _mp4_pcm_samples as pcm_of
-
-    assert pcm_of(aac) == (None, None)
+    assert _mp4_pcm_samples(_make_mp4_aac()) == (None, None)
+    # a short stsz table (declared count > resolved samples) marks the
+    # track truncated: PCM decode refuses rather than returning a
+    # prefix whose duration/energy features would be silently wrong
+    stsz_at = m4_le.find(b"stsz")
+    short = bytearray(m4_le)
+    n_declared = int.from_bytes(m4_le[stsz_at + 12 : stsz_at + 16], "big")
+    short[stsz_at + 12 : stsz_at + 16] = (n_declared + 5).to_bytes(4, "big")
+    assert _mp4_pcm_samples(bytes(short)) == (None, None)
