@@ -29,7 +29,12 @@ three mechanisms from scratch at their minimal useful size):
 Beyond MERGE the same three mechanisms carry the rest of the
 transactional verb set: predicate ``delete``/``update`` (one
 pushed-down scan finds the files containing matches; only those
-rewrite), additive schema evolution (``merge_schema=True``), Z-order
+rewrite — and sparse deletes skip even that via **deletion vectors**,
+Delta's row-level-delete design: matched ``(file, row position)``
+pairs in a parquet sidecar that every read anti-joins out through the
+``_read_entries`` choke point, O(matched rows) instead of O(touched
+files), with ``compact``/``maybe_compact`` materializing the vectors
+away), additive schema evolution (``merge_schema=True``), Z-order
 ``compact``, manifest-pruned ``read(key_range=...)``, a per-commit
 change feed (``read_changes`` — precise mode diffs only the touched
 region, O(changes) not O(table)), and :class:`TxnMergeBackend`, which
@@ -48,14 +53,13 @@ import json
 import os
 import shutil
 import time
-import urllib.parse
 import uuid
 from pathlib import Path
 from typing import Any, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from gcpde_spark.errors import SchemaMismatchException
 from gcpde_spark.tables import MergeIntoBackend, merge_dataframes
@@ -63,6 +67,34 @@ from gcpde_spark.tables import MergeIntoBackend, merge_dataframes
 _LOG_DIR = "_txn_log"
 _DATA_DIR = "data"
 _CONSTRAINTS_KEY = "table_constraints"
+
+# deletion-vector sidecar schema: table-relative data-file path + the
+# 0-based parquet row position (stable: data files are immutable)
+_DV_SCHEMA = StructType(
+    [
+        StructField("_file", StringType(), False),
+        StructField("_pos", LongType(), False),
+    ]
+)
+
+
+def _dv_of(f: dict) -> dict:
+    return f.get("dv") or {}
+
+
+def _logical_rows(f: dict) -> int:
+    """A manifest entry's visible row count: physical parquet rows
+    minus its deletion-vector positions."""
+    return f["rows"] - _dv_of(f).get("rows", 0)
+
+
+def _entry_id(f: dict) -> tuple:
+    """Content identity of a manifest entry: the data file path PLUS
+    its deletion-vector reference — a DV delete changes an entry's
+    visible rows without changing its path, and the precise change
+    feed diffs entries, not paths."""
+    d = _dv_of(f)
+    return (f["path"], tuple(d.get("paths", ())), d.get("rows", 0))
 
 
 def _constraints_of(m: dict) -> "dict[str, str]":
@@ -346,11 +378,7 @@ class TxnTable:
         entries = m["files"]
         if all_ranges:
             entries = _prune_by_ranges(entries, all_ranges, _keys(m)[0], schema)
-        files = [str(self.path / f["path"]) for f in entries]
-        if not files:
-            df = self.spark.createDataFrame([], schema)
-        else:
-            df = self.spark.read.schema(schema).parquet(*files)
+        df = self._read_entries(schema, entries)
         for col, (lo, hi) in all_ranges.items():
             if lo is not None and hi is not None:
                 df = df.where(F.col(col).between(lo, hi))
@@ -359,6 +387,78 @@ class TxnTable:
             elif hi is not None:
                 df = df.where(F.col(col) <= hi)
         return df, len(entries), len(m["files"])
+
+    def _read_entries(
+        self,
+        schema: StructType,
+        entries: "list[dict]",
+        with_lineage: bool = False,
+    ) -> DataFrame:
+        """THE read choke point: every consumer of manifest entries —
+        snapshot reads, merge/update/apply_changes' touched region,
+        precise change-feed diffs, restore validation, compaction —
+        reads through here, so deletion vectors apply everywhere at
+        once. Entries carrying a ``dv`` reference anti-join their
+        deleted ``(file, row position)`` pairs out, using the parquet
+        source's ``_metadata.row_index`` lineage (positions are stable
+        because data files are immutable after their write; the file
+        key is TABLE-RELATIVE so vectors stay valid across clone's
+        hard-linked roots). ``with_lineage=True`` keeps the
+        ``_dv_file``/``_dv_pos`` columns for callers that write
+        deletion vectors themselves."""
+        files = [str(self.path / f["path"]) for f in entries]
+        dv_paths: set[str] = set()
+        dv_rows = 0
+        for f in entries:
+            d = _dv_of(f)
+            if d:
+                dv_paths.update(d["paths"])
+                dv_rows += d.get("rows", 0)
+        if not files:
+            out_schema = StructType(
+                list(schema.fields)
+                + (
+                    [
+                        StructField("_dv_file", StringType(), True),
+                        StructField("_dv_pos", LongType(), True),
+                    ]
+                    if with_lineage
+                    else []
+                )
+            )
+            return self.spark.createDataFrame([], out_schema)
+        df = self.spark.read.schema(schema).parquet(*files)
+        if not dv_paths and not with_lineage:
+            return df
+        # table-relative lineage: strip the file-URI scheme and the
+        # resolved table root, so the same vectors keep applying after
+        # a clone (hard-linked files under a NEW root) or a table move
+        rel = F.replace(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            F.lit(str(self.path.resolve()) + "/"),
+            F.lit(""),
+        )
+        df = df.select(
+            "*",
+            rel.alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+        if dv_paths:
+            dv = (
+                self.spark.read.schema(_DV_SCHEMA)
+                .parquet(*sorted(str(self.path / p) for p in dv_paths))
+                .select(
+                    F.col("_file").alias("_dv_file"),
+                    F.col("_pos").alias("_dv_pos"),
+                )
+            )
+            # deleted-position sets are deltas, not tables: broadcast
+            # the anti-join while small, shuffle only past ~16M
+            # positions (at which point compaction is overdue anyway)
+            if dv_rows <= 16_000_000:
+                dv = F.broadcast(dv)
+            df = df.join(dv, ["_dv_file", "_dv_pos"], "left_anti")
+        return df if with_lineage else df.drop("_dv_file", "_dv_pos")
 
     def history(self) -> list[dict]:
         """Commit log, newest first (version, op, file/row counts)."""
@@ -371,7 +471,7 @@ class TxnTable:
                     "op": m["op"],
                     "ts": m.get("ts"),
                     "n_files": len(m["files"]),
-                    "n_rows": sum(f["rows"] for f in m["files"]),
+                    "n_rows": sum(_logical_rows(f) for f in m["files"]),
                 }
             )
         return out
@@ -518,9 +618,7 @@ class TxnTable:
         src = source.select(*[f.name for f in schema.fields])
         self._enforce(src, m)
         if touched:
-            old = self.spark.read.schema(schema).parquet(
-                *[str(self.path / f["path"]) for f in touched]
-            )
+            old = self._read_entries(schema, touched)
             merged = merge_dataframes(
                 old, src, keys, on_duplicate_keys=on_duplicate_keys
             )
@@ -655,32 +753,70 @@ class TxnTable:
     # -- DELETE / UPDATE (scan-targeted copy-on-write) ---------------------
 
     def delete(
-        self, predicate: "Column | str", meta: dict | None = None
+        self,
+        predicate: "Column | str",
+        meta: dict | None = None,
+        mode: str = "auto",
+        dv_row_fraction: float = 0.2,
     ) -> dict:
         """``DELETE WHERE predicate`` with file-level targeting, the
-        Delta/Iceberg construction: ONE pushed-down scan finds the set
-        of data files that contain at least one matching row
-        (``input_file_name`` + distinct — predicate and projection
-        reach the parquet reader, so non-matching files cost only their
-        pruned scan, and at most a row per matched file crosses the
-        shuffle); only those files are rewritten without their matching
-        rows, every other file carries into the new snapshot untouched.
-        O(scan + rewritten files), never O(table write).
+        Delta/Iceberg construction, in two physical strategies:
+
+        - ``mode="rewrite"``: ONE pushed-down scan finds the files
+          containing at least one matching row; only those rewrite
+          without their matching rows, every other file carries into
+          the new snapshot untouched. O(scan + rewritten files).
+        - ``mode="dv"`` (deletion vectors, Delta's row-level-delete
+          design): NO data files rewrite at all — the matching
+          ``(file, row position)`` pairs are written as a small parquet
+          sidecar and the touched entries gain a ``dv`` reference that
+          every read anti-joins out. O(scan + matched rows): deleting
+          100 rows from a 100 TB table writes ~100 positions, where a
+          rewrite would copy every touched file. The read-side debt is
+          one broadcast anti-join; :meth:`compact` (or
+          :meth:`maybe_compact`, which watches ``dv_fraction``)
+          materializes vectors away and restores vector-free files.
+        - ``mode="auto"`` (default): one lineage scan counts matches
+          per file, then picks vectors when matches are at most
+          ``dv_row_fraction`` of the touched files' rows (the
+          delete-few case vectors exist for) and a classic rewrite
+          when the predicate hits wide (where rewriting is cheaper
+          than carrying big vectors).
 
         SQL ternary semantics: rows where the predicate is NULL are
         KEPT, exactly as ``DELETE FROM t WHERE p`` keeps them."""
+        if mode not in ("auto", "rewrite", "dv"):
+            raise ValueError(f"delete mode must be auto|rewrite|dv, not {mode!r}")
         base = self.version()
         m = self._manifest(base)
         schema = StructType.fromJson(json.loads(m["schema"]))
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         cond = F.coalesce(pred, F.lit(False))
-        touched = self._files_matching(m, schema, cond)
+        if mode == "rewrite":
+            touched = self._files_matching(m, schema, cond)
+            counts = None
+        else:
+            # one scan yields targeting AND per-file match counts
+            live = self._read_entries(schema, m["files"], with_lineage=True)
+            counts = {
+                r["_dv_file"]: r["n"]
+                for r in live.where(cond)
+                .groupBy("_dv_file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            touched = [f for f in m["files"] if f["path"] in counts]
         if not touched:
             return {"version": base, "rewritten": 0, "deleted_rows": 0}
+        if counts is not None:
+            total_matched = sum(counts.values())
+            use_dv = mode == "dv" or total_matched <= dv_row_fraction * sum(
+                _logical_rows(f) for f in touched
+            )
+            if use_dv:
+                return self._delete_via_dv(m, schema, cond, touched, counts, meta)
         kept = [f for f in m["files"] if f not in touched]
-        old = self.spark.read.schema(schema).parquet(
-            *[str(self.path / f["path"]) for f in touched]
-        )
+        old = self._read_entries(schema, touched)
         remaining = old.where(~cond)
         new_files = _write_data_files(self.spark, self.path, remaining)
         entries = _stat_entries(self.path, new_files, _keys(m)[0])
@@ -700,8 +836,74 @@ class TxnTable:
             "version": base + 1,
             "rewritten": len(touched),
             "kept": len(kept),
-            "deleted_rows": sum(f["rows"] for f in touched)
+            "deleted_rows": sum(_logical_rows(f) for f in touched)
             - sum(e["rows"] for e in entries),
+        }
+
+    def _delete_via_dv(
+        self,
+        m: dict,
+        schema: StructType,
+        cond: Column,
+        touched: "list[dict]",
+        counts: "dict[str, int]",
+        meta: dict | None,
+    ) -> dict:
+        """Publish a delete as deletion-vector sidecars: re-run the
+        (already-pruned) match scan to materialize positions, union in
+        the touched files' PRIOR vectors (each entry references exactly
+        one consolidated vector set — readers never chain sidecars),
+        and commit entries whose data files are byte-identical."""
+        base = m["version"]
+        touched_paths = [f["path"] for f in touched]
+        matched = (
+            self._read_entries(schema, touched, with_lineage=True)
+            .where(cond)
+            .select(
+                F.col("_dv_file").alias("_file"),
+                F.col("_dv_pos").alias("_pos"),
+            )
+        )
+        prior_paths = sorted(
+            {p for f in touched for p in _dv_of(f).get("paths", [])}
+        )
+        if prior_paths:
+            prior = (
+                self.spark.read.schema(_DV_SCHEMA)
+                .parquet(*[str(self.path / p) for p in prior_paths])
+                .where(F.col("_file").isin(touched_paths))
+            )
+            matched = matched.unionByName(prior)
+        dv_files = _write_data_files(self.spark, self.path, matched)
+        new_entries = []
+        for f in m["files"]:
+            if f["path"] in counts:
+                e = dict(f)
+                e["dv"] = {
+                    "paths": dv_files,
+                    "rows": _dv_of(f).get("rows", 0) + counts[f["path"]],
+                }
+                new_entries.append(e)
+            else:
+                new_entries.append(f)
+        manifest = {
+            "version": base + 1,
+            "op": "delete",
+            "key_field": _keys(m)[0],
+            "key_fields": _keys(m),
+            "schema": m["schema"],
+            "files": new_entries,
+        }
+        rolled = _rolled_meta(m, meta)
+        if rolled:
+            manifest["meta"] = rolled
+        _publish(self.path, base + 1, manifest)
+        return {
+            "version": base + 1,
+            "rewritten": 0,
+            "kept": len(m["files"]),
+            "deleted_rows": sum(counts.values()),
+            "dv_files": len(dv_files),
         }
 
     def update(
@@ -736,9 +938,7 @@ class TxnTable:
         if not touched:
             return {"version": base, "rewritten": 0, "updated_rows": 0}
         kept = [f for f in m["files"] if f not in touched]
-        old = self.spark.read.schema(schema).parquet(
-            *[str(self.path / f["path"]) for f in touched]
-        )
+        old = self._read_entries(schema, touched)
         n_updated = old.where(cond).count()  # bounded by the touched region
         # SQL UPDATE semantics: the WHERE predicate and EVERY assignment
         # expression see the ORIGINAL row (SET a=b, b=a swaps). One
@@ -793,24 +993,15 @@ class TxnTable:
         file names crosses to the driver (bounded by file count)."""
         if not m["files"]:
             return []
-        paths = [str(self.path / f["path"]) for f in m["files"]]
         hits = (
-            self.spark.read.schema(schema)
-            .parquet(*paths)
+            self._read_entries(schema, m["files"], with_lineage=True)
             .where(cond)
-            .select(F.input_file_name().alias("_f"))
+            .select("_dv_file")
             .distinct()
             .collect()
         )
-        matched = {
-            str(Path(urllib.parse.unquote(urllib.parse.urlparse(r["_f"]).path)).resolve())
-            for r in hits
-        }
-        return [
-            f
-            for f in m["files"]
-            if str((self.path / f["path"]).resolve()) in matched
-        ]
+        matched = {r["_dv_file"] for r in hits}
+        return [f for f in m["files"] if f["path"] in matched]
 
     def layout_stats(self) -> dict:
         """Manifest-only layout health (no data or footer reads): file
@@ -847,10 +1038,16 @@ class TxnTable:
             prev_hi = hi if prev_hi is None else max(prev_hi, hi)
         overlapping += missing
         n = len(entries)
+        n_phys = sum(f.get("rows", 0) for f in entries)
+        n_dv = sum(_dv_of(f).get("rows", 0) for f in entries)
         return {
             "version": m["version"],
             "n_files": n,
-            "n_rows": sum(f.get("rows", 0) for f in entries),
+            "n_rows": n_phys - n_dv,
+            "n_dv_rows": n_dv,
+            # fraction of PHYSICAL rows hidden behind deletion vectors:
+            # the read-side anti-join debt compact() pays off
+            "dv_fraction": (n_dv / n_phys) if n_phys else 0.0,
             "n_overlapping": overlapping,
             "overlap_fraction": (overlapping / n) if n else 0.0,
             "n_stats_missing": missing,
@@ -861,21 +1058,29 @@ class TxnTable:
         target_files: int | None = None,
         overlap_threshold: float = 0.3,
         file_factor: float = 2.0,
+        dv_threshold: float = 0.2,
         cluster_by: "Sequence[str] | None" = None,
         bits: int = 8,
     ) -> "dict | None":
         """The OPTIMIZE scheduling policy: compact ONLY when the layout
         has degraded enough to pay for a full rewrite — more than
         ``overlap_threshold`` of files overlap on the merge key (MERGE
-        pruning eroding), or the file count exceeds ``file_factor`` ×
-        ``target_files`` (small-file accumulation). Returns the compact
-        receipt, or None when the layout is healthy — call it after
-        every K commits (or from the commit-log stream) and it
-        self-regulates; the decision reads only the manifest."""
+        pruning eroding), the file count exceeds ``file_factor`` ×
+        ``target_files`` (small-file accumulation), or more than
+        ``dv_threshold`` of physical rows hide behind deletion vectors
+        (every read pays their anti-join; compaction materializes them
+        away). Returns the compact receipt, or None when the layout is
+        healthy — call it after every K commits (or from the commit-log
+        stream) and it self-regulates; the decision reads only the
+        manifest."""
         st = self.layout_stats()
-        degraded = st["overlap_fraction"] > overlap_threshold or (
-            target_files is not None
-            and st["n_files"] > file_factor * target_files
+        degraded = (
+            st["overlap_fraction"] > overlap_threshold
+            or st["dv_fraction"] > dv_threshold
+            or (
+                target_files is not None
+                and st["n_files"] > file_factor * target_files
+            )
         )
         if not degraded:
             return None
@@ -984,19 +1189,16 @@ class TxnTable:
             if op in ("compact", "constraints"):
                 continue  # logical no-ops: the row set is unchanged
             schema = StructType.fromJson(json.loads(m["schema"]))
-            prev_paths = (
-                {f["path"] for f in self._manifest(v - 1)["files"]}
+            # entry identity includes the deletion-vector reference: a
+            # DV delete changes a file's VISIBLE rows without changing
+            # its path, so (path, dv) is what "same content" means here
+            prev_ids = (
+                {_entry_id(f) for f in self._manifest(v - 1)["files"]}
                 if v > 0
                 else set()
             )
-            added = [f for f in m["files"] if f["path"] not in prev_paths]
-            new = (
-                self.spark.read.schema(schema).parquet(
-                    *[str(self.path / f["path"]) for f in added]
-                )
-                if added
-                else self.spark.createDataFrame([], schema)
-            )
+            added = [f for f in m["files"] if _entry_id(f) not in prev_ids]
+            new = self._read_entries(schema, added)
             if not precise:
                 if op in ("delete", "overwrite", "apply_changes", "restore"):
                     raise ValueError(
@@ -1012,12 +1214,12 @@ class TxnTable:
                     )
                 )
                 continue
-            cur_paths = {f["path"] for f in m["files"]}
+            cur_ids = {_entry_id(f) for f in m["files"]}
             removed = (
                 [
                     f
                     for f in self._manifest(v - 1)["files"]
-                    if f["path"] not in cur_paths
+                    if _entry_id(f) not in cur_ids
                 ]
                 if v > 0
                 else []
@@ -1029,13 +1231,7 @@ class TxnTable:
                 if v > 0
                 else schema
             )
-            old = (
-                self.spark.read.schema(old_schema).parquet(
-                    *[str(self.path / f["path"]) for f in removed]
-                )
-                if removed
-                else self.spark.createDataFrame([], old_schema)
-            )
+            old = self._read_entries(old_schema, removed)
             parts.append(_keyed_diff(new, old, _keys(m), v, preimages))
         if not parts:
             m = self._manifest(end)
@@ -1136,9 +1332,7 @@ class TxnTable:
                     m["files"], keys, bounds, schema
                 )
             if touched:
-                old = self.spark.read.schema(schema).parquet(
-                    *[str(self.path / f["path"]) for f in touched]
-                )
+                old = self._read_entries(schema, touched)
                 surviving = old.join(dels, on=keys, how="left_anti")
                 merged = merge_dataframes(surviving, ups, keys)
             else:
@@ -1185,13 +1379,7 @@ class TxnTable:
         constraints = (cur.get("meta") or {}).get(_CONSTRAINTS_KEY) or {}
         if constraints:
             schema = StructType.fromJson(json.loads(m["schema"]))
-            files = [str(self.path / f["path"]) for f in m["files"]]
-            snap = (
-                self.spark.read.schema(schema).parquet(*files)
-                if files
-                else self.spark.createDataFrame([], schema)
-            )
-            _check_constraints(snap, constraints)
+            _check_constraints(self._read_entries(schema, m["files"]), constraints)
         manifest = {
             "version": base + 1,
             "op": "restore",
@@ -1231,10 +1419,11 @@ class TxnTable:
         if any(q.stem.isdigit() for q in log.glob("*.json")):
             raise ValueError(f"transactional table already exists at {dest}")
         for f in m["files"]:
-            target = dp / f["path"]
-            target.parent.mkdir(parents=True, exist_ok=True)
-            if not target.exists():
-                os.link(self.path / f["path"], target)
+            for rel in [f["path"], *_dv_of(f).get("paths", [])]:
+                target = dp / rel
+                target.parent.mkdir(parents=True, exist_ok=True)
+                if not target.exists():
+                    os.link(self.path / rel, target)
         manifest = {
             "version": 0,
             "op": "create",
@@ -1267,7 +1456,9 @@ class TxnTable:
         keep = set(versions[-keep_last:])
         live: set[str] = set()
         for v in keep:
-            live.update(f["path"] for f in self._manifest(v)["files"])
+            for f in self._manifest(v)["files"]:
+                live.add(f["path"])
+                live.update(_dv_of(f).get("paths", []))
         deleted = []
         data_root = self.path / _DATA_DIR
         for f in sorted(data_root.rglob("*.parquet")):

@@ -216,7 +216,7 @@ def _mk_wide(spark, path, n=10_000, files=8):
 def test_delete_rewrites_only_files_containing_matches(spark, tmp_path):
     t = _mk_wide(spark, tmp_path / "t")
     before = {f["path"] for f in t._manifest()["files"]}
-    res = t.delete(F.col("id").between(100, 120))
+    res = t.delete(F.col("id").between(100, 120), mode="rewrite")
     assert res["deleted_rows"] == 21
     assert res["rewritten"] == 1  # one key-sorted file covers [100,120]
     after = t._manifest()["files"]
@@ -471,7 +471,10 @@ def test_random_op_sequences_match_dict_model_and_cdf_replay(spark, tmp_path):
                 model.update(fresh)
             elif o[0] == "delete":
                 lo, width = o[1], o[2]
-                t.delete(F.col("id").between(lo, lo + width))
+                # alternate strategies so the fuzz exercises deletion
+                # vectors, classic rewrites, AND the auto router
+                dmode = ("auto", "dv", "rewrite")[width % 3]
+                t.delete(F.col("id").between(lo, lo + width), mode=dmode)
                 model = {
                     k: v for k, v in model.items() if not lo <= k <= lo + width
                 }
@@ -1313,3 +1316,126 @@ def test_in_plan_guard_catches_rows_that_slipped_past_validation(
     with pytest.raises(Exception, match="at write time"):
         t.merge(spark.createDataFrame([(5, -3)], "id long, qty long"))
     assert t.version() == 0  # the failed write published nothing
+
+
+# -- deletion vectors ---------------------------------------------------------
+
+
+def test_dv_delete_writes_no_data_files_and_reads_exclude_rows(spark, tmp_path):
+    """A sparse DELETE via deletion vectors rewrites ZERO data files:
+    the matched positions land in a parquet sidecar, every read
+    anti-joins them out, and time travel still sees the old rows."""
+    t = _mk_wide(spark, tmp_path / "t")
+    before = {f["path"] for f in t._manifest()["files"]}
+    res = t.delete(F.col("id").between(100, 120), mode="dv")
+    assert res["rewritten"] == 0 and res["dv_files"] >= 1
+    assert res["deleted_rows"] == 21
+    # data files are byte-identical — only the manifest gained dv refs
+    after = t._manifest()["files"]
+    assert {f["path"] for f in after} == before
+    dvd = [f for f in after if f.get("dv")]
+    assert len(dvd) == 1 and dvd[0]["dv"]["rows"] == 21
+    assert t.read().where("id between 100 and 120").count() == 0
+    assert t.read().count() == 10_000 - 21
+    assert t.read(version=0).count() == 10_000  # snapshot isolation
+    assert t.history()[0]["n_rows"] == 10_000 - 21  # logical, not physical
+    # a second DV delete on the same file CONSOLIDATES: one vector set
+    # per entry, both generations of deletes applied
+    res2 = t.delete(F.col("id").between(121, 130), mode="dv")
+    assert res2["rewritten"] == 0
+    e = [f for f in t._manifest()["files"] if f.get("dv")][0]
+    assert e["dv"]["rows"] == 31
+    assert t.read().where("id between 100 and 130").count() == 0
+    assert t.read().count() == 10_000 - 31
+    # deleting already-deleted rows again matches nothing
+    res3 = t.delete(F.col("id") == 105, mode="dv")
+    assert res3 == {"version": t.version(), "rewritten": 0, "deleted_rows": 0}
+
+
+def test_delete_auto_routes_sparse_to_dv_and_wide_to_rewrite(spark, tmp_path):
+    t = _mk_wide(spark, tmp_path / "t")
+    sparse = t.delete(F.col("id") == 5)  # default mode="auto"
+    assert sparse["rewritten"] == 0 and sparse.get("dv_files")
+    wide = t.delete(F.col("id") < 9000)  # 90% of rows: rewrite wins
+    assert wide["rewritten"] > 0 and "dv_files" not in wide
+    assert t.read().count() == 10_000 - 1 - 8999
+    # the wide rewrite materialized the sparse delete's vector away
+    assert not any(f.get("dv") for f in t._manifest()["files"] if "id" not in f)
+
+
+def test_dv_interplay_with_merge_update_and_compact(spark, tmp_path):
+    """Rewriting verbs read THROUGH vectors and drop them for rewritten
+    files; compact clears every vector and maybe_compact watches
+    dv_fraction."""
+    t = _mk_wide(spark, tmp_path / "t", n=1000, files=4)
+    t.delete(F.col("id").between(0, 9), mode="dv")
+    # merge touching the dv'd file: deleted keys must NOT resurrect
+    # from the rewritten file, and the new entry carries no dv
+    t.merge(spark.createDataFrame([(5, "x"), (1500, "y")], "id long, v string"))
+    got = {r.id: r.v for r in t.read().where("id <= 10 or id = 1500").collect()}
+    assert got == {5: "x", 10: "3", 1500: "y"}  # 0-4,6-9 stay deleted
+    assert not any(f.get("dv") for f in t._manifest()["files"])
+    # update WHERE over a dv'd region only sees live rows
+    t.delete(F.col("id").between(20, 29), mode="dv")
+    res = t.update({"v": F.lit("u")}, F.col("id").between(20, 40))
+    assert res["updated_rows"] == 11  # 30..40 only
+    assert t.read().where("id between 20 and 29").count() == 0
+    st = t.layout_stats()
+    assert st["n_dv_rows"] == 0  # update rewrote the dv'd file
+    t.delete(F.col("id").between(50, 300), mode="dv")
+    st = t.layout_stats()
+    assert st["n_dv_rows"] == 251 and st["dv_fraction"] > 0.2
+    rec = t.maybe_compact(target_files=4)
+    assert rec is not None  # dv_fraction tripped the policy
+    st = t.layout_stats()
+    assert st["n_dv_rows"] == 0 and st["dv_fraction"] == 0.0
+    assert t.read().where("id between 50 and 300").count() == 0
+
+
+def test_dv_precise_change_feed_and_mirror(spark, tmp_path):
+    """A DV delete changes no file paths, so the precise feed diffs
+    entry IDENTITY (path + dv ref) — the deleted keys come out as
+    exact delete rows and flow through sync_table to a mirror."""
+    from gcpde_spark.txn import sync_table
+
+    src = _mk(spark, tmp_path / "src", n=100)
+    sync_table(spark, src, str(tmp_path / "dst"))
+    src.delete(F.col("id").between(10, 14), mode="dv")
+    ch = src.read_changes(0, precise=True)
+    dels = {r.id for r in ch.where("_change_type = 'delete'").collect()}
+    assert dels == {10, 11, 12, 13, 14}
+    # the untouched-row portion of the dv'd file re-emits as upserts of
+    # identical values — harmless for keyed apply; deletes are exact
+    res = sync_table(spark, src, str(tmp_path / "dst"))
+    assert res["mode"] == "incremental"
+    dst = TxnTable(spark, str(tmp_path / "dst"))
+    assert {r.id for r in dst.read().collect()} == set(range(100)) - dels
+
+
+def test_dv_clone_vacuum_restore_constraints(spark, tmp_path):
+    """Vectors survive clone (sidecars hard-link with the data),
+    vacuum keeps sidecars of retained versions, restore re-validates
+    constraints through vectors."""
+    t = _mk(spark, tmp_path / "t", n=100)
+    t.delete(F.col("id") >= 90, mode="dv")
+    c = t.clone(str(tmp_path / "branch"))
+    assert c.read().count() == 90
+    # diverge: the branch deletes more; source unaffected
+    c.delete(F.col("id") >= 80, mode="dv")
+    assert c.read().count() == 80 and t.read().count() == 90
+    # vacuum to the dv'd snapshot: its sidecar must survive
+    t.vacuum(keep_last=1)
+    assert t.read().count() == 90
+    # compact away the vectors, vacuum again: sidecars now dead
+    t.compact(n_files=2)
+    t.vacuum(keep_last=1)
+    assert t.read().count() == 90
+    assert not any(f.get("dv") for f in t._manifest()["files"])
+    # constraints: restore to a version whose VISIBLE rows (through the
+    # vector) satisfy the constraint must succeed — the dv'd rows are
+    # deleted, so they cannot violate
+    t2 = _mk(spark, tmp_path / "t2", n=50)
+    t2.append(spark.createDataFrame([(1000, None)], "id long, v string"))
+    t2.delete(F.col("v").isNull() & (F.col("id") >= 1000), mode="dv")  # v2
+    t2.add_constraint("v_set", "v is not null")  # validates THROUGH the dv
+    assert t2.version() == 3
