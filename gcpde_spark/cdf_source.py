@@ -91,11 +91,21 @@ def _manifest_or_lag_error(root: Path, version: int) -> dict:
 
 class _FilePartition(InputPartition):
     def __init__(
-        self, file_path: str, version: int, field_names: "list[str]"
+        self,
+        file_path: str,
+        version: int,
+        field_names: "list[str]",
+        dv_paths: "list[str] | None" = None,
+        rel_path: "str | None" = None,
     ):
         self.file_path = file_path
         self.version = version
         self.field_names = field_names
+        # deletion-vector sidecars + this file's table-relative key in
+        # them: a clone's create manifest can carry vector references,
+        # and emitting the physical rows would resurrect deleted ones
+        self.dv_paths = dv_paths or []
+        self.rel_path = rel_path
 
 
 class _CommitPartition(InputPartition):
@@ -223,8 +233,18 @@ class _CdfStreamReader(DataSourceStreamReader):
                 )
             for f in m["files"]:
                 if f["path"] not in prev:
+                    dv = f.get("dv") or {}
                     out.append(
-                        _FilePartition(str(self.root / f["path"]), v, names)
+                        _FilePartition(
+                            str(self.root / f["path"]),
+                            v,
+                            names,
+                            dv_paths=[
+                                str(self.root / p)
+                                for p in dv.get("paths", [])
+                            ],
+                            rel_path=f["path"],
+                        )
                     )
             prev = cur
         return out
@@ -239,6 +259,22 @@ class _CdfStreamReader(DataSourceStreamReader):
             )
             return iter([marker])
         table = pq.read_table(partition.file_path)
+        if getattr(partition, "dv_paths", None):
+            # apply the file's deletion vector: drop the sidecar-listed
+            # row positions (parquet row order is the position space)
+            dead: set[int] = set()
+            for p in partition.dv_paths:
+                dv = pq.read_table(p, columns=["_file", "_pos"])
+                for f, pos in zip(
+                    dv.column("_file").to_pylist(),
+                    dv.column("_pos").to_pylist(),
+                ):
+                    if f == partition.rel_path:
+                        dead.add(pos)
+            if dead:
+                table = table.take(
+                    [i for i in range(table.num_rows) if i not in dead]
+                )
         present = set(table.column_names)
         cols = []
         n = table.num_rows

@@ -97,6 +97,22 @@ def _entry_id(f: dict) -> tuple:
     return (f["path"], tuple(d.get("paths", ())), d.get("rows", 0))
 
 
+_RESERVED_COLS = ("_dv_file", "_dv_pos")
+
+
+def _check_reserved(names: "Sequence[str]", path: "Path | str") -> None:
+    """The lineage columns :meth:`TxnTable._read_entries` injects must
+    never collide with user columns — a table carrying them would make
+    every DV read and every auto/dv delete fail with an
+    ambiguous-reference error, long after create succeeded."""
+    bad = [n for n in names if n in _RESERVED_COLS]
+    if bad:
+        raise ValueError(
+            f"column name(s) {bad} are reserved for deletion-vector "
+            f"lineage in transactional tables ({path})"
+        )
+
+
 def _constraints_of(m: dict) -> "dict[str, str]":
     return (m.get("meta") or {}).get(_CONSTRAINTS_KEY) or {}
 
@@ -309,6 +325,7 @@ class TxnTable:
         # racing creators both reach _publish(0) and link(2) picks one
         # winner (the loser gets ConcurrentCommitError — open the table
         # and merge instead, as TxnMergeBackend does).
+        _check_reserved(df.columns, path)
         log.mkdir(parents=True, exist_ok=True)
         if any(q.stem.isdigit() for q in log.glob("*.json")):
             raise ValueError(f"transactional table already exists at {path}")
@@ -430,13 +447,20 @@ class TxnTable:
         df = self.spark.read.schema(schema).parquet(*files)
         if not dv_paths and not with_lineage:
             return df
-        # table-relative lineage: strip the file-URI scheme and the
-        # resolved table root, so the same vectors keep applying after
-        # a clone (hard-linked files under a NEW root) or a table move
-        rel = F.replace(
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
-            F.lit(str(self.path.resolve()) + "/"),
-            F.lit(""),
+        # table-relative lineage from the path SUFFIX we control:
+        # _metadata.file_path is a URI (percent-encoded, symlinks NOT
+        # resolved), so stripping a resolved-root prefix silently
+        # breaks on table paths with encodable characters or symlinked
+        # components. The last two components — data/<uuid12>/<part> —
+        # are written by _write_data_files from a URI-safe charset
+        # (hex + Spark part names), so the suffix needs no decoding,
+        # is independent of the root, and keeps vectors valid across
+        # clone's hard-linked roots and table moves
+        rel = F.concat(
+            F.lit(_DATA_DIR + "/"),
+            F.regexp_extract(
+                F.col("_metadata.file_path"), "([^/]+/[^/]+)$", 1
+            ),
         )
         df = df.select(
             "*",
@@ -453,9 +477,12 @@ class TxnTable:
                 )
             )
             # deleted-position sets are deltas, not tables: broadcast
-            # the anti-join while small, shuffle only past ~16M
-            # positions (at which point compaction is overdue anyway)
-            if dv_rows <= 16_000_000:
+            # the anti-join while small (~1M positions ≈ tens of MB of
+            # path+long rows — safe under default driver memory),
+            # shuffle past that (at which point compaction is overdue;
+            # dv_rows undercounts superseded generations still present
+            # in shared sidecars, so the cutoff is deliberately low)
+            if dv_rows <= 1_000_000:
                 dv = F.broadcast(dv)
             df = df.join(dv, ["_dv_file", "_dv_pos"], "left_anti")
         return df if with_lineage else df.drop("_dv_file", "_dv_pos")
@@ -874,7 +901,10 @@ class TxnTable:
                 .where(F.col("_file").isin(touched_paths))
             )
             matched = matched.unionByName(prior)
-        dv_files = _write_data_files(self.spark, self.path, matched)
+        # one sidecar file per delete: positions are tiny relative to
+        # data, and every read opens the anti-join side — inheriting
+        # the scan's partitioning would fragment it into per-task files
+        dv_files = _write_data_files(self.spark, self.path, matched.coalesce(1))
         new_entries = []
         for f in m["files"]:
             if f["path"] in counts:
@@ -1630,8 +1660,19 @@ class TxnMergeBackend(MergeIntoBackend):
         if not snap.exists():
             tmp = t.path / f".snap-tmp-{uuid.uuid4().hex}"
             tmp.mkdir()
+            dvd = [f for f in m["files"] if _dv_of(f)]
             for i, f in enumerate(m["files"]):
-                os.link(t.path / f["path"], tmp / f"part-{i:05d}.parquet")
+                if not _dv_of(f):
+                    os.link(t.path / f["path"], tmp / f"part-{i:05d}.parquet")
+            if dvd:
+                # an external-table reader cannot anti-join sidecars:
+                # vector-carrying files MATERIALIZE into the snapshot
+                # (zero-copy stays for every vector-free file); Spark's
+                # part names never collide with the 5-digit links above
+                schema = StructType.fromJson(json.loads(m["schema"]))
+                t._read_entries(schema, dvd).write.mode("append").parquet(
+                    str(tmp)
+                )
             try:
                 os.rename(tmp, snap)
             except OSError:
@@ -1739,6 +1780,7 @@ def _evolved_schema(
         for f in df.schema.fields
         if f.name not in tnames
     ]
+    _check_reserved([f.name for f in new], path)
     return StructType(list(schema.fields) + new)
 
 

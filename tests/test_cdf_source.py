@@ -261,3 +261,21 @@ def test_refresh_view_stream_maintains_the_view_continuously(spark, tmp_path):
     q2 = refresh_view_stream(view, str(tmp_path / "ckpt"), available_now=True)
     q2.awaitTermination(120)
     assert {tuple(r) for r in view.read().collect()} == expect()
+
+
+def test_clone_create_manifest_applies_deletion_vectors(spark, tmp_path):
+    """A clone's version-0 create manifest carries the source's
+    deletion-vector references — streaming it from startingVersion=0
+    must NOT resurrect the DV-deleted rows (the executor-side pyarrow
+    read applies the sidecar positions)."""
+    t = _mk(spark, tmp_path / "t")
+    t.delete(F.col("k") < 5, mode="dv")
+    c = t.clone(str(tmp_path / "branch"))
+    assert c.read().count() == 15
+    got = {
+        r.k
+        for r in _drain(
+            spark, tmp_path / "branch", "cdf_dv", starting=0
+        ).collect()
+    }
+    assert got == set(range(5, 20))

@@ -1328,7 +1328,7 @@ def test_dv_delete_writes_no_data_files_and_reads_exclude_rows(spark, tmp_path):
     t = _mk_wide(spark, tmp_path / "t")
     before = {f["path"] for f in t._manifest()["files"]}
     res = t.delete(F.col("id").between(100, 120), mode="dv")
-    assert res["rewritten"] == 0 and res["dv_files"] >= 1
+    assert res["rewritten"] == 0 and res["dv_files"] == 1  # coalesced sidecar
     assert res["deleted_rows"] == 21
     # data files are byte-identical — only the manifest gained dv refs
     after = t._manifest()["files"]
@@ -1360,7 +1360,7 @@ def test_delete_auto_routes_sparse_to_dv_and_wide_to_rewrite(spark, tmp_path):
     assert wide["rewritten"] > 0 and "dv_files" not in wide
     assert t.read().count() == 10_000 - 1 - 8999
     # the wide rewrite materialized the sparse delete's vector away
-    assert not any(f.get("dv") for f in t._manifest()["files"] if "id" not in f)
+    assert not any(f.get("dv") for f in t._manifest()["files"])
 
 
 def test_dv_interplay_with_merge_update_and_compact(spark, tmp_path):
@@ -1439,3 +1439,57 @@ def test_dv_clone_vacuum_restore_constraints(spark, tmp_path):
     t2.delete(F.col("v").isNull() & (F.col("id") >= 1000), mode="dv")  # v2
     t2.add_constraint("v_set", "v is not null")  # validates THROUGH the dv
     assert t2.version() == 3
+
+
+def test_dv_survives_encodable_table_paths(spark, tmp_path):
+    """The lineage key is a path SUFFIX (data/<uuid>/<part>), so DV
+    deletes work on table roots containing URI-encodable characters —
+    the failure mode of stripping a resolved-root prefix from Spark's
+    percent-encoded _metadata.file_path."""
+    t = _mk(spark, tmp_path / "dv table %20 dir" / "t", n=100)
+    res = t.delete(F.col("id") < 10, mode="dv")
+    assert res["deleted_rows"] == 10 and res["rewritten"] == 0
+    assert t.read().count() == 90
+    res = t.update({"v": F.lit("u")}, F.col("id") == 50)
+    assert res["updated_rows"] == 1
+
+
+def test_reserved_lineage_columns_refused(spark, tmp_path):
+    """_dv_file/_dv_pos would collide with the injected lineage columns
+    and wedge every later delete — refused at create AND at additive
+    evolution, not discovered mid-delete."""
+    bad = spark.range(5).select(F.col("id"), F.lit("x").alias("_dv_file"))
+    with pytest.raises(ValueError, match="reserved"):
+        TxnTable.create(spark, str(tmp_path / "t"), bad, key_field="id")
+    t = _mk(spark, tmp_path / "t2", n=10)
+    evo = spark.range(3).select(
+        F.col("id"), F.lit("a").alias("v"), F.lit(7).alias("_dv_pos")
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        t.merge(evo, merge_schema=True)
+
+
+def test_dv_rows_never_resurrect_in_catalog_snapshots(spark, tmp_path):
+    """TxnMergeBackend's catalog publication hard-links raw files —
+    vector-carrying files must MATERIALIZE instead, or the external
+    table would show DV-deleted rows."""
+    from gcpde_spark.tables import TableStore
+    from gcpde_spark.txn import TxnMergeBackend
+
+    store = TableStore(spark, warehouse_dir=str(tmp_path / "wh"))
+    store.merge_backend = TxnMergeBackend(str(tmp_path / "lake"))
+    try:
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") % 3).cast("string").alias("v")
+        )
+        store.upsert_table_df("dvds", "users", df, "id")
+        t = store.merge_backend.table(spark, "dvds", "users")
+        res = t.delete(F.col("id") < 10, mode="dv")
+        assert res["rewritten"] == 0
+        # republish (what the next merge_into does) and read the catalog
+        store.merge_backend._publish_catalog(spark, t, "dvds", "users")
+        got = {r.id for r in spark.table("dvds.users").collect()}
+        assert got == set(range(10, 100))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dvds.users")
+        spark.sql("DROP DATABASE IF EXISTS dvds")
