@@ -10,7 +10,9 @@ times show the floor:
 
 - 1-row MERGE, file-pruned (1/64 files) vs pruning disabled (65/65 —
   the cost an unpartitioned parquet merge+swap pays);
-- predicate DELETE hitting one file's key range;
+- predicate DELETE hitting one file's key range — classic rewrite AND
+  deletion-vector mode (zero files rewritten), plus the read-side
+  anti-join debt while vectors are outstanding and after compact;
 - ``read(ranges=...)`` manifest-skipped vs full-scan-and-filter;
 - ``sync_table``: incremental 2-row relay vs re-seeding the mirror;
 - materialized-view refresh after a 1-row change (group-scoped,
@@ -85,11 +87,33 @@ def main() -> None:
         res["merge_1row_kept_files"] = r["kept"]
 
         t, r = timed(
-            lambda: tbl.delete(F.col("rid").between(lo + 1_000, lo + 1_050))
+            lambda: tbl.delete(
+                F.col("rid").between(lo + 1_000, lo + 1_050), mode="rewrite"
+            )
         )
         res["delete_range_s"] = round(t, 3)
         res["delete_rewritten_files"] = r["rewritten"]
         res["delete_rows"] = r["deleted_rows"]
+
+        # deletion vectors: the same-shape sparse delete rewrites ZERO
+        # data files (one positions sidecar instead of a file copy) —
+        # then the read-side anti-join debt while vectors are
+        # outstanding, and its disappearance after compact clears them
+        t, r = timed(
+            lambda: tbl.delete(
+                F.col("rid").between(lo + 2_000, lo + 2_050), mode="dv"
+            )
+        )
+        res["delete_dv_s"] = round(t, 3)
+        res["delete_dv_rewritten_files"] = r["rewritten"]
+        res["delete_dv_rows"] = r["deleted_rows"]
+        tbl.read().count()  # warm
+        t, _ = timed(lambda: tbl.read().count())
+        res["read_with_dv_s"] = round(t, 3)
+        tbl.compact(n_files=N_FILES)
+        tbl.read().count()  # warm
+        t, _ = timed(lambda: tbl.read().count())
+        res["read_after_compact_s"] = round(t, 3)
 
         rng = (lo, lo + 5_000)
         tbl.read(ranges={"rid": rng}).count()  # warm
