@@ -941,13 +941,25 @@ class TxnTable:
         assignments: "dict[str, Column | str]",
         where: "Column | str",
         meta: dict | None = None,
+        mode: str = "auto",
+        dv_row_fraction: float = 0.2,
     ) -> dict:
         """``UPDATE SET col = expr, ... WHERE predicate`` with the same
-        scan-targeted file rewrite as :meth:`delete`. Assignment
+        scan-targeted file strategies as :meth:`delete`. Assignment
         expressions are cast to the column's existing type (the table
         schema never drifts through an update). Merge-key columns can
         not be updated — a key change moves a row between files, which
-        is MERGE's job (delete + merge expresses it exactly)."""
+        is MERGE's job (delete + merge expresses it exactly).
+
+        ``mode="rewrite"`` copies every file containing a match without
+        its old rows' values (O(touched files)); ``mode="dv"`` is the
+        merge-on-read construction — the matched ORIGINAL rows become
+        deletion-vector positions and only the POST-assignment rows
+        write as a new file, O(scan + matched rows), zero touched-file
+        copies; ``mode="auto"`` (default) routes by the measured match
+        fraction exactly as :meth:`delete` does."""
+        if mode not in ("auto", "rewrite", "dv"):
+            raise ValueError(f"update mode must be auto|rewrite|dv, not {mode!r}")
         base = self.version()
         m = self._manifest(base)
         keys = _keys(m)
@@ -964,9 +976,30 @@ class TxnTable:
                 raise ValueError(f"unknown column {c!r} in UPDATE SET")
         pred = F.expr(where) if isinstance(where, str) else where
         cond = F.coalesce(pred, F.lit(False))
-        touched = self._files_matching(m, schema, cond)
+        if mode == "rewrite":
+            touched = self._files_matching(m, schema, cond)
+            counts = None
+        else:
+            live = self._read_entries(schema, m["files"], with_lineage=True)
+            counts = {
+                r["_dv_file"]: r["n"]
+                for r in live.where(cond)
+                .groupBy("_dv_file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            touched = [f for f in m["files"] if f["path"] in counts]
         if not touched:
             return {"version": base, "rewritten": 0, "updated_rows": 0}
+        if counts is not None:
+            total_matched = sum(counts.values())
+            use_dv = mode == "dv" or total_matched <= dv_row_fraction * sum(
+                _logical_rows(f) for f in touched
+            )
+            if use_dv:
+                return self._update_via_dv(
+                    m, schema, types, assignments, cond, touched, counts, meta
+                )
         kept = [f for f in m["files"] if f not in touched]
         old = self._read_entries(schema, touched)
         n_updated = old.where(cond).count()  # bounded by the touched region
@@ -1013,6 +1046,97 @@ class TxnTable:
             "rewritten": len(touched),
             "kept": len(kept),
             "updated_rows": n_updated,
+        }
+
+    def _update_via_dv(
+        self,
+        m: dict,
+        schema: StructType,
+        types: dict,
+        assignments: "dict[str, Column | str]",
+        cond: Column,
+        touched: "list[dict]",
+        counts: "dict[str, int]",
+        meta: dict | None,
+    ) -> dict:
+        """UPDATE as merge-on-read: the matched ORIGINAL rows become
+        deletion-vector positions (their files stay byte-identical) and
+        only the POST-assignment rows write as new files — O(scan +
+        matched rows) instead of copying every touched file. The
+        matched set is persisted so the positions sidecar and the new
+        rows come from ONE materialization (a non-deterministic
+        predicate re-evaluating differently between the two jobs would
+        otherwise drop or duplicate rows)."""
+        base = m["version"]
+        keys = _keys(m)
+        matched = (
+            self._read_entries(schema, touched, with_lineage=True)
+            .where(cond)
+            .persist()
+        )
+        try:
+            positions = matched.select(
+                F.col("_dv_file").alias("_file"),
+                F.col("_dv_pos").alias("_pos"),
+            )
+            prior_paths = sorted(
+                {p for f in touched for p in _dv_of(f).get("paths", [])}
+            )
+            if prior_paths:
+                positions = positions.unionByName(
+                    self.spark.read.schema(_DV_SCHEMA)
+                    .parquet(*[str(self.path / p) for p in prior_paths])
+                    .where(F.col("_file").isin([f["path"] for f in touched]))
+                )
+            # every selected row matches, so assignments apply in ONE
+            # select — simultaneous SQL semantics (SET a=b, b=a swaps)
+            out_cols = []
+            for f in schema.fields:
+                if f.name in assignments:
+                    expr = assignments[f.name]
+                    col = F.expr(expr) if isinstance(expr, str) else expr
+                    out_cols.append(col.cast(types[f.name]).alias(f.name))
+                else:
+                    out_cols.append(F.col(f.name))
+            updated = matched.select(*out_cols)
+            self._enforce(updated, m)
+            dv_files = _write_data_files(
+                self.spark, self.path, positions.coalesce(1)
+            )
+            new_files = _write_data_files(
+                self.spark, self.path, updated, _constraints_of(m)
+            )
+        finally:
+            matched.unpersist()
+        new_entries = []
+        for f in m["files"]:
+            if f["path"] in counts:
+                e = dict(f)
+                e["dv"] = {
+                    "paths": dv_files,
+                    "rows": _dv_of(f).get("rows", 0) + counts[f["path"]],
+                }
+                new_entries.append(e)
+            else:
+                new_entries.append(f)
+        manifest = {
+            "version": base + 1,
+            "op": "update",
+            "key_field": keys[0],
+            "key_fields": keys,
+            "schema": m["schema"],
+            "files": new_entries + _stat_entries(self.path, new_files, keys[0]),
+        }
+        rolled = _rolled_meta(m, meta)
+        if rolled:
+            manifest["meta"] = rolled
+        _publish(self.path, base + 1, manifest)
+        return {
+            "version": base + 1,
+            "rewritten": 0,
+            "kept": len(m["files"]),
+            "updated_rows": sum(counts.values()),
+            "dv_files": len(dv_files),
         }
 
     def _files_matching(

@@ -247,7 +247,9 @@ def test_delete_null_predicate_keeps_rows_and_noop_returns_same_version(
 def test_update_targets_files_and_guards_key_columns(spark, tmp_path):
     t = _mk_wide(spark, tmp_path / "t")
     res = t.update(
-        {"v": F.concat(F.lit("X"), F.col("v"))}, F.col("id").between(5, 9)
+        {"v": F.concat(F.lit("X"), F.col("v"))},
+        F.col("id").between(5, 9),
+        mode="rewrite",
     )
     assert res["updated_rows"] == 5 and res["rewritten"] == 1
     got = {r.id: r.v for r in t.read().collect()}
@@ -483,6 +485,7 @@ def test_random_op_sequences_match_dict_model_and_cdf_replay(spark, tmp_path):
                 t.update(
                     {"v": F.concat(F.col("v"), F.lit(suffix))},
                     F.col("id").between(lo, lo + width),
+                    mode=("auto", "dv", "rewrite")[width % 3],
                 )
                 model = {
                     k: (v + suffix if lo <= k <= lo + width else v)
@@ -1375,9 +1378,10 @@ def test_dv_interplay_with_merge_update_and_compact(spark, tmp_path):
     got = {r.id: r.v for r in t.read().where("id <= 10 or id = 1500").collect()}
     assert got == {5: "x", 10: "3", 1500: "y"}  # 0-4,6-9 stay deleted
     assert not any(f.get("dv") for f in t._manifest()["files"])
-    # update WHERE over a dv'd region only sees live rows
+    # update WHERE over a dv'd region only sees live rows; pinned to
+    # the rewrite strategy, which clears the touched file's vector
     t.delete(F.col("id").between(20, 29), mode="dv")
-    res = t.update({"v": F.lit("u")}, F.col("id").between(20, 40))
+    res = t.update({"v": F.lit("u")}, F.col("id").between(20, 40), mode="rewrite")
     assert res["updated_rows"] == 11  # 30..40 only
     assert t.read().where("id between 20 and 29").count() == 0
     st = t.layout_stats()
@@ -1493,3 +1497,64 @@ def test_dv_rows_never_resurrect_in_catalog_snapshots(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS dvds.users")
         spark.sql("DROP DATABASE IF EXISTS dvds")
+
+
+def test_dv_update_writes_only_updated_rows(spark, tmp_path):
+    """Merge-on-read UPDATE: matched originals become vector positions,
+    only the post-assignment rows write — zero touched-file copies."""
+    t = _mk_wide(spark, tmp_path / "t")
+    before = {f["path"] for f in t._manifest()["files"]}
+    res = t.update({"v": F.lit("UPD")}, F.col("id").between(100, 110), mode="dv")
+    assert res["rewritten"] == 0 and res["updated_rows"] == 11
+    assert res["dv_files"] == 1
+    after = t._manifest()["files"]
+    # all original files still present (byte-identical), one new file
+    assert before <= {f["path"] for f in after}
+    new = [f for f in after if f["path"] not in before]
+    assert len(new) >= 1 and sum(f["rows"] for f in new) == 11
+    got = {r.id: r.v for r in t.read().where("id between 98 and 112").collect()}
+    assert all(v == "UPD" for k, v in got.items() if 100 <= k <= 110)
+    assert got[98] == str(98 % 7) and got[112] == str(112 % 7)
+    assert t.read().count() == 10_000  # no net row change
+    assert t.read(version=0).where("id = 105").collect()[0].v == str(105 % 7)
+    # simultaneous assignment semantics hold on the DV route too
+    t2 = TxnTable.create(
+        spark,
+        str(tmp_path / "t2"),
+        spark.range(4).select(
+            F.col("id"), (F.col("id") * 10).alias("a"), (F.col("id") * 100).alias("b")
+        ),
+        key_field="id",
+    )
+    t2.update({"a": F.col("b"), "b": F.col("a")}, F.col("id") == 2, mode="dv")
+    r = t2.read().where("id = 2").collect()[0]
+    assert (r.a, r.b) == (200, 20)
+
+
+def test_dv_update_enforces_constraints_and_routes_wide_to_rewrite(
+    spark, tmp_path
+):
+    from gcpde_spark.txn import ConstraintViolation
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") + 1).alias("qty"))
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), df, key_field="id",
+        constraints={"qty_pos": "qty > 0"},
+    )
+    with pytest.raises(ConstraintViolation, match="qty_pos"):
+        t.update({"qty": F.lit(-1)}, F.col("id") == 5, mode="dv")
+    assert t.version() == 0  # refusal committed nothing (incl. no dv)
+    assert not any(f.get("dv") for f in t._manifest()["files"])
+    # wide predicate on auto routes to rewrite (no vectors left behind)
+    res = t.update({"qty": F.col("qty") + 1000}, F.col("id") >= 10)
+    assert res["rewritten"] > 0 and "dv_files" not in res
+    assert not any(f.get("dv") for f in t._manifest()["files"])
+
+
+def test_dv_update_precise_feed_emits_postimages(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=50)
+    t.update({"v": F.lit("X")}, F.col("id").isin(3, 17), mode="dv")
+    ch = t.read_changes(0, precise=True).collect()
+    post = {r.id: r.v for r in ch if r._change_type == "update_postimage"}
+    assert post == {3: "X", 17: "X"}
+    assert not any(r._change_type == "delete" for r in ch)
