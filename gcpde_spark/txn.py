@@ -602,14 +602,31 @@ class TxnTable:
         on_duplicate_keys: str = "error",
         meta: dict | None = None,
         merge_schema: bool = False,
+        strategy: str = "cow",
+        dv_row_fraction: float = 0.2,
     ) -> dict:
-        """Copy-on-write MERGE: keys in both → source row wins; keys
-        only in source → inserted. Only data files whose merge-key
-        [min, max] overlaps the delta's range are rewritten; all other
-        files carry into the new snapshot untouched. Returns
-        ``{"version", "rewritten", "kept"}`` so callers can see the
-        write amplification. Raises :class:`ConcurrentCommitError` if
-        another writer commits first (re-read and re-merge to retry).
+        """MERGE: keys in both → source row wins; keys only in source
+        → inserted. Raises :class:`ConcurrentCommitError` if another
+        writer commits first (re-read and re-merge to retry). Two
+        physical strategies:
+
+        - ``strategy="cow"`` (default, copy-on-write): only data files
+          whose merge-key [min, max] overlaps the delta's range are
+          rewritten; all other files carry into the new snapshot
+          untouched. Returns ``{"version", "rewritten", "kept"}`` so
+          callers can see the write amplification.
+        - ``strategy="mor"`` (merge-on-read, the Delta DV-merge
+          construction): NO touched file rewrites — the superseded old
+          rows become deletion-vector positions (one key semi-join
+          over the range-pruned touched region) and the source rows
+          write as new files. O(delta + matched rows) instead of
+          O(touched files): the right trade for sparse CDC deltas into
+          wide files, paid back as the read-side anti-join until
+          :meth:`compact`/:meth:`maybe_compact` clears it.
+        - ``strategy="auto"``: ``mor`` when the delta's row count is at
+          most ``dv_row_fraction`` of the touched files' rows (a free
+          upper bound on matches — both counts are already known),
+          ``cow`` otherwise.
 
         ``merge_schema=True`` allows ADDITIVE evolution: the source may
         carry new columns (appended to the table schema as nullable;
@@ -618,6 +635,10 @@ class TxnTable:
         carry every existing column at its existing type; dropping or
         retyping columns stays a hard error.
         """
+        if strategy not in ("cow", "mor", "auto"):
+            raise ValueError(
+                f"merge strategy must be cow|mor|auto, not {strategy!r}"
+            )
         base_version = self.version()
         m = self._manifest(base_version)
         keys = _keys(m)
@@ -644,6 +665,13 @@ class TxnTable:
             )
         src = source.select(*[f.name for f in schema.fields])
         self._enforce(src, m)
+        if touched and strategy != "cow":
+            if strategy == "mor" or bounds["n"] <= dv_row_fraction * sum(
+                _logical_rows(f) for f in touched
+            ):
+                return self._merge_via_dv(
+                    m, schema, keys, src, touched, on_duplicate_keys, meta
+                )
         if touched:
             old = self._read_entries(schema, touched)
             merged = merge_dataframes(
@@ -670,6 +698,104 @@ class TxnTable:
             "version": base_version + 1,
             "rewritten": len(touched),
             "kept": len(kept),
+        }
+
+    def _merge_via_dv(
+        self,
+        m: dict,
+        schema: StructType,
+        keys: "list[str]",
+        src: DataFrame,
+        touched: "list[dict]",
+        on_duplicate_keys: str,
+        meta: dict | None,
+    ) -> dict:
+        """MERGE as merge-on-read: old rows whose key appears in the
+        source become deletion-vector positions (a key semi-join over
+        the range-pruned touched files — the scan copy-on-write never
+        pays, bought back many times over by not copying any file) and
+        the source rows write as new files. The matched set persists
+        across its two consumers (per-file counts, positions sidecar)
+        so both see one materialization. The duplicate-key guard is
+        the SAME plan merge_dataframes installs — built by merging
+        into an empty target, so the two strategies cannot drift on
+        MERGE's error semantics."""
+        base = m["version"]
+        src_keys = src.select(*keys).distinct()
+        matched = (
+            self._read_entries(schema, touched, with_lineage=True)
+            .join(src_keys, on=keys, how="left_semi")
+            .select(
+                F.col("_dv_file").alias("_file"),
+                F.col("_dv_pos").alias("_pos"),
+            )
+            .persist()
+        )
+        try:
+            counts = {
+                r["_file"]: r["n"]
+                for r in matched.groupBy("_file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            dv_files: list[str] = []
+            if counts:
+                dvd = [f for f in touched if f["path"] in counts]
+                positions = matched
+                prior_paths = sorted(
+                    {p for f in dvd for p in _dv_of(f).get("paths", [])}
+                )
+                if prior_paths:
+                    positions = positions.unionByName(
+                        self.spark.read.schema(_DV_SCHEMA)
+                        .parquet(*[str(self.path / p) for p in prior_paths])
+                        .where(
+                            F.col("_file").isin([f["path"] for f in dvd])
+                        )
+                    )
+                dv_files = _write_data_files(
+                    self.spark, self.path, positions.coalesce(1)
+                )
+            guarded = merge_dataframes(
+                self.spark.createDataFrame([], schema),
+                src,
+                keys,
+                on_duplicate_keys=on_duplicate_keys,
+            )
+            new_files = _write_data_files(
+                self.spark, self.path, guarded, _constraints_of(m)
+            )
+        finally:
+            matched.unpersist()
+        new_entries = []
+        for f in m["files"]:
+            if f["path"] in counts:
+                e = dict(f)
+                e["dv"] = {
+                    "paths": dv_files,
+                    "rows": _dv_of(f).get("rows", 0) + counts[f["path"]],
+                }
+                new_entries.append(e)
+            else:
+                new_entries.append(f)
+        manifest = {
+            "version": base + 1,
+            "op": "merge",
+            "key_field": keys[0],
+            "key_fields": keys,
+            "schema": schema.json(),
+            "files": new_entries + _stat_entries(self.path, new_files, keys[0]),
+        }
+        rolled = _rolled_meta(m, meta)
+        if rolled:
+            manifest["meta"] = rolled
+        _publish(self.path, base + 1, manifest)
+        return {
+            "version": base + 1,
+            "rewritten": 0,
+            "kept": len(m["files"]),
+            "matched_rows": sum(counts.values()),
+            "dv_files": len(dv_files),
         }
 
     def merge_with_retry(

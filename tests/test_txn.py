@@ -458,7 +458,8 @@ def test_random_op_sequences_match_dict_model_and_cdf_replay(spark, tmp_path):
                 t.merge(
                     spark.createDataFrame(
                         sorted(delta.items()), "id long, v string"
-                    )
+                    ),
+                    strategy=("cow", "mor", "auto")[len(delta) % 3],
                 )
                 model.update(delta)
             elif o[0] == "append":
@@ -1558,3 +1559,65 @@ def test_dv_update_precise_feed_emits_postimages(spark, tmp_path):
     post = {r.id: r.v for r in ch if r._change_type == "update_postimage"}
     assert post == {3: "X", 17: "X"}
     assert not any(r._change_type == "delete" for r in ch)
+
+
+def test_mor_merge_supersedes_without_rewriting_any_file(spark, tmp_path):
+    """Merge-on-read: superseded old rows become vector positions, the
+    delta writes as new files, and only files with ACTUAL key matches
+    gain a vector (range-overlap false positives stay untouched)."""
+    t = _mk_wide(spark, tmp_path / "t")
+    before = {f["path"] for f in t._manifest()["files"]}
+    delta = spark.createDataFrame(
+        [(5, "UPD"), (20_000, "NEW")], "id long, v string"
+    )
+    res = t.merge(delta, strategy="mor")
+    assert res["rewritten"] == 0 and res["matched_rows"] == 1
+    after = t._manifest()["files"]
+    assert before <= {f["path"] for f in after}
+    # the delta's [5, 20000] range overlaps EVERY key-sorted file, but
+    # only the file actually containing key 5 carries a vector
+    assert sum(1 for f in after if f.get("dv")) == 1
+    got = {r.id: r.v for r in t.read().where("id in (5, 6, 20000)").collect()}
+    assert got == {5: "UPD", 6: "6", 20_000: "NEW"}
+    assert t.read().count() == 10_001
+    # duplicate-key guard: the SAME merge_dataframes plan guards mor
+    v = t.version()
+    dup = spark.createDataFrame([(7, "a"), (7, "b")], "id long, v string")
+    with pytest.raises(Exception, match="duplicate|MERGE"):
+        t.merge(dup, strategy="mor")
+    assert t.version() == v  # nothing committed
+
+
+def test_merge_auto_strategy_routes_by_delta_fraction(spark, tmp_path):
+    t = _mk_wide(spark, tmp_path / "t", n=1000, files=4)
+    sparse = spark.createDataFrame([(5, "X")], "id long, v string")
+    res = t.merge(sparse, strategy="auto")
+    assert res["rewritten"] == 0 and res["matched_rows"] == 1
+    wide = spark.range(500).select(
+        F.col("id"), F.lit("W").alias("v")
+    )
+    res = t.merge(wide, strategy="auto")
+    assert res["rewritten"] > 0  # 500 rows vs ~500 touched: cow wins
+    assert {r.v for r in t.read().where("id < 500").collect()} == {"W"}
+    assert t.read().count() == 1000
+
+
+def test_mor_merge_precise_feed_and_schema_evolution(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=50)
+    t.merge(
+        spark.createDataFrame([(7, "UPD"), (99, "NEW")], "id long, v string"),
+        strategy="mor",
+    )
+    ch = t.read_changes(0, precise=True).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r._change_type, set()).add(r.id)
+    assert 7 in by_type["update_postimage"] and 99 in by_type["insert"]
+    assert "delete" not in by_type
+    # additive evolution flows through the mor route
+    evo = spark.createDataFrame(
+        [(7, "UPD2", 1.5)], "id long, v string, score double"
+    )
+    t.merge(evo, merge_schema=True, strategy="mor")
+    rows = {r.id: (r.v, r.score) for r in t.read().where("id in (7, 8)").collect()}
+    assert rows[7] == ("UPD2", 1.5) and rows[8] == ("1", None)
