@@ -97,6 +97,26 @@ def _entry_id(f: dict) -> tuple:
     return (f["path"], tuple(d.get("paths", ())), d.get("rows", 0))
 
 
+def _attach_dv(
+    files: "list[dict]", counts: "dict[str, int]", dv_files: "list[str]"
+) -> list[dict]:
+    """Manifest entries with the new consolidated vector reference
+    attached to every entry that gained positions — shared by all
+    three DV write paths so the accounting cannot drift."""
+    out = []
+    for f in files:
+        if f["path"] in counts:
+            e = dict(f)
+            e["dv"] = {
+                "paths": dv_files,
+                "rows": _dv_of(f).get("rows", 0) + counts[f["path"]],
+            }
+            out.append(e)
+        else:
+            out.append(f)
+    return out
+
+
 _RESERVED_COLS = ("_dv_file", "_dv_pos")
 
 
@@ -487,6 +507,24 @@ class TxnTable:
             df = df.join(dv, ["_dv_file", "_dv_pos"], "left_anti")
         return df if with_lineage else df.drop("_dv_file", "_dv_pos")
 
+    def _consolidated_positions(
+        self, positions: DataFrame, dvd: "list[dict]"
+    ) -> DataFrame:
+        """Union new ``(file, pos)`` pairs with the PRIOR vectors of
+        the entries gaining a new one — each entry references exactly
+        one consolidated vector set, so readers never chain
+        sidecars."""
+        prior_paths = sorted(
+            {p for f in dvd for p in _dv_of(f).get("paths", [])}
+        )
+        if prior_paths:
+            positions = positions.unionByName(
+                self.spark.read.schema(_DV_SCHEMA)
+                .parquet(*[str(self.path / p) for p in prior_paths])
+                .where(F.col("_file").isin([f["path"] for f in dvd]))
+            )
+        return positions
+
     def history(self) -> list[dict]:
         """Commit log, newest first (version, op, file/row counts)."""
         out = []
@@ -694,11 +732,18 @@ class TxnTable:
         if rolled:
             manifest["meta"] = rolled
         _publish(self.path, base_version + 1, manifest)
-        return {
+        out = {
             "version": base_version + 1,
             "rewritten": len(touched),
             "kept": len(kept),
         }
+        if strategy == "mor":
+            # an explicit-mor pure-insert delta (no range-overlapping
+            # files) lands here: keep the mor receipt shape so callers
+            # can rely on the keys regardless of data distribution
+            out["matched_rows"] = 0
+            out["dv_files"] = 0
+        return out
 
     def _merge_via_dv(
         self,
@@ -732,30 +777,9 @@ class TxnTable:
             .persist()
         )
         try:
-            counts = {
-                r["_file"]: r["n"]
-                for r in matched.groupBy("_file")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            dv_files: list[str] = []
-            if counts:
-                dvd = [f for f in touched if f["path"] in counts]
-                positions = matched
-                prior_paths = sorted(
-                    {p for f in dvd for p in _dv_of(f).get("paths", [])}
-                )
-                if prior_paths:
-                    positions = positions.unionByName(
-                        self.spark.read.schema(_DV_SCHEMA)
-                        .parquet(*[str(self.path / p) for p in prior_paths])
-                        .where(
-                            F.col("_file").isin([f["path"] for f in dvd])
-                        )
-                    )
-                dv_files = _write_data_files(
-                    self.spark, self.path, positions.coalesce(1)
-                )
+            # the guarded data write goes FIRST: the common failure
+            # modes (duplicate source keys, constraint violation) fire
+            # inside it, before any sidecar work is spent or orphaned
             guarded = merge_dataframes(
                 self.spark.createDataFrame([], schema),
                 src,
@@ -765,26 +789,29 @@ class TxnTable:
             new_files = _write_data_files(
                 self.spark, self.path, guarded, _constraints_of(m)
             )
+            counts = {
+                r["_file"]: r["n"]
+                for r in matched.groupBy("_file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            dv_files: list[str] = []
+            if counts:
+                dvd = [f for f in touched if f["path"] in counts]
+                positions = self._consolidated_positions(matched, dvd)
+                dv_files = _write_data_files(
+                    self.spark, self.path, positions.coalesce(1)
+                )
         finally:
             matched.unpersist()
-        new_entries = []
-        for f in m["files"]:
-            if f["path"] in counts:
-                e = dict(f)
-                e["dv"] = {
-                    "paths": dv_files,
-                    "rows": _dv_of(f).get("rows", 0) + counts[f["path"]],
-                }
-                new_entries.append(e)
-            else:
-                new_entries.append(f)
         manifest = {
             "version": base + 1,
             "op": "merge",
             "key_field": keys[0],
             "key_fields": keys,
             "schema": schema.json(),
-            "files": new_entries + _stat_entries(self.path, new_files, keys[0]),
+            "files": _attach_dv(m["files"], counts, dv_files)
+            + _stat_entries(self.path, new_files, keys[0]),
         }
         rolled = _rolled_meta(m, meta)
         if rolled:
@@ -805,6 +832,8 @@ class TxnTable:
         on_duplicate_keys: str = "error",
         meta: dict | None = None,
         merge_schema: bool = False,
+        strategy: str = "cow",
+        dv_row_fraction: float = 0.2,
     ) -> dict:
         """Optimistic-concurrency loop around :meth:`merge`: on
         :class:`ConcurrentCommitError` the merge re-reads the NEW
@@ -820,6 +849,8 @@ class TxnTable:
                     on_duplicate_keys=on_duplicate_keys,
                     meta=meta,
                     merge_schema=merge_schema,
+                    strategy=strategy,
+                    dv_row_fraction=dv_row_fraction,
                 )
             except ConcurrentCommitError as exc:
                 last = exc
@@ -1008,7 +1039,6 @@ class TxnTable:
         one consolidated vector set — readers never chain sidecars),
         and commit entries whose data files are byte-identical."""
         base = m["version"]
-        touched_paths = [f["path"] for f in touched]
         matched = (
             self._read_entries(schema, touched, with_lineage=True)
             .where(cond)
@@ -1017,38 +1047,18 @@ class TxnTable:
                 F.col("_dv_pos").alias("_pos"),
             )
         )
-        prior_paths = sorted(
-            {p for f in touched for p in _dv_of(f).get("paths", [])}
-        )
-        if prior_paths:
-            prior = (
-                self.spark.read.schema(_DV_SCHEMA)
-                .parquet(*[str(self.path / p) for p in prior_paths])
-                .where(F.col("_file").isin(touched_paths))
-            )
-            matched = matched.unionByName(prior)
+        matched = self._consolidated_positions(matched, touched)
         # one sidecar file per delete: positions are tiny relative to
         # data, and every read opens the anti-join side — inheriting
         # the scan's partitioning would fragment it into per-task files
         dv_files = _write_data_files(self.spark, self.path, matched.coalesce(1))
-        new_entries = []
-        for f in m["files"]:
-            if f["path"] in counts:
-                e = dict(f)
-                e["dv"] = {
-                    "paths": dv_files,
-                    "rows": _dv_of(f).get("rows", 0) + counts[f["path"]],
-                }
-                new_entries.append(e)
-            else:
-                new_entries.append(f)
         manifest = {
             "version": base + 1,
             "op": "delete",
             "key_field": _keys(m)[0],
             "key_fields": _keys(m),
             "schema": m["schema"],
-            "files": new_entries,
+            "files": _attach_dv(m["files"], counts, dv_files),
         }
         rolled = _rolled_meta(m, meta)
         if rolled:
@@ -1124,11 +1134,17 @@ class TxnTable:
             )
             if use_dv:
                 return self._update_via_dv(
-                    m, schema, types, assignments, cond, touched, counts, meta
+                    m, schema, types, assignments, cond, touched, meta
                 )
         kept = [f for f in m["files"] if f not in touched]
         old = self._read_entries(schema, touched)
-        n_updated = old.where(cond).count()  # bounded by the touched region
+        # bounded by the touched region; the auto routing scan already
+        # counted the matches exactly — no second job for that case
+        n_updated = (
+            sum(counts.values())
+            if counts is not None
+            else old.where(cond).count()
+        )
         # SQL UPDATE semantics: the WHERE predicate and EVERY assignment
         # expression see the ORIGINAL row (SET a=b, b=a swaps). One
         # select with a pre-evaluated match flag gives exactly that —
@@ -1182,7 +1198,6 @@ class TxnTable:
         assignments: "dict[str, Column | str]",
         cond: Column,
         touched: "list[dict]",
-        counts: "dict[str, int]",
         meta: dict | None,
     ) -> dict:
         """UPDATE as merge-on-read: the matched ORIGINAL rows become
@@ -1201,19 +1216,6 @@ class TxnTable:
             .persist()
         )
         try:
-            positions = matched.select(
-                F.col("_dv_file").alias("_file"),
-                F.col("_dv_pos").alias("_pos"),
-            )
-            prior_paths = sorted(
-                {p for f in touched for p in _dv_of(f).get("paths", [])}
-            )
-            if prior_paths:
-                positions = positions.unionByName(
-                    self.spark.read.schema(_DV_SCHEMA)
-                    .parquet(*[str(self.path / p) for p in prior_paths])
-                    .where(F.col("_file").isin([f["path"] for f in touched]))
-                )
             # every selected row matches, so assignments apply in ONE
             # select — simultaneous SQL semantics (SET a=b, b=a swaps)
             out_cols = []
@@ -1226,32 +1228,41 @@ class TxnTable:
                     out_cols.append(F.col(f.name))
             updated = matched.select(*out_cols)
             self._enforce(updated, m)
-            dv_files = _write_data_files(
-                self.spark, self.path, positions.coalesce(1)
-            )
             new_files = _write_data_files(
                 self.spark, self.path, updated, _constraints_of(m)
             )
+            # manifest accounting comes from the SAME persisted set the
+            # sidecar is written from — the routing scan's counts are
+            # only a heuristic and may differ under a non-deterministic
+            # predicate, which would desynchronize dv.rows from the
+            # sidecar and skew every downstream dv_fraction consumer
+            counts = {
+                r["_file"]: r["n"]
+                for r in matched.groupBy(
+                    F.col("_dv_file").alias("_file")
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            positions = matched.select(
+                F.col("_dv_file").alias("_file"),
+                F.col("_dv_pos").alias("_pos"),
+            )
+            dvd = [f for f in touched if f["path"] in counts]
+            positions = self._consolidated_positions(positions, dvd)
+            dv_files = _write_data_files(
+                self.spark, self.path, positions.coalesce(1)
+            )
         finally:
             matched.unpersist()
-        new_entries = []
-        for f in m["files"]:
-            if f["path"] in counts:
-                e = dict(f)
-                e["dv"] = {
-                    "paths": dv_files,
-                    "rows": _dv_of(f).get("rows", 0) + counts[f["path"]],
-                }
-                new_entries.append(e)
-            else:
-                new_entries.append(f)
         manifest = {
             "version": base + 1,
             "op": "update",
             "key_field": keys[0],
             "key_fields": keys,
             "schema": m["schema"],
-            "files": new_entries + _stat_entries(self.path, new_files, keys[0]),
+            "files": _attach_dv(m["files"], counts, dv_files)
+            + _stat_entries(self.path, new_files, keys[0]),
         }
         rolled = _rolled_meta(m, meta)
         if rolled:
