@@ -85,6 +85,13 @@ def main() -> None:
         res["merge_1row_pruned_s"] = round(t, 3)
         res["merge_1row_rewritten_files"] = r["rewritten"]
         res["merge_1row_kept_files"] = r["kept"]
+        # merge-on-read: the same 1-row delta with ZERO file rewrites
+        tbl.merge(one, strategy="mor")  # warm the mor plans too
+        t, r = timed(lambda: tbl.merge(one, strategy="mor"))
+        res["merge_1row_mor_s"] = round(t, 3)
+        res["merge_1row_mor_rewritten_files"] = r["rewritten"]
+        res["merge_1row_mor_matched_rows"] = r["matched_rows"]
+        tbl.compact(n_files=N_FILES)  # clear the vector before later receipts
 
         t, r = timed(
             lambda: tbl.delete(
