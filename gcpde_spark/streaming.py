@@ -232,6 +232,7 @@ def upsert_stream_to_txn_table(
     checkpoint_dir: str,
     available_now: bool = False,
     ts_col: str = "ts",
+    merge_strategy: str = "cow",
 ) -> StreamingQuery:
     """EXACTLY-once CDC into a transactional :class:`gcpde_spark.txn.
     TxnTable`: each micro-batch's merge commits atomically WITH its
@@ -248,7 +249,14 @@ def upsert_stream_to_txn_table(
     re-delivery — intentional (same data re-read ⇒ same table), but a
     NEW logical stream into an existing table needs a fresh table or a
     cleared manifest meta, not a recycled checkpoint dir.
-    """
+
+    ``merge_strategy`` forwards to :meth:`TxnTable.merge` —
+    ``"auto"``/``"mor"`` make each micro-batch a merge-on-read commit
+    (superseded rows become deletion-vector positions, only the batch
+    writes; O(batch) per commit with NO touched-file copies — the
+    steady-state CDC shape), paired with a periodic
+    :meth:`TxnTable.maybe_compact` (e.g. from the commit-log stream)
+    to keep the vector debt bounded."""
     from gcpde_spark.txn import TxnTable, TxnTableNotFound
 
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
@@ -273,7 +281,11 @@ def upsert_stream_to_txn_table(
         last = t.last_meta_value("stream_batch_id")
         if last is not None and batch_id <= last:
             return  # re-delivered batch: already committed, skip
-        t.merge(latest, meta={"stream_batch_id": batch_id})
+        t.merge(
+            latest,
+            meta={"stream_batch_id": batch_id},
+            strategy=merge_strategy,
+        )
 
     writer = (
         df.writeStream.foreachBatch(_merge_batch)

@@ -581,3 +581,50 @@ def test_streaming_cdc_base_feeds_incremental_view(
     # the refresh touched the group the user LEFT and the one it joined
     assert rec["groups_refreshed"] == 2
     assert {tuple(r) for r in view.read().collect()} == batch_agg()
+
+
+def test_upsert_stream_to_txn_table_mor_strategy(
+    spark, event_dataset, tmp_path_factory
+):
+    """merge_strategy='mor' makes each micro-batch commit merge-on-read:
+    after the seed commit, an incremental batch supersedes rows via
+    deletion vectors and rewrites ZERO data files, with identical
+    results to the copy-on-write sink."""
+    from gcpde_spark.streaming import (
+        read_dataset_stream,
+        upsert_stream_to_txn_table,
+    )
+    from gcpde_spark.txn import TxnTable
+
+    base, events = event_dataset
+    tpath = str(tmp_path_factory.mktemp("txn_mor") / "user_latest")
+    ckpt = str(tmp_path_factory.mktemp("txn_mor_ckpt"))
+    q = upsert_stream_to_txn_table(
+        read_dataset_stream(spark, base, "ev", EVENT_SCHEMA),
+        tpath, "user_id", ckpt, available_now=True, merge_strategy="mor",
+    )
+    q.awaitTermination(120)
+    t = TxnTable(spark, tpath)
+    before = {f["path"] for f in t._manifest()["files"]}
+    got = {r.user_id: r.ts for r in t.read().collect()}
+    # a late update for an existing user: the mor batch must supersede
+    # that one row without copying any file
+    target = next(iter(got))
+    new_ts = max(got.values()) + dt.timedelta(days=1)
+    DatasetStore(spark, base).add_dataframe_to_dataset(
+        spark.createDataFrame(
+            [(20_000_000, target, "late", new_ts)], EVENT_SCHEMA
+        ),
+        "ev", ts_column="ts",
+    )
+    q2 = upsert_stream_to_txn_table(
+        read_dataset_stream(spark, base, "ev", EVENT_SCHEMA),
+        tpath, "user_id", ckpt, available_now=True, merge_strategy="mor",
+    )
+    q2.awaitTermination(120)
+    after = t._manifest()["files"]
+    assert before <= {f["path"] for f in after}  # no file replaced
+    assert sum(1 for f in after if f.get("dv")) == 1
+    rows = {r.user_id: r for r in t.read().collect()}
+    assert len(rows) == len(got)
+    assert rows[target].ts == new_ts and rows[target].event_id == 20_000_000
