@@ -1363,21 +1363,58 @@ class TxnTable:
         away). Returns the compact receipt, or None when the layout is
         healthy — call it after every K commits (or from the commit-log
         stream) and it self-regulates; the decision reads only the
-        manifest."""
+        manifest. When ONLY the vector debt tripped (layout otherwise
+        healthy), the cheaper :meth:`purge_vectors` runs instead of a
+        full rewrite — O(vector-carrying files), not O(table)."""
         st = self.layout_stats()
-        degraded = (
-            st["overlap_fraction"] > overlap_threshold
-            or st["dv_fraction"] > dv_threshold
-            or (
-                target_files is not None
-                and st["n_files"] > file_factor * target_files
-            )
+        layout_degraded = st["overlap_fraction"] > overlap_threshold or (
+            target_files is not None
+            and st["n_files"] > file_factor * target_files
         )
-        if not degraded:
+        if not layout_degraded:
+            if st["dv_fraction"] > dv_threshold:
+                return self.purge_vectors()
             return None
         return self.compact(
             n_files=target_files, cluster_by=cluster_by, bits=bits
         )
+
+    def purge_vectors(self) -> "dict | None":
+        """Targeted vector materialization (the ``REORG TABLE … APPLY
+        (PURGE)`` analog): rewrite ONLY the deletion-vector-carrying
+        files without their deleted rows and carry every clean file
+        into the new snapshot untouched — O(vector-carrying files),
+        where :meth:`compact` is O(table). Published as a ``compact``
+        commit (the row set is unchanged, so change feeds and the cdf
+        stream rightly skip it). Returns None when no entry carries a
+        vector."""
+        base = self.version()
+        m = self._manifest(base)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        dvd = [f for f in m["files"] if _dv_of(f)]
+        if not dvd:
+            return None
+        clean = [f for f in m["files"] if not _dv_of(f)]
+        new_files = _write_data_files(
+            self.spark, self.path, self._read_entries(schema, dvd)
+        )
+        manifest = {
+            "version": base + 1,
+            "op": "compact",
+            "key_field": _keys(m)[0],
+            "key_fields": _keys(m),
+            "schema": m["schema"],
+            "files": clean + _stat_entries(self.path, new_files, _keys(m)[0]),
+        }
+        rolled = _rolled_meta(m, None)
+        if rolled:
+            manifest["meta"] = rolled
+        _publish(self.path, base + 1, manifest)
+        return {
+            "version": base + 1,
+            "purged_files": len(dvd),
+            "kept": len(clean),
+        }
 
     def compact(
         self,

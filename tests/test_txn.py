@@ -1621,3 +1621,30 @@ def test_mor_merge_precise_feed_and_schema_evolution(spark, tmp_path):
     t.merge(evo, merge_schema=True, strategy="mor")
     rows = {r.id: (r.v, r.score) for r in t.read().where("id in (7, 8)").collect()}
     assert rows[7] == ("UPD2", 1.5) and rows[8] == ("1", None)
+
+
+def test_purge_vectors_rewrites_only_vector_carrying_files(spark, tmp_path):
+    """The REORG-PURGE analog: only dv-carrying files rewrite; clean
+    files carry untouched; the commit is a logical no-op to feeds."""
+    t = _mk_wide(spark, tmp_path / "t", n=1000, files=8)
+    assert t.purge_vectors() is None  # nothing to purge
+    t.delete(F.col("id").between(0, 9), mode="dv")
+    clean_before = {
+        f["path"] for f in t._manifest()["files"] if not f.get("dv")
+    }
+    rec = t.purge_vectors()
+    assert rec["purged_files"] == 1 and rec["kept"] == 7
+    after = t._manifest()["files"]
+    assert not any(f.get("dv") for f in after)
+    assert clean_before <= {f["path"] for f in after}
+    assert t.read().count() == 990
+    # published as compact: the upsert feed must skip it
+    assert (
+        t.read_changes(rec["version"] - 1, end_version=rec["version"]).count()
+        == 0
+    )
+    # policy: dv debt with healthy layout routes to purge, not compact
+    t2 = _mk_wide(spark, tmp_path / "t2", n=1000, files=4)
+    t2.delete(F.col("id") < 300, mode="dv")
+    rec2 = t2.maybe_compact(target_files=4)
+    assert rec2 is not None and "purged_files" in rec2
