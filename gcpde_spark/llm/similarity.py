@@ -525,6 +525,11 @@ def profile_neighbors(
     if method not in ("auto", "exact", "lsh"):
         raise ValueError(f"unknown method {method!r}; use auto|exact|lsh")
     if method == "auto":
+        # The bound job must materialize p anyway (the only shuffle over
+        # the raw events); persist it so the routed query reads the
+        # (keys × categories)-sized aggregate instead of re-scanning the
+        # input. Sized like a profile table, not the fact table.
+        p.persist()
         method = (
             "lsh" if profile_pair_bound(p, cat_col) > candidate_budget else "exact"
         )

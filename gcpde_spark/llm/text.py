@@ -801,25 +801,58 @@ def bm25_topk(
     the per-doc SUM — so ranking compares exact integers and the
     result is identical across engines and partitionings.
 
-    Scale: ONE explode of the corpus feeds both doc-length and term
-    frequencies (l15's structure); ``df``/``idf`` are
+    Scale: ONE explode of the corpus feeds ONE id-keyed aggregation
+    that computes doc length AND every query term's tf together
+    (conditional aggregation — |query| extra integer columns, not extra
+    passes); the (term, tf) rows are then unpivoted from those columns
+    with an all-literal struct explode, carrying ``_dl`` along so no
+    second corpus-sized join exists anywhere. ``dfreq``/``idf`` are
     |query|-row tables and the corpus-wide (N, total-token) pair is a
-    2-column scalar — all broadcast; the only big shuffles are the two
-    id-keyed aggregations. Top-k is a TakeOrdered on the exact integer
-    score, not a global sort.
+    2-column scalar — all broadcast; the only big shuffle is the single
+    id-keyed aggregation. Top-k is a TakeOrdered on the exact integer
+    score, not a global sort. (Round 5: the previous form evaluated the
+    tokenize+explode in three plan branches — dl, tf, and the final
+    join — this one evaluates it once.)
     """
+    terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
+    if not terms:
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("bm25")
+        ).limit(0)
     ex = spread(df).select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_term")
     )
-    dl = ex.groupBy("_id").agg(F.count(F.lit(1)).cast("bigint").alias("_dl"))
-    stats = dl.agg(
+    dltf = ex.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_dl"),
+        *[
+            F.sum(F.when(F.col("_term") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = dltf.agg(
         F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
         F.sum("_dl").alias("_total"),
     )
     tf = (
-        ex.where(F.col("_term").isin(query_terms))
-        .groupBy("_id", "_term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_tf"))
+        dltf.select(
+            "_id",
+            "_dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("_term"),
+                            F.col(f"_tf_{i}").alias("_tf"),
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                )
+            ).alias("_e"),
+        )
+        .select("_id", "_dl", F.col("_e._term").alias("_term"), F.col("_e._tf").alias("_tf"))
+        .where(F.col("_tf") > 0)
     )
     dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
     idf = (
@@ -834,7 +867,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(idf), "_term")
-        .join(dl, "_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "_s_micro",

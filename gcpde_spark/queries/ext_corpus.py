@@ -970,23 +970,26 @@ def l34(spark: SparkSession, sf: str) -> DataFrame:
        FROM g GROUP BY grp ORDER BY island_start""",
     "gaps & islands (§2B-8 classic): maximal runs of consecutive "
     "custkeys present in orders — the value-minus-row_number grouping "
-    "idiom (missing-id detection, contiguous-range compaction). One "
-    "distinct + one global-order window + one aggregate; at 100 TB "
-    "swap the window for operators.with_ordered_index (range-partition "
-    "+ per-partition offsets — same numbering, no single-partition "
-    "WindowExec; parity-tested) or partition the window by a bucket of "
-    "k and stitch boundary islands in a cheap second pass. This entry "
-    "keeps the window form as the plan-allowlisted bounded-child case.",
+    "idiom (missing-id detection, contiguous-range compaction). The "
+    "numbering comes from operators.with_ordered_index (range-partition "
+    "+ per-partition offsets — the same consecutive numbers "
+    "row_number() OVER (ORDER BY k) produces, parity-tested), NOT a "
+    "global window, so the distinct-key table is never moved into one "
+    "partition; the only non-distributed step is the #partitions-sized "
+    "count collect that computes the offsets.",
 )
 def c65(spark: SparkSession, sf: str) -> DataFrame:
+    from gcpde_spark.operators import with_ordered_index
+
     o = (
         load_table(spark, sf, "orders")
         .where(F.col("o_totalprice") > 150000)
         .select(F.col("o_custkey").alias("k"))
         .distinct()
     )
-    w = W.orderBy("k")
-    g = o.withColumn("grp", F.col("k") - F.row_number().over(w))
+    g = with_ordered_index(o, ["k"], out_col="_rn").withColumn(
+        "grp", F.col("k") - F.col("_rn")
+    ).drop("_rn")
     return (
         g.groupBy("grp")
         .agg(

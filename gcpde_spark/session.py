@@ -80,7 +80,14 @@ def build_session(
         # workload is a batch of short queries where G1's pause-target
         # bookkeeping costs ~7% wall-clock (measured round 4). Cluster
         # deployments set their own executor GC flags.
-        confs["spark.driver.extraJavaOptions"] = "-XX:+UseParallelGC"
+        # SPARK_GRAFT_JAVA_OPTS appends extra flags for A/B experiments
+        # (JVM options are process-static, so runtime conf.set can't
+        # reach them — a fresh process per arm is the only honest A/B).
+        opts = "-XX:+UseParallelGC"
+        extra = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+        if extra:
+            opts = f"{opts} {extra}"
+        confs["spark.driver.extraJavaOptions"] = opts
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():

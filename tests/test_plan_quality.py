@@ -162,11 +162,12 @@ def test_c50_aggregates_partially_map_side(spark):
 
 # Entries whose single-partition window is justified by a child whose
 # cardinality is bounded BY CONSTRUCTION (not by the data): c66 ranks
-# over the 25-row nation aggregate; c65's value-minus-row_number idiom
-# needs a global numbering and documents the bucket-partition scale
-# path in its docstring. Everything else must have zero unpartitioned
-# windows — the l27 bug class (round-4 verdict finding #1).
-GLOBAL_WINDOW_ALLOWLIST = {"c65_gaps_islands", "c66_ratio_to_report"}
+# over the 25-row nation aggregate (one row per nation — a dimension,
+# not a fact). Everything else must have zero unpartitioned windows —
+# the l27 bug class (round-4 verdict finding #1). c65 left this list
+# in round 5: its numbering now comes from operators.with_ordered_index
+# instead of a data-sized global window.
+GLOBAL_WINDOW_ALLOWLIST = {"c66_ratio_to_report"}
 
 # Streaming entries drain a stream at build time — their batch rollup
 # plans are covered by their own parity tests; skip the rebuild here.
