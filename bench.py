@@ -11,6 +11,7 @@ result path pays).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -32,6 +33,33 @@ ONLY = [p for p in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if p]
 
 def _input_bytes(sf_dir: str) -> int:
     return sum(p.stat().st_size for p in Path(sf_dir).glob("*.parquet"))
+
+
+_GC_EVERY = 8
+_gc_tick = 0
+
+
+def _drain_session_garbage(spark) -> None:
+    """Long-session hygiene, run BETWEEN timed blocks: ContextCleaner can
+    only release finished queries' broadcast/cache blocks after a JVM GC
+    proves them unreachable, and Spark's own periodic GC defaults to 30
+    MINUTES — longer than this whole run. Over ~740 query builds the
+    un-collected broadcasts accumulate into storage-memory eviction
+    churn that inflated LATE entries 3-9x (x05 11.1 s in one full run vs
+    1.2-1.5 s isolated, the whole tail of the alphabet drifting with
+    it). A timer conf (`spark.cleaner.periodicGC.interval=1min`) fixed
+    the tail but fired full-GC pauses INSIDE timed samples — the
+    pre-warmed flagship query suddenly measured 2.2 s. So: Python cycle
+    collection every entry (DataFrame graphs are cyclic; py4j handles
+    detach only after collection), and an explicit JVM GC every
+    ``_GC_EVERY`` entries, both strictly in the untimed gaps. A
+    production driver that outlives many queries wants the timer conf;
+    a benchmark wants the pauses placed deterministically."""
+    global _gc_tick
+    gc.collect()
+    _gc_tick += 1
+    if _gc_tick % _GC_EVERY == 0:
+        spark._jvm.System.gc()
 
 
 def main() -> None:
@@ -81,6 +109,7 @@ def main() -> None:
             spec.build(spark, sf_dir).toPandas()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        _drain_session_garbage(spark)
 
     # warm series: re-execute the SAME prepared DataFrame — isolates
     # execution throughput from the one-time per-plan cost (Catalyst
@@ -100,6 +129,7 @@ def main() -> None:
             prepared.toPandas()
             wsamples.append(time.perf_counter() - t0)
         warm[name] = round(statistics.median(wsamples), 4)
+        _drain_session_garbage(spark)
 
     # No-op job floor: the cost of ONE bare Spark job round-trip on this
     # VM right now. At sf0.1 the DuckDB median per query (~0.02 s) is

@@ -14,6 +14,11 @@ DataFrame → DataFrame transforms so they scale with partitioning:
 - :mod:`gcpde_spark.llm.multimodal` — binary media columns: binaryFile
   source, Arrow-batched decode / feature-extraction plumbing (decode
   itself stubbed — media libs are not in this image).
+- :mod:`gcpde_spark.llm.web`        — RFC-3986 canonical URL form and
+  URL-keyed crawl dedup (tracking-param aliases, re-crawls).
+- :mod:`gcpde_spark.llm.classify`   — hashed-n-gram linear classifier
+  inference (the fastText-style quality-filter stage) as a broadcast
+  join + exact-integer dot product.
 
 Design rules: no Python row UDFs anywhere (hot paths are built-in column
 expressions compiled by Catalyst; where a matrix product genuinely beats
@@ -23,6 +28,10 @@ operator except the IVF trainer's bounded driver-side sample, no
 all-pairs joins (candidate generation is always banded / bucketed).
 """
 
+from gcpde_spark.llm.classify import (
+    classifier_weights,
+    hashed_classifier_score,
+)
 from gcpde_spark.llm.curation import (
     corpus_report,
     decontaminate,
@@ -76,8 +85,18 @@ from gcpde_spark.llm.text import (
     with_redacted_pii,
     with_text_stats,
 )
+from gcpde_spark.llm.web import (
+    canonical_url,
+    dedup_by_url,
+    with_canonical_url,
+)
 
 __all__ = [
+    "canonical_url",
+    "classifier_weights",
+    "dedup_by_url",
+    "hashed_classifier_score",
+    "with_canonical_url",
     "connected_components",
     "corpus_report",
     "decontaminate",
