@@ -32,6 +32,9 @@ def curate_documents(
     min_mean_logprob: float | None = None,
     quality_top_fraction: float | None = None,
     quality_strata: tuple[str, ...] = (),
+    classifier_weights: DataFrame | None = None,
+    classifier_min_score: float = 0.5,
+    classifier_n_buckets: int | None = None,
 ) -> DataFrame:
     """Standard curation: exact-dedup (keep smallest id per normalized
     text), drop short/low-quality docs, keep target languages; output
@@ -54,6 +57,12 @@ def curate_documents(
       unlike the absolute ``min_quality`` floor it adapts to the
       corpus's own quality distribution per source/language. Adds one
       rank-window exchange on the strata key.
+    - ``classifier_weights``: MODEL-based quality gate — score the
+      post-dedup text with the hashed-n-gram linear classifier
+      (llm/classify.py, the fastText-style filter) and keep docs with
+      ``score >= classifier_min_score``. The weight table broadcasts;
+      adds the classifier subplan (one explode + doc-keyed agg + join).
+      Output schema is unchanged (the score is gate-internal).
 
     Single-shuffle plan: the dedup window is the only exchange the
     pipeline itself requires — the stats, language-ID and token-count
@@ -152,6 +161,22 @@ def curate_documents(
             out.join(scores, id_col)
             .where(F.col("mean_logprob") >= min_mean_logprob)
             .drop("mean_logprob")
+        )
+    if classifier_weights is not None:
+        from gcpde_spark.llm.classify import DEFAULT_BUCKETS, hashed_classifier_score
+
+        cl = hashed_classifier_score(
+            deduped.select(id_col, F.col(norm_col).alias("_clf_text")),
+            classifier_weights,
+            n_buckets=classifier_n_buckets or DEFAULT_BUCKETS,
+            id_col=id_col,
+            text_col="_clf_text",
+            out_col="_clf_score",
+        ).select(id_col, "_clf_score")
+        out = (
+            out.join(cl, id_col)
+            .where(F.col("_clf_score") >= classifier_min_score)
+            .drop("_clf_score")
         )
     if quality_top_fraction is not None:
         from gcpde_spark.llm.curation import select_top_fraction

@@ -200,3 +200,124 @@ def test_classifier_plan_quality(spark, weights):
     assert not r.python_row_udfs
     assert r.broadcasts >= 1  # the weight table never shuffles data-side
     assert not r.unkeyed_joins
+
+
+# -- canonical_url differential property ----------------------------------------
+
+import re as _re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gcpde_spark.llm.web import _TRACKER_RE
+
+_TRACKER_MODEL = _re.compile(_TRACKER_RE.removeprefix("(?i)"), _re.IGNORECASE)
+_LABEL = st.from_regex(r"[a-z][a-z0-9]{0,7}", fullmatch=True)
+_SEG = st.one_of(
+    st.just("."), st.just(".."), st.from_regex(r"[A-Za-z0-9_\-.]{1,8}", fullmatch=True)
+)
+_KEY = st.one_of(
+    st.from_regex(r"[A-Za-z0-9]{1,6}", fullmatch=True),
+    st.sampled_from(["utm_source", "UTM_Medium", "gclid", "REF", "b", "a"]),
+)
+
+
+@st.composite
+def _url_parts(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "Https", "ftp"]))
+    host = ".".join(draw(st.lists(_LABEL, min_size=2, max_size=4)))
+    if draw(st.booleans()):
+        host = "www." + host
+    port = draw(st.one_of(st.none(), st.sampled_from([80, 443, 8080, 8443])))
+    segs = draw(st.lists(_SEG, min_size=0, max_size=6))
+    pairs = draw(
+        st.lists(
+            st.tuples(_KEY, st.from_regex(r"[A-Za-z0-9]{0,5}", fullmatch=True)),
+            min_size=0,
+            max_size=5,
+        )
+    )
+    frag = draw(st.one_of(st.none(), st.just("sec1")))
+    return scheme, host, port, segs, pairs, frag
+
+
+def _assemble(parts) -> str:
+    scheme, host, port, segs, pairs, frag = parts
+    url = f"{scheme}://{host}"
+    if port is not None:
+        url += f":{port}"
+    url += "/" + "/".join(segs)
+    if pairs:
+        url += "?" + "&".join(f"{k}={v}" for k, v in pairs)
+    if frag is not None:
+        url += f"#{frag}"
+    return url
+
+
+def _model_canonical(parts) -> str:
+    """Pure-Python model of canonical_url's documented semantics."""
+    scheme, host, port, segs, pairs, _frag = parts
+    scheme, host = scheme.lower(), host.lower()
+    if host.startswith("www."):
+        host = host[4:]
+    default = {"http": 80, "https": 443}.get(scheme)
+    portpart = "" if port is None or port == default else f":{port}"
+    out: list[str] = []
+    for s in segs:
+        if s in ("", "."):
+            continue
+        if s == "..":
+            if out:
+                out.pop()
+            continue
+        out.append(s)
+    path = "/" + "/".join(out)
+    kept = sorted(
+        f"{k}={v}" for k, v in pairs if not _TRACKER_MODEL.match(f"{k}={v}")
+    )
+    q = ("?" + "&".join(kept)) if kept else ""
+    return f"{scheme}://{host}{portpart}{path}{q}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_url_parts(), min_size=1, max_size=40))
+def test_canonical_url_matches_python_model(spark, parts_list):
+    df = spark.createDataFrame(
+        [(i, _assemble(p)) for i, p in enumerate(parts_list)], "i int, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url("url").alias("c")).collect()
+    }
+    for i, p in enumerate(parts_list):
+        expected = _model_canonical(p)
+        assert got[i] == expected, f"{_assemble(p)!r}: {got[i]!r} != {expected!r}"
+
+
+# -- pipeline classifier gate ----------------------------------------------------
+
+
+def test_pipeline_classifier_gate(spark):
+    from gcpde_spark.llm.pipeline import curate_documents
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    # enough English stopwords that the base language gate keeps it —
+    # only the classifier should reject this one
+    junk = "buy cheap pills now and the best of the offers to win money " * 3
+    df = spark.createDataFrame(
+        [(1, good), (2, junk), (3, good + " extra")],
+        "doc_id int, text string",
+    )
+    w = classifier_weights(spark, {"buy cheap": -4.0, "pills": -4.0, "fox": 1.0})
+    base = curate_documents(df, min_tokens=5, min_quality=0.0)
+    gated = curate_documents(
+        df,
+        min_tokens=5,
+        min_quality=0.0,
+        classifier_weights=w,
+        classifier_min_score=0.45,
+    )
+    assert gated.columns == base.columns  # gate is schema-invariant
+    kept = sorted(r["doc_id"] for r in gated.collect())
+    assert kept == [1, 3]  # the spam doc fails the model gate
+    assert sorted(r["doc_id"] for r in base.collect()) == [1, 2, 3]
