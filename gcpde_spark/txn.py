@@ -67,6 +67,10 @@ from gcpde_spark.tables import MergeIntoBackend, merge_dataframes
 _LOG_DIR = "_txn_log"
 _DATA_DIR = "data"
 _CONSTRAINTS_KEY = "table_constraints"
+_BLOOM_KEY = "table_bloom"
+# per-file-per-column bitmap cap: 128 KiB ≈ 1 Mbit holds ~150k distinct
+# values at 1% FPR; above that the filter degrades (never unsound)
+_BLOOM_MAX_BYTES = 128 << 10
 
 # deletion-vector sidecar schema: table-relative data-file path + the
 # 0-based parquet row position (stable: data files are immutable)
@@ -242,6 +246,167 @@ def _norm_bound(v: Any, dtype: Any) -> Any:
     return _stat_repr(v)
 
 
+def _bloom_of(m: dict) -> dict:
+    return (m.get("meta") or {}).get(_BLOOM_KEY) or {}
+
+
+def _bloom_canon(v: Any, tag: str) -> bytes:
+    """Type-tagged canonical bytes of a bloom-indexed value. The tag is
+    derived from the DECLARED column type on both sides (write: arrow
+    schema; read: table schema), so `5` in a BIGINT column hashes the
+    same whether the caller passes int or the footer yields int64 —
+    python-object identity never decides membership."""
+    if tag == "i":
+        s = f"i:{int(v)}"
+    elif tag == "s":
+        s = f"s:{v}"
+    elif tag == "b":
+        s = f"b:{bool(v)}"
+    else:  # "t": dates/timestamps, already ISO via _stat_repr/_norm_bound
+        s = f"t:{v}"
+    return s.encode("utf-8")
+
+
+def _bloom_hashes(data: bytes, m_bits: int, k: int) -> "list[int]":
+    """k bit positions via double hashing over one blake2b digest."""
+    import hashlib
+
+    d = hashlib.blake2b(data, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + j * h2) % m_bits for j in range(k)]
+
+
+def _bloom_tag(dtype: Any) -> "str | None":
+    """Canonicalization tag for a Spark type, or None if the type is
+    refused for bloom indexing (floats: equality is a smell and repr
+    drift would be unsound; binary/nested/decimal: no stable canon)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        return "i"
+    if isinstance(dtype, StringType):
+        return "s"
+    if isinstance(dtype, BooleanType):
+        return "b"
+    if isinstance(dtype, (DateType, TimestampType, TimestampNTZType)):
+        return "t"
+    return None
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Optimal (m_bits, k) for n distinct values at the target false-
+    positive rate, capped at `_BLOOM_MAX_BYTES` (degrades FPR, never
+    soundness)."""
+    import math
+
+    n = max(n, 1)
+    m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = min(max(m, 64), _BLOOM_MAX_BYTES * 8)
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _bloom_build(path: str, cols: "list[str]", fpp: float) -> dict:
+    """Per-column bloom filters over a data file's DISTINCT non-null
+    values, from one arrow read of just those columns. Returns
+    {col: {"m": bits, "k": hashes, "b64": bitmap}} — sized per file
+    (files differ in cardinality), stored in the manifest entry.
+    Columns absent from the file (pre-evolution files) or of refused
+    types are skipped: a file without a bloom is always kept."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    present = [c for c in cols if c in pf.schema_arrow.names]
+    if not present:
+        return {}
+    import pyarrow.compute as pc
+
+    table = pq.read_table(path, columns=present)
+    out = {}
+    for c in present:
+        import pyarrow as pa
+
+        field = table.schema.field(c)
+        t = field.type
+        if pa.types.is_integer(t):
+            tag = "i"
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            tag = "s"
+        elif pa.types.is_boolean(t):
+            tag = "b"
+        elif pa.types.is_temporal(t):
+            tag = "t"
+        else:
+            continue
+        uniq = [v for v in pc.unique(table.column(c)).to_pylist() if v is not None]
+        m_bits, k = _bloom_params(len(uniq), fpp)
+        bits = bytearray(m_bits // 8 + (1 if m_bits % 8 else 0))
+        for v in uniq:
+            if tag == "t":
+                v = _stat_repr(v)
+            for pos in _bloom_hashes(_bloom_canon(v, tag), m_bits, k):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        out[c] = {
+            "m": m_bits,
+            "k": k,
+            "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+        }
+    return out
+
+
+def _bloom_maybe_contains(bloom: dict, canon: bytes) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    for pos in _bloom_hashes(canon, bloom["m"], bloom["k"]):
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def _prune_by_bloom(
+    entries: "list[dict]", eq: "dict[str, Any]", schema: StructType
+) -> "list[dict]":
+    """Point-lookup data skipping: drop entries whose bloom filter for
+    an equality column PROVES the value absent. Entries without a bloom
+    for the column are kept (conservative); NULL equality never reaches
+    here (read() refuses it — SQL `=` never matches NULL)."""
+    fields = {f.name: f.dataType for f in schema.fields}
+    canons: "dict[str, bytes]" = {}
+    for col, v in eq.items():
+        dtype = fields.get(col)
+        tag = _bloom_tag(dtype) if dtype is not None else None
+        if tag is None:
+            continue
+        canons[col] = _bloom_canon(_norm_bound(v, dtype), tag)
+    if not canons:
+        return entries
+    out = []
+    for f in entries:
+        keep = True
+        for col, canon in canons.items():
+            bloom = (f.get("bloom") or {}).get(col)
+            if bloom is not None and not _bloom_maybe_contains(bloom, canon):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
 def _file_stats(path: str) -> tuple[dict[str, list], int]:
     """Per-column [min, max] for every top-level primitive column (up
     to ``_STATS_MAX_COLS``, JSON-representable types only) plus the row
@@ -322,6 +487,8 @@ class TxnTable:
         n_files: int | None = None,
         meta: dict | None = None,
         constraints: "dict[str, str] | None" = None,
+        bloom_cols: "Sequence[str] | None" = None,
+        bloom_fpp: float = 0.01,
     ) -> "TxnTable":
         """Initialize a table from ``df``. ``sort_by_key`` range-sorts
         the initial files by the merge key, which is what makes future
@@ -352,6 +519,17 @@ class TxnTable:
         if constraints:
             _check_constraints(df, constraints)
             meta = {**(meta or {}), _CONSTRAINTS_KEY: dict(constraints)}
+        if bloom_cols:
+            fields = {f.name: f.dataType for f in df.schema.fields}
+            for c in bloom_cols:
+                if c not in fields or _bloom_tag(fields[c]) is None:
+                    raise ValueError(
+                        f"bloom column {c!r} missing or of unsupported type"
+                    )
+            meta = {
+                **(meta or {}),
+                _BLOOM_KEY: {"cols": list(bloom_cols), "fpp": float(bloom_fpp)},
+            }
         if sort_by_key:
             out = (
                 df.repartitionByRange(n_files, *keys)
@@ -381,6 +559,7 @@ class TxnTable:
         version: int | None = None,
         key_range: tuple[Any, Any] | None = None,
         ranges: "dict[str, tuple[Any, Any]] | None" = None,
+        eq: "dict[str, Any] | None" = None,
     ) -> DataFrame:
         """Snapshot read with data skipping. ``key_range=(lo, hi)``
         (inclusive) bounds the merge key; ``ranges={col: (lo, hi)}``
@@ -394,14 +573,25 @@ class TxnTable:
         per-file range narrow). The same bounds are re-applied as row
         filters — file ranges overlap a request without every row
         matching — so results are exact, and a column without stats
-        simply doesn't prune (conservative, never lossy)."""
-        return self.read_with_receipt(version, key_range, ranges)[0]
+        simply doesn't prune (conservative, never lossy).
+
+        ``eq={col: value}`` is the POINT-lookup form: it prunes by
+        [min, max] like a ``(v, v)`` range AND by the per-file Bloom
+        filters when the table indexes the column
+        (:meth:`set_bloom_cols` / ``create(bloom_cols=...)``) — a
+        needle-in-100 TB id probe touches only files whose filter
+        admits the value, which range stats alone can't deliver on a
+        high-cardinality column whose per-file ranges all overlap.
+        NULL is refused (SQL ``=`` never matches NULL; use a range
+        read + ``isNull`` filter for that)."""
+        return self.read_with_receipt(version, key_range, ranges, eq)[0]
 
     def read_with_receipt(
         self,
         version: int | None = None,
         key_range: tuple[Any, Any] | None = None,
         ranges: "dict[str, tuple[Any, Any]] | None" = None,
+        eq: "dict[str, Any] | None" = None,
     ) -> "tuple[DataFrame, int, int]":
         """:meth:`read` plus the data-skipping evidence:
         ``(df, files_scanned, files_total)`` — for callers (refresh
@@ -410,11 +600,19 @@ class TxnTable:
         m = self._manifest(version)
         schema = StructType.fromJson(json.loads(m["schema"]))
         all_ranges = dict(ranges or {})
+        for col, v in (eq or {}).items():
+            if v is None:
+                raise ValueError(
+                    f"eq[{col!r}] is NULL — SQL equality never matches NULL"
+                )
+            all_ranges[col] = (v, v)
         if key_range is not None:
             all_ranges[_keys(m)[0]] = key_range
         entries = m["files"]
         if all_ranges:
             entries = _prune_by_ranges(entries, all_ranges, _keys(m)[0], schema)
+        if eq:
+            entries = _prune_by_bloom(entries, eq, schema)
         df = self._read_entries(schema, entries)
         for col, (lo, hi) in all_ranges.items():
             if lo is not None and hi is not None:
@@ -546,6 +744,57 @@ class TxnTable:
         rows of every write verb. Live in rolled commit metadata, so
         compact/vacuum/maintenance can never silently drop them."""
         return dict(self.last_meta_value(_CONSTRAINTS_KEY) or {})
+
+    def bloom_cols(self) -> "list[str]":
+        """Columns currently bloom-indexed (empty when disabled)."""
+        return list(_bloom_of(self._manifest()).get("cols") or [])
+
+    def set_bloom_cols(self, cols: "Sequence[str]", fpp: float = 0.01) -> dict:
+        """Enable (or with ``cols=()`` disable) per-file Bloom indexing
+        for point lookups — the Delta/Iceberg bloom-index analog.
+
+        The config rides the rolled commit meta, so EVERY later write
+        verb builds filters for its new files without knowing the
+        feature exists (``_publish`` choke point). The enable commit
+        itself backfills CURRENT files (one indexed-column read per
+        file — data files are immutable, so unlike Delta no rewrite is
+        needed); any entry that still lacks a filter (e.g. a column
+        absent from pre-evolution files) is simply never pruned
+        (conservative). Allowed types:
+        integer, string, boolean, date, timestamp; floats are refused
+        (repr drift would make equality pruning unsound), as are
+        nested/binary/decimal columns.
+
+        Cost model: ~1.2 bytes per distinct value per file at the
+        default 1% FPR, capped at 128 KiB per (file, column) — manifest
+        growth is linear in file count, same order as the min/max
+        stats already stored."""
+        if not 0 < fpp < 0.5:
+            raise ValueError(f"fpp must be in (0, 0.5), got {fpp}")
+        base = self.version()
+        m = self._manifest(base)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        fields = {f.name: f.dataType for f in schema.fields}
+        for c in cols:
+            if c not in fields:
+                raise ValueError(f"bloom column {c!r} not in table schema")
+            if _bloom_tag(fields[c]) is None:
+                raise ValueError(
+                    f"bloom column {c!r} has unsupported type "
+                    f"{fields[c].simpleString()} (equality canon unstable)"
+                )
+        cfg = {"cols": list(cols), "fpp": float(fpp)} if cols else None
+        manifest = {
+            "version": base + 1,
+            "op": "bloom",
+            "key_field": _keys(m)[0],
+            "key_fields": _keys(m),
+            "schema": m["schema"],
+            "files": m["files"],
+            "meta": _rolled_meta(m, {_BLOOM_KEY: cfg}),
+        }
+        _publish(self.path, base + 1, manifest)
+        return {"version": base + 1, "bloom_cols": list(cols)}
 
     def add_constraint(self, name: str, sql: str) -> dict:
         """Add a CHECK constraint. Validates EXISTING rows first (one
@@ -2321,6 +2570,18 @@ def _publish(root: Path, version: int, manifest: dict) -> None:
     # commit wall-clock at the single publish choke point — what
     # timestamp time travel (version_at) resolves against
     manifest.setdefault("ts", time.time())
+    # bloom indexing at the same choke point: cfg rides the rolled
+    # commit meta, so every verb inherits it without knowing it exists;
+    # only entries MISSING a bloom compute one (carried-over COW entries
+    # keep theirs — immutable files, immutable filters). Driver-side per
+    # new file, same note as _file_stats: distribute at huge file counts.
+    cfg = _bloom_of(manifest)
+    if cfg and cfg.get("cols"):
+        for e in manifest.get("files") or []:
+            if "bloom" not in e:
+                e["bloom"] = _bloom_build(
+                    str(root / e["path"]), list(cfg["cols"]), float(cfg["fpp"])
+                )
     stage = log / f".tmp-{uuid.uuid4().hex}.json"
     stage.write_text(json.dumps(manifest))
     final = log / _mname(version)
