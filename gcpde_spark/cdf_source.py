@@ -40,6 +40,22 @@ execution for Python stream sources (Spark logs a warning) — every
 pending commit drains in ONE micro-batch, which preserves all
 semantics here because partitions are per-file and offsets advance to
 the drained version either way.
+
+``option("maxCommitsPerBatch", N)`` rate-limits steady-state intake
+(the ``maxFilesPerTrigger`` analog; commits are the offset unit, so
+they are the smallest splittable intake): after a run's first planned
+batch, each micro-batch advances at most N versions. The FIRST batch of
+a run is deliberately uncapped — the Python DataSource API gives
+``latestOffset`` neither the checkpointed start nor a limit, and an
+answer below that start would WAL a backwards offset (the engine plans
+batches on offset inequality) and poison the log into re-delivery;
+uncapped-first is the only answer that can never regress. It is also
+benign HERE: partitions are per-file, so a large catch-up batch
+schedules as many small file reads, not one big buffer — the cap
+exists to bound per-batch sink transactions and checkpoint granularity
+once the stream is live, not to make backfill feasible (for
+incremental backfill use ``TxnTable.sync_table``, which is O(deltas)
+per call with its own exactly-once bookkeeping).
 """
 
 from __future__ import annotations
@@ -145,11 +161,17 @@ class TxnChangeFeedDataSource(DataSource):
         mode = self.options.get("mode", "upsert")
         if mode not in ("upsert", "commits"):
             raise ValueError(f"unknown txn-cdf mode {mode!r}: upsert|commits")
+        max_commits = self.options.get("maxCommitsPerBatch")
+        if max_commits is not None and int(max_commits) < 1:
+            raise ValueError(
+                f"maxCommitsPerBatch must be >= 1, got {max_commits}"
+            )
         return _CdfStreamReader(
             self._root(),
             schema,
             None if start is None else int(start),
             mode,
+            None if max_commits is None else int(max_commits),
         )
 
 
@@ -163,11 +185,25 @@ class _CdfStreamReader(DataSourceStreamReader):
         schema: StructType,
         starting_version: "int | None",
         mode: str = "upsert",
+        max_commits: "int | None" = None,
     ):
         self.root = root
         self.schema = schema
         self.starting_version = starting_version
         self.mode = mode
+        self.max_commits = max_commits
+        # rate-limit cursor: the newest version this reader has handed
+        # to the engine as a batch end. The Python DataSource API has no
+        # admission-control hook (latestOffset receives neither the
+        # start offset nor a limit, and the engine probes latestOffset
+        # BEFORE initialOffset even on fresh checkpoints — measured), so
+        # the cap lives in reader state. A None cursor means the
+        # checkpointed start is unknowable here; answering anything
+        # below it would WAL a backwards offset (the engine plans on
+        # offset INEQUALITY) and poison the log into re-delivery — so
+        # the first planned batch of a run is always uncapped, and every
+        # later one advances at most max_commits versions.
+        self._cursor: "int | None" = None
 
     def initialOffset(self) -> dict:
         if self.starting_version is not None:
@@ -176,7 +212,12 @@ class _CdfStreamReader(DataSourceStreamReader):
         return {"version": _latest_version(self.root)}
 
     def latestOffset(self) -> dict:
-        return {"version": _latest_version(self.root)}
+        latest = _latest_version(self.root)
+        if self.max_commits is None or self._cursor is None:
+            self._cursor = latest
+            return {"version": latest}
+        self._cursor = min(latest, self._cursor + self.max_commits)
+        return {"version": self._cursor}
 
     def partitions(
         self, start: dict, end: dict

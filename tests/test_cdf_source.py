@@ -279,3 +279,83 @@ def test_clone_create_manifest_applies_deletion_vectors(spark, tmp_path):
         ).collect()
     }
     assert got == set(range(5, 20))
+
+
+def test_max_commits_per_batch_caps_steady_state(spark, tmp_path):
+    """Rate limiting: after a run's first planned batch, each
+    micro-batch advances at most maxCommitsPerBatch versions — commits
+    that pile up while the stream is live drain in bounded slices
+    instead of one catch-up mega-batch. (The first batch of a run is
+    deliberately uncapped: the Python DataSource API hides the
+    checkpointed start from latestOffset, and any lower answer would
+    WAL a backwards offset — see the module docstring.)"""
+    import time
+
+    t = _mk(spark, tmp_path / "t")  # version 0
+    register_cdf_source(spark)
+    batches: list[tuple[int, list[int]]] = []
+
+    def sink(df, bid):
+        vs = sorted(
+            r._commit_version
+            for r in df.select("_commit_version").distinct().collect()
+        )
+        batches.append((bid, vs))
+
+    q = (
+        spark.readStream.format("txn-cdf")
+        .option("path", str(tmp_path / "t"))
+        .option("startingVersion", 0)
+        .option("maxCommitsPerBatch", 2)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        # wait for the run's first planned batch (the uncapped one) so
+        # the appends below are guaranteed to land in LATER batches —
+        # otherwise a slow stream start swallows them all into batch 0
+        deadline = time.time() + 60
+        while time.time() < deadline and not batches:
+            time.sleep(0.5)
+        assert batches, "stream never produced its first batch"
+        # 6 quick appends while the stream is live -> versions 1..6
+        for i in range(6):
+            t.append(
+                spark.range(100 + i, 101 + i).select(
+                    F.col("id").alias("k"), F.lit(f"a{i}").alias("v")
+                )
+            )
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            seen = {v for _, vs in batches for v in vs}
+            if seen >= set(range(7)):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    seen = {v for _, vs in batches for v in vs}
+    assert seen == set(range(7)), f"missing versions: {set(range(7)) - seen}"
+    # every batch after the run's first planned one is capped at 2
+    capped = [vs for _, vs in batches[1:] if vs]
+    assert capped, "expected the appends to land after the first batch"
+    assert all(len(vs) <= 2 for vs in capped), f"over-cap batch: {batches}"
+
+
+def test_max_commits_per_batch_guard(spark, tmp_path):
+    _mk(spark, tmp_path / "t")
+    register_cdf_source(spark)
+    with pytest.raises(Exception, match="maxCommitsPerBatch"):
+        (
+            spark.readStream.format("txn-cdf")
+            .option("path", str(tmp_path / "t"))
+            .option("maxCommitsPerBatch", 0)
+            .load()
+            .writeStream.format("memory")
+            .queryName("guard_q")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
