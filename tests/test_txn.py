@@ -451,6 +451,7 @@ def test_random_op_sequences_match_dict_model_and_cdf_replay(spark, tmp_path):
             ),
             key_field="id",
             n_files=3,
+            bloom_cols=("v",),  # bloom point reads checked at the end
         )
         for o in ops:
             if o[0] == "merge":
@@ -495,6 +496,15 @@ def test_random_op_sequences_match_dict_model_and_cdf_replay(spark, tmp_path):
             else:
                 t.compact(n_files=o[1])
         assert {r.id: r.v for r in t.read().collect()} == model
+        # bloom point reads agree with the model through every verb mix
+        # (filters built by whatever verbs ran: cow/mor merges, dv and
+        # rewrite deletes/updates, compact) — and an absent value is
+        # pruned to zero rows without a wrong answer
+        if model:
+            probe = sorted(model.values())[0]
+            got_eq = {r.id for r in t.read(eq={"v": probe}).collect()}
+            assert got_eq == {k for k, v in model.items() if v == probe}
+        assert t.read(eq={"v": "zz-absent"}).count() == 0
         # CDF replay: initial state + precise changes == final state
         replay = dict(init)
         changes = sorted(
