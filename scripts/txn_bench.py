@@ -64,6 +64,7 @@ def main() -> None:
     try:
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
             F.monotonically_increasing_id().alias("rid"),
+            F.md5(F.monotonically_increasing_id().cast("string")).alias("uid"),
             "l_orderkey",
             "l_partkey",
             "l_quantity",
@@ -135,6 +136,26 @@ def main() -> None:
         res["read_full_filter_s"] = round(t, 3)
         res["read_full_files"] = len(tbl.read().inputFiles())
         assert n == n2, (n, n2)
+
+        # bloom point lookup: `uid` is unique per row and files are
+        # key-sorted by rid, so every file's uid [min, max] spans the
+        # space — range stats prune NOTHING; the per-file bloom admits
+        # only the true file (+ FPR stragglers). The enable cost is the
+        # one-time backfill read of the indexed column per file.
+        t, _ = timed(lambda: tbl.set_bloom_cols(("uid",)))
+        res["bloom_enable_backfill_s"] = round(t, 3)
+        probe = tbl.read(key_range=(lo + 123, lo + 123)).collect()[0]["uid"]
+        _, sc_rng, tot = tbl.read_with_receipt(ranges={"uid": (probe, probe)})
+        df_eq, sc_eq, _ = tbl.read_with_receipt(eq={"uid": probe})
+        df_eq.count()  # warm
+        t, n = timed(lambda: tbl.read(eq={"uid": probe}).count())
+        res["bloom_point_lookup_s"] = round(t, 3)
+        res["bloom_point_files"] = sc_eq
+        res["bloom_rangeonly_files"] = sc_rng
+        res["bloom_total_files"] = tot
+        assert n == 1, n
+        _, sc_absent, _ = tbl.read_with_receipt(eq={"uid": "0" * 32})
+        res["bloom_absent_files"] = sc_absent
 
         t, _ = timed(lambda: sync_table(spark, tbl, str(root / "mirror")))
         res["sync_seed_s"] = round(t, 3)
