@@ -67,6 +67,11 @@ from gcpde_spark.tables import MergeIntoBackend, merge_dataframes
 _LOG_DIR = "_txn_log"
 _DATA_DIR = "data"
 _CONSTRAINTS_KEY = "table_constraints"
+# On-disk format version (docs/txn_format.md). Readers refuse manifests
+# from a NEWER format (they may encode invariants — e.g. a new
+# row-invalidity mechanism — that reading blindly would violate); older
+# manifests are always readable (fields only ever gain meaning).
+_FORMAT_VERSION = 1
 _BLOOM_KEY = "table_bloom"
 # per-file-per-column bitmap cap: 128 KiB ≈ 1 Mbit holds ~150k distinct
 # values at 1% FPR; above that the filter degrades (never unsound)
@@ -2437,7 +2442,19 @@ def _load_manifest(root: Path, version: int) -> dict:
     p = root / _LOG_DIR / _mname(version)
     if not p.exists():
         raise TxnTableNotFound(f"version {version} not found at {root}")
-    return json.loads(p.read_text())
+    m = json.loads(p.read_text())
+    fv = m.get("format_version", 1)
+    if fv > _FORMAT_VERSION:
+        # a future writer may record invariants this reader cannot see
+        # (e.g. a new row-invalidity mechanism like deletion vectors) —
+        # reading anyway could silently return wrong rows. Delta calls
+        # this the protocol version gate; refuse loudly instead.
+        raise ValueError(
+            f"manifest {p} has format_version {fv}, newer than this "
+            f"reader's {_FORMAT_VERSION} — upgrade the library; "
+            "docs/txn_format.md documents the format evolution contract"
+        )
+    return m
 
 
 def _check_schema(df: DataFrame, schema: StructType, path: Path) -> None:
@@ -2570,6 +2587,7 @@ def _publish(root: Path, version: int, manifest: dict) -> None:
     # commit wall-clock at the single publish choke point — what
     # timestamp time travel (version_at) resolves against
     manifest.setdefault("ts", time.time())
+    manifest.setdefault("format_version", _FORMAT_VERSION)
     # bloom indexing at the same choke point: cfg rides the rolled
     # commit meta, so every verb inherits it without knowing it exists;
     # only entries MISSING a bloom compute one (carried-over COW entries

@@ -521,6 +521,25 @@ def test_random_op_sequences_match_dict_model_and_cdf_replay(spark, tmp_path):
     check()
 
 
+def test_future_format_version_refused(spark, tmp_path):
+    """The protocol gate: a manifest written by a NEWER format may
+    encode invariants this reader cannot see (the deletion-vector
+    lesson — a v0-era reader handed a dv-carrying manifest would
+    resurrect deleted rows); reading must refuse loudly, not guess."""
+    import json as j
+
+    t = _mk(spark, tmp_path / "t", n=10)
+    log = tmp_path / "t" / "_txn_log"
+    m = j.loads((log / _mname(0)).read_text())
+    (log / _mname(1)).write_text(
+        j.dumps({**m, "version": 1, "format_version": 99})
+    )
+    with pytest.raises(ValueError, match="format_version 99"):
+        t.read()
+    # the retained old version still reads fine via time travel
+    assert t.read(version=0).count() == 10
+
+
 def test_data_skipping_on_non_key_columns_after_zorder(spark, tmp_path):
     """Per-file stats cover every primitive column, so read(ranges=)
     skips files on NON-key predicates — and Z-order compaction is what
