@@ -75,6 +75,8 @@ from gcpde_spark.txn import (
     TxnTableNotFound,
     _list_versions,
     _load_manifest,
+    _mapping_of,
+    _phys,
 )
 
 _UPSERT_OPS = {"create", "append", "merge", "update"}
@@ -113,10 +115,16 @@ class _FilePartition(InputPartition):
         field_names: "list[str]",
         dv_paths: "list[str] | None" = None,
         rel_path: "str | None" = None,
+        phys_names: "list[str] | None" = None,
     ):
         self.file_path = file_path
         self.version = version
         self.field_names = field_names
+        # PHYSICAL parquet names aligned to field_names (column mapping,
+        # format v2): physical birth names never change, so one
+        # stream-start translation stays valid across every commit —
+        # including metadata-only renames, which become logical no-ops
+        self.phys_names = phys_names or field_names
         # deletion-vector sidecars + this file's table-relative key in
         # them: a clone's create manifest can carry vector references,
         # and emitting the physical rows would resurrect deleted ones
@@ -166,12 +174,14 @@ class TxnChangeFeedDataSource(DataSource):
             raise ValueError(
                 f"maxCommitsPerBatch must be >= 1, got {max_commits}"
             )
+        root = self._root()
         return _CdfStreamReader(
-            self._root(),
+            root,
             schema,
             None if start is None else int(start),
             mode,
             None if max_commits is None else int(max_commits),
+            _mapping_of(_load_manifest(root, _latest_version(root))),
         )
 
 
@@ -186,12 +196,14 @@ class _CdfStreamReader(DataSourceStreamReader):
         starting_version: "int | None",
         mode: str = "upsert",
         max_commits: "int | None" = None,
+        mapping: "dict[str, str] | None" = None,
     ):
         self.root = root
         self.schema = schema
         self.starting_version = starting_version
         self.mode = mode
         self.max_commits = max_commits
+        self.mapping = mapping or {}
         # rate-limit cursor: the newest version this reader has handed
         # to the engine as a batch end. The Python DataSource API has no
         # admission-control hook (latestOffset receives neither the
@@ -246,9 +258,19 @@ class _CdfStreamReader(DataSourceStreamReader):
                 out.append(_CommitPartition(v, op, len(names)))
                 continue
             cur = {f["path"] for f in m["files"]}
-            if op in ("compact", "constraints"):
-                prev = cur  # logical no-ops (compact changes the FILE
-                continue  # SET without changing rows)
+            if op in (
+                "compact",
+                "constraints",
+                "bloom",
+                "rename_column",
+                "drop_column",
+            ):
+                # logical no-ops to an upsert feed: compact changes the
+                # FILE SET without changing rows; the others change only
+                # metadata. Rename/drop flow because this reader
+                # addresses columns by their immutable PHYSICAL names.
+                prev = cur
+                continue
             if op not in _UPSERT_OPS:
                 raise ValueError(
                     f"version {v} is a {op.upper()} commit, which can "
@@ -259,11 +281,19 @@ class _CdfStreamReader(DataSourceStreamReader):
             # a commit carrying columns the stream schema lacks would
             # otherwise have them silently DROPPED forever (the offset
             # advances past the commit) — refuse loudly, like Delta
-            # fails a stream on schema change; restart re-infers
-            commit_fields = {
-                f["name"] for f in json.loads(m["schema"])["fields"]
+            # fails a stream on schema change; restart re-infers. The
+            # comparison is over PHYSICAL names so a pure rename is no
+            # change at all, while a column some later commit DROPPED
+            # still refuses (conservative: backfill past a drop needs
+            # an explicit read_changes/sync_table decision, not silent
+            # row narrowing)
+            commit_mp = _mapping_of(m)
+            commit_phys = {
+                _phys(commit_mp, f["name"])
+                for f in json.loads(m["schema"])["fields"]
             }
-            extra = commit_fields - set(names)
+            stream_phys = {_phys(self.mapping, n) for n in names}
+            extra = commit_phys - stream_phys
             if extra:
                 raise ValueError(
                     f"version {v} evolved the schema with column(s) "
@@ -272,6 +302,7 @@ class _CdfStreamReader(DataSourceStreamReader):
                     "(its checkpoint offset has NOT advanced past this "
                     "commit, so no rows are lost)"
                 )
+            phys_names = [_phys(self.mapping, n) for n in names]
             for f in m["files"]:
                 if f["path"] not in prev:
                     dv = f.get("dv") or {}
@@ -285,6 +316,7 @@ class _CdfStreamReader(DataSourceStreamReader):
                                 for p in dv.get("paths", [])
                             ],
                             rel_path=f["path"],
+                            phys_names=phys_names,
                         )
                     )
             prev = cur
@@ -319,7 +351,7 @@ class _CdfStreamReader(DataSourceStreamReader):
         present = set(table.column_names)
         cols = []
         n = table.num_rows
-        for name in partition.field_names:
+        for name in partition.phys_names:
             if name in present:
                 cols.append(table.column(name).to_pylist())
             else:  # file predates an additively-evolved column

@@ -71,7 +71,10 @@ _CONSTRAINTS_KEY = "table_constraints"
 # from a NEWER format (they may encode invariants — e.g. a new
 # row-invalidity mechanism — that reading blindly would violate); older
 # manifests are always readable (fields only ever gain meaning).
-_FORMAT_VERSION = 1
+# v1: base format. v2: column mapping (logical->physical names) — a v1
+# reader handed a mapped manifest would read.schema(logical) over
+# physical files and silently surface NULL columns, hence the gate.
+_FORMAT_VERSION = 2
 _BLOOM_KEY = "table_bloom"
 # per-file-per-column bitmap cap: 128 KiB ≈ 1 Mbit holds ~150k distinct
 # values at 1% FPR; above that the filter degrades (never unsound)
@@ -255,6 +258,72 @@ def _bloom_of(m: dict) -> dict:
     return (m.get("meta") or {}).get(_BLOOM_KEY) or {}
 
 
+# ---------------------------------------------------------------------------
+# column mapping (metadata-only rename/drop — format_version 2)
+# ---------------------------------------------------------------------------
+
+
+def _mapping_of(m: dict) -> "dict[str, str]":
+    """logical column name -> PHYSICAL parquet column name. Empty =
+    identity (every pre-mapping table). Becomes explicit (every column
+    listed) the first time rename/drop/add-under-mapping runs, and from
+    then on physical names are immutable birth names — rename changes
+    only the logical key, and a column added after mapping activates
+    gets a fresh uuid-suffixed physical name so it can NEVER collide
+    with a dropped column's bytes still sitting in old files
+    (resurrection is the failure mode; Delta's column-id construction
+    solves the same thing)."""
+    return m.get("column_mapping") or {}
+
+
+def _phys(mapping: "dict[str, str]", name: str) -> str:
+    return mapping.get(name, name)
+
+
+def _physical_schema(schema: StructType, mapping: "dict[str, str]") -> StructType:
+    if not mapping:
+        return schema
+    return StructType(
+        [
+            StructField(_phys(mapping, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, mapping: "dict[str, str]") -> DataFrame:
+    """Rename mapped logical columns to their physical names; columns
+    outside the mapping (lineage/tag helpers) pass through."""
+    if not mapping:
+        return df
+    return df.select(
+        *[
+            F.col(c).alias(mapping[c]) if c in mapping else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _extended_mapping(
+    mapping: "dict[str, str]", schema: StructType, added: "list[str]"
+) -> "dict[str, str]":
+    """Mapping after additive evolution. Inactive mapping stays
+    inactive (physical == logical, nothing stored). Active mapping
+    becomes explicit for every schema column, and each ADDED column
+    gets a fresh physical birth name."""
+    if not mapping:
+        return mapping
+    out = {f.name: _phys(mapping, f.name) for f in schema.fields if f.name not in added}
+    for name in added:
+        out[name] = f"{name}-{uuid.uuid4().hex[:8]}"
+    return out
+
+
+def _fmt_fields(mapping: "dict[str, str]") -> dict:
+    """The format-carrying manifest fields every verb must copy."""
+    return {"column_mapping": mapping} if mapping else {}
+
+
 def _bloom_canon(v: Any, tag: str) -> bytes:
     """Type-tagged canonical bytes of a bloom-indexed value. The tag is
     derived from the DECLARED column type on both sides (write: arrow
@@ -383,7 +452,10 @@ def _bloom_maybe_contains(bloom: dict, canon: bytes) -> bool:
 
 
 def _prune_by_bloom(
-    entries: "list[dict]", eq: "dict[str, Any]", schema: StructType
+    entries: "list[dict]",
+    eq: "dict[str, Any]",
+    schema: StructType,
+    mapping: "dict[str, str] | None" = None,
 ) -> "list[dict]":
     """Point-lookup data skipping: drop entries whose bloom filter for
     an equality column PROVES the value absent. Entries without a bloom
@@ -396,7 +468,9 @@ def _prune_by_bloom(
         tag = _bloom_tag(dtype) if dtype is not None else None
         if tag is None:
             continue
-        canons[col] = _bloom_canon(_norm_bound(v, dtype), tag)
+        canons[_phys(mapping or {}, col)] = _bloom_canon(
+            _norm_bound(v, dtype), tag
+        )
     if not canons:
         return entries
     out = []
@@ -614,11 +688,14 @@ class TxnTable:
         if key_range is not None:
             all_ranges[_keys(m)[0]] = key_range
         entries = m["files"]
+        mp = _mapping_of(m)
         if all_ranges:
-            entries = _prune_by_ranges(entries, all_ranges, _keys(m)[0], schema)
+            entries = _prune_by_ranges(
+                entries, all_ranges, _keys(m)[0], schema, mp
+            )
         if eq:
-            entries = _prune_by_bloom(entries, eq, schema)
-        df = self._read_entries(schema, entries)
+            entries = _prune_by_bloom(entries, eq, schema, mp)
+        df = self._read_entries(schema, entries, mapping=mp)
         for col, (lo, hi) in all_ranges.items():
             if lo is not None and hi is not None:
                 df = df.where(F.col(col).between(lo, hi))
@@ -633,6 +710,7 @@ class TxnTable:
         schema: StructType,
         entries: "list[dict]",
         with_lineage: bool = False,
+        mapping: "dict[str, str] | None" = None,
     ) -> DataFrame:
         """THE read choke point: every consumer of manifest entries —
         snapshot reads, merge/update/apply_changes' touched region,
@@ -667,9 +745,30 @@ class TxnTable:
                 )
             )
             return self.spark.createDataFrame([], out_schema)
-        df = self.spark.read.schema(schema).parquet(*files)
+        # files store immutable PHYSICAL birth names; read by those and
+        # surface the manifest's logical names at the END — the whole
+        # of metadata-only rename is one projection, applied after the
+        # deletion-vector machinery (which touches only the _metadata
+        # pseudo-column and the _dv_* lineage names, and would lose
+        # _metadata access under an interposed projection)
+        df = self.spark.read.schema(
+            _physical_schema(schema, mapping or {})
+        ).parquet(*files)
+
+        def _logical(d: DataFrame) -> DataFrame:
+            if not mapping:
+                return d
+            keep = [c for c in d.columns if c in ("_dv_file", "_dv_pos")]
+            return d.select(
+                *[
+                    F.col(_phys(mapping, f.name)).alias(f.name)
+                    for f in schema.fields
+                ],
+                *keep,
+            )
+
         if not dv_paths and not with_lineage:
-            return df
+            return _logical(df)
         # table-relative lineage from the path SUFFIX we control:
         # _metadata.file_path is a URI (percent-encoded, symlinks NOT
         # resolved), so stripping a resolved-root prefix silently
@@ -708,6 +807,7 @@ class TxnTable:
             if dv_rows <= 1_000_000:
                 dv = F.broadcast(dv)
             df = df.join(dv, ["_dv_file", "_dv_pos"], "left_anti")
+        df = _logical(df)
         return df if with_lineage else df.drop("_dv_file", "_dv_pos")
 
     def _consolidated_positions(
@@ -797,9 +897,124 @@ class TxnTable:
             "schema": m["schema"],
             "files": m["files"],
             "meta": _rolled_meta(m, {_BLOOM_KEY: cfg}),
+            **_fmt_fields(_mapping_of(m)),
         }
         _publish(self.path, base + 1, manifest)
         return {"version": base + 1, "bloom_cols": list(cols)}
+
+    def _schema_change_guards(self, m: dict, name: str) -> None:
+        """Shared rename/drop refusals: constraints are SQL text over
+        logical names — silently keeping a constraint that references a
+        vanished name would wedge every later write, so the reference
+        must be dropped (or rewritten) FIRST, explicitly."""
+        import re as _re
+
+        for cname, sql in _constraints_of(m).items():
+            if _re.search(rf"\b{_re.escape(name)}\b", sql):
+                raise ValueError(
+                    f"column {name!r} is referenced by CHECK constraint "
+                    f"{cname!r} ({sql!r}) — drop_constraint first"
+                )
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Metadata-only column rename (the Delta column-mapping
+        construction, format_version 2): data files keep their
+        immutable PHYSICAL names and the manifest's logical→physical
+        mapping re-labels them at read time — zero bytes rewritten at
+        any table size. Key columns may be renamed (``key_fields``
+        follows); constraints referencing the column must be dropped
+        first; bloom-index configs follow the rename. Readers older
+        than format v2 refuse the table afterwards (they would surface
+        NULL for every mapped column)."""
+        base = self.version()
+        m = self._manifest(base)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"column {old!r} not in table schema")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        _check_reserved([new], self.path)
+        self._schema_change_guards(m, old)
+        mp = _mapping_of(m)
+        # activate: the mapping becomes explicit for EVERY column, so
+        # physical names are pinned from here on
+        full = {f.name: _phys(mp, f.name) for f in schema.fields}
+        full[new] = full.pop(old)
+        new_schema = StructType(
+            [
+                StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        keys = [new if k == old else k for k in _keys(m)]
+        meta_delta: dict = {}
+        cfg = _bloom_of(m)
+        if cfg and old in (cfg.get("cols") or []):
+            meta_delta[_BLOOM_KEY] = {
+                **cfg,
+                "cols": [new if c == old else c for c in cfg["cols"]],
+            }
+        manifest = {
+            "version": base + 1,
+            "op": "rename_column",
+            "key_field": keys[0],
+            "key_fields": keys,
+            "schema": new_schema.json(),
+            "files": m["files"],
+            "column_mapping": full,
+        }
+        rolled = _rolled_meta(m, meta_delta or None)
+        if rolled:
+            manifest["meta"] = rolled
+        _publish(self.path, base + 1, manifest)
+        return {"version": base + 1, "renamed": {old: new}}
+
+    def drop_column(self, name: str) -> dict:
+        """Metadata-only column drop (format_version 2): the column
+        leaves the logical schema and the mapping; its bytes stay in
+        existing files (dead until :meth:`compact` rewrites them) and
+        are never read again. Re-adding the same logical name later is
+        safe: columns added under an active mapping get fresh physical
+        birth names, so the old bytes can never resurrect. Key columns
+        cannot be dropped; constraints referencing the column must go
+        first; a bloom config on it is removed."""
+        base = self.version()
+        m = self._manifest(base)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"column {name!r} not in table schema")
+        if name in _keys(m):
+            raise ValueError(f"column {name!r} is a merge key — not droppable")
+        self._schema_change_guards(m, name)
+        mp = _mapping_of(m)
+        full = {
+            f.name: _phys(mp, f.name)
+            for f in schema.fields
+            if f.name != name
+        }
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        meta_delta: dict = {}
+        cfg = _bloom_of(m)
+        if cfg and name in (cfg.get("cols") or []):
+            cols = [c for c in cfg["cols"] if c != name]
+            meta_delta[_BLOOM_KEY] = {**cfg, "cols": cols} if cols else None
+        manifest = {
+            "version": base + 1,
+            "op": "drop_column",
+            "key_field": _keys(m)[0],
+            "key_fields": _keys(m),
+            "schema": new_schema.json(),
+            "files": m["files"],
+            "column_mapping": full,
+        }
+        rolled = _rolled_meta(m, meta_delta or None)
+        if rolled:
+            manifest["meta"] = rolled
+        _publish(self.path, base + 1, manifest)
+        return {"version": base + 1, "dropped": name}
 
     def add_constraint(self, name: str, sql: str) -> dict:
         """Add a CHECK constraint. Validates EXISTING rows first (one
@@ -840,6 +1055,7 @@ class TxnTable:
             "schema": m["schema"],
             "files": m["files"],
             "meta": _rolled_meta(m, {_CONSTRAINTS_KEY: new_map}),
+            **_fmt_fields(_mapping_of(m)),
         }
         _publish(self.path, base + 1, manifest)
         return {"version": base + 1, "constraints": dict(new_map)}
@@ -935,8 +1151,13 @@ class TxnTable:
         m = self._manifest(base_version)
         keys = _keys(m)
         schema = StructType.fromJson(json.loads(m["schema"]))
+        mp = _mapping_of(m)
         if merge_schema:
+            before = {f.name for f in schema.fields}
             schema = _evolved_schema(source, schema, self.path)
+            mp = _extended_mapping(
+                mp, schema, [f.name for f in schema.fields if f.name not in before]
+            )
         else:
             _check_schema(source, schema, self.path)
         bounds = source.agg(
@@ -953,7 +1174,7 @@ class TxnTable:
             kept = list(m["files"])
         else:
             touched, kept = _split_by_delta_bounds(
-                m["files"], keys, bounds, schema
+                m["files"], keys, bounds, schema, mp
             )
         src = source.select(*[f.name for f in schema.fields])
         self._enforce(src, m)
@@ -962,17 +1183,17 @@ class TxnTable:
                 _logical_rows(f) for f in touched
             ):
                 return self._merge_via_dv(
-                    m, schema, keys, src, touched, on_duplicate_keys, meta
+                    m, schema, keys, src, touched, on_duplicate_keys, meta, mp
                 )
         if touched:
-            old = self._read_entries(schema, touched)
+            old = self._read_entries(schema, touched, mapping=mp)
             merged = merge_dataframes(
                 old, src, keys, on_duplicate_keys=on_duplicate_keys
             )
         else:
             merged = src
         new_files = _write_data_files(
-            self.spark, self.path, merged, _constraints_of(m)
+            self.spark, self.path, merged, _constraints_of(m), mapping=mp
         )
         manifest = {
             "version": base_version + 1,
@@ -980,7 +1201,8 @@ class TxnTable:
             "key_field": keys[0],
             "key_fields": keys,
             "schema": schema.json(),
-            "files": kept + _stat_entries(self.path, new_files, keys[0]),
+            "files": kept + _stat_entries(self.path, new_files, keys[0], mp),
+            **_fmt_fields(mp),
         }
         rolled = _rolled_meta(m, meta)
         if rolled:
@@ -1008,6 +1230,7 @@ class TxnTable:
         touched: "list[dict]",
         on_duplicate_keys: str,
         meta: dict | None,
+        mp: "dict[str, str] | None" = None,
     ) -> dict:
         """MERGE as merge-on-read: old rows whose key appears in the
         source become deletion-vector positions (a key semi-join over
@@ -1020,9 +1243,10 @@ class TxnTable:
         into an empty target, so the two strategies cannot drift on
         MERGE's error semantics."""
         base = m["version"]
+        mp = mp if mp is not None else _mapping_of(m)
         src_keys = src.select(*keys).distinct()
         matched = (
-            self._read_entries(schema, touched, with_lineage=True)
+            self._read_entries(schema, touched, with_lineage=True, mapping=mp)
             .join(src_keys, on=keys, how="left_semi")
             .select(
                 F.col("_dv_file").alias("_file"),
@@ -1041,7 +1265,7 @@ class TxnTable:
                 on_duplicate_keys=on_duplicate_keys,
             )
             new_files = _write_data_files(
-                self.spark, self.path, guarded, _constraints_of(m)
+                self.spark, self.path, guarded, _constraints_of(m), mapping=mp
             )
             counts = {
                 r["_file"]: r["n"]
@@ -1065,7 +1289,8 @@ class TxnTable:
             "key_fields": keys,
             "schema": schema.json(),
             "files": _attach_dv(m["files"], counts, dv_files)
-            + _stat_entries(self.path, new_files, keys[0]),
+            + _stat_entries(self.path, new_files, keys[0], mp),
+            **_fmt_fields(mp),
         }
         rolled = _rolled_meta(m, meta)
         if rolled:
@@ -1118,14 +1343,19 @@ class TxnTable:
         base = self.version()
         m = self._manifest(base)
         schema = StructType.fromJson(json.loads(m["schema"]))
+        mp = _mapping_of(m)
         if merge_schema:
+            before = {f.name for f in schema.fields}
             schema = _evolved_schema(df, schema, self.path)
+            mp = _extended_mapping(
+                mp, schema, [f.name for f in schema.fields if f.name not in before]
+            )
         else:
             _check_schema(df, schema, self.path)
         out = df.select(*[f.name for f in schema.fields])
         self._enforce(out, m)
         new_files = _write_data_files(
-            self.spark, self.path, out, _constraints_of(m)
+            self.spark, self.path, out, _constraints_of(m), mapping=mp
         )
         manifest = {
             "version": base + 1,
@@ -1134,7 +1364,8 @@ class TxnTable:
             "key_fields": _keys(m),
             "schema": schema.json(),
             "files": m["files"]
-            + _stat_entries(self.path, new_files, _keys(m)[0]),
+            + _stat_entries(self.path, new_files, _keys(m)[0], mp),
+            **_fmt_fields(mp),
         }
         rolled = _rolled_meta(m, None)
         if rolled:
@@ -1159,8 +1390,13 @@ class TxnTable:
         m = self._manifest(base)
         keys = _keys(m)
         schema = StructType.fromJson(json.loads(m["schema"]))
+        mp = _mapping_of(m)
         if merge_schema:
+            before = {f.name for f in schema.fields}
             schema = _evolved_schema(df, schema, self.path)
+            mp = _extended_mapping(
+                mp, schema, [f.name for f in schema.fields if f.name not in before]
+            )
         else:
             _check_schema(df, schema, self.path)
         out = df.select(*[f.name for f in schema.fields])
@@ -1172,7 +1408,7 @@ class TxnTable:
                 else out.repartitionByRange(*keys)
             )
         new_files = _write_data_files(
-            self.spark, self.path, out, _constraints_of(m)
+            self.spark, self.path, out, _constraints_of(m), mapping=mp
         )
         manifest = {
             "version": base + 1,
@@ -1180,7 +1416,8 @@ class TxnTable:
             "key_field": keys[0],
             "key_fields": keys,
             "schema": schema.json(),
-            "files": _stat_entries(self.path, new_files, keys[0]),
+            "files": _stat_entries(self.path, new_files, keys[0], mp),
+            **_fmt_fields(mp),
         }
         rolled = _rolled_meta(m, meta)
         if rolled:
@@ -1235,7 +1472,9 @@ class TxnTable:
             counts = None
         else:
             # one scan yields targeting AND per-file match counts
-            live = self._read_entries(schema, m["files"], with_lineage=True)
+            live = self._read_entries(
+                schema, m["files"], with_lineage=True, mapping=_mapping_of(m)
+            )
             counts = {
                 r["_dv_file"]: r["n"]
                 for r in live.where(cond)
@@ -1254,10 +1493,13 @@ class TxnTable:
             if use_dv:
                 return self._delete_via_dv(m, schema, cond, touched, counts, meta)
         kept = [f for f in m["files"] if f not in touched]
-        old = self._read_entries(schema, touched)
+        mp = _mapping_of(m)
+        old = self._read_entries(schema, touched, mapping=mp)
         remaining = old.where(~cond)
-        new_files = _write_data_files(self.spark, self.path, remaining)
-        entries = _stat_entries(self.path, new_files, _keys(m)[0])
+        new_files = _write_data_files(
+            self.spark, self.path, remaining, mapping=mp
+        )
+        entries = _stat_entries(self.path, new_files, _keys(m)[0], mp)
         manifest = {
             "version": base + 1,
             "op": "delete",
@@ -1265,6 +1507,7 @@ class TxnTable:
             "key_fields": _keys(m),
             "schema": m["schema"],
             "files": kept + entries,
+            **_fmt_fields(mp),
         }
         rolled = _rolled_meta(m, meta)
         if rolled:
@@ -1293,8 +1536,9 @@ class TxnTable:
         one consolidated vector set — readers never chain sidecars),
         and commit entries whose data files are byte-identical."""
         base = m["version"]
+        mp = _mapping_of(m)
         matched = (
-            self._read_entries(schema, touched, with_lineage=True)
+            self._read_entries(schema, touched, with_lineage=True, mapping=mp)
             .where(cond)
             .select(
                 F.col("_dv_file").alias("_file"),
@@ -1313,6 +1557,7 @@ class TxnTable:
             "key_fields": _keys(m),
             "schema": m["schema"],
             "files": _attach_dv(m["files"], counts, dv_files),
+            **_fmt_fields(mp),
         }
         rolled = _rolled_meta(m, meta)
         if rolled:
@@ -1370,7 +1615,9 @@ class TxnTable:
             touched = self._files_matching(m, schema, cond)
             counts = None
         else:
-            live = self._read_entries(schema, m["files"], with_lineage=True)
+            live = self._read_entries(
+                schema, m["files"], with_lineage=True, mapping=_mapping_of(m)
+            )
             counts = {
                 r["_dv_file"]: r["n"]
                 for r in live.where(cond)
@@ -1391,7 +1638,8 @@ class TxnTable:
                     m, schema, types, assignments, cond, touched, meta
                 )
         kept = [f for f in m["files"] if f not in touched]
-        old = self._read_entries(schema, touched)
+        mp = _mapping_of(m)
+        old = self._read_entries(schema, touched, mapping=mp)
         # bounded by the touched region; the auto routing scan already
         # counted the matches exactly — no second job for that case
         n_updated = (
@@ -1423,7 +1671,7 @@ class TxnTable:
         self._enforce(upd.where(F.col("_upd_match")).drop("_upd_match"), m)
         upd = upd.drop("_upd_match")
         new_files = _write_data_files(
-            self.spark, self.path, upd, _constraints_of(m)
+            self.spark, self.path, upd, _constraints_of(m), mapping=mp
         )
         manifest = {
             "version": base + 1,
@@ -1431,7 +1679,8 @@ class TxnTable:
             "key_field": keys[0],
             "key_fields": keys,
             "schema": m["schema"],
-            "files": kept + _stat_entries(self.path, new_files, keys[0]),
+            "files": kept + _stat_entries(self.path, new_files, keys[0], mp),
+            **_fmt_fields(mp),
         }
         rolled = _rolled_meta(m, meta)
         if rolled:
@@ -1464,8 +1713,9 @@ class TxnTable:
         otherwise drop or duplicate rows)."""
         base = m["version"]
         keys = _keys(m)
+        mp = _mapping_of(m)
         matched = (
-            self._read_entries(schema, touched, with_lineage=True)
+            self._read_entries(schema, touched, with_lineage=True, mapping=mp)
             .where(cond)
             .persist()
         )
@@ -1483,7 +1733,7 @@ class TxnTable:
             updated = matched.select(*out_cols)
             self._enforce(updated, m)
             new_files = _write_data_files(
-                self.spark, self.path, updated, _constraints_of(m)
+                self.spark, self.path, updated, _constraints_of(m), mapping=mp
             )
             # manifest accounting comes from the SAME persisted set the
             # sidecar is written from — the routing scan's counts are
@@ -1516,7 +1766,8 @@ class TxnTable:
             "key_fields": keys,
             "schema": m["schema"],
             "files": _attach_dv(m["files"], counts, dv_files)
-            + _stat_entries(self.path, new_files, keys[0]),
+            + _stat_entries(self.path, new_files, keys[0], mp),
+            **_fmt_fields(mp),
         }
         rolled = _rolled_meta(m, meta)
         if rolled:
@@ -1539,7 +1790,9 @@ class TxnTable:
         if not m["files"]:
             return []
         hits = (
-            self._read_entries(schema, m["files"], with_lineage=True)
+            self._read_entries(
+                schema, m["files"], with_lineage=True, mapping=_mapping_of(m)
+            )
             .where(cond)
             .select("_dv_file")
             .distinct()
@@ -1649,8 +1902,12 @@ class TxnTable:
         if not dvd:
             return None
         clean = [f for f in m["files"] if not _dv_of(f)]
+        mp = _mapping_of(m)
         new_files = _write_data_files(
-            self.spark, self.path, self._read_entries(schema, dvd)
+            self.spark,
+            self.path,
+            self._read_entries(schema, dvd, mapping=mp),
+            mapping=mp,
         )
         manifest = {
             "version": base + 1,
@@ -1658,7 +1915,8 @@ class TxnTable:
             "key_field": _keys(m)[0],
             "key_fields": _keys(m),
             "schema": m["schema"],
-            "files": clean + _stat_entries(self.path, new_files, _keys(m)[0]),
+            "files": clean + _stat_entries(self.path, new_files, _keys(m)[0], mp),
+            **_fmt_fields(mp),
         }
         rolled = _rolled_meta(m, None)
         if rolled:
@@ -1702,14 +1960,16 @@ class TxnTable:
                 if n_files
                 else df.repartitionByRange(*keys)
             )
-        new_files = _write_data_files(self.spark, self.path, out)
+        mp = _mapping_of(m)
+        new_files = _write_data_files(self.spark, self.path, out, mapping=mp)
         manifest = {
             "version": base + 1,
             "op": "compact",
             "key_field": keys[0],
             "key_fields": keys,
             "schema": m["schema"],
-            "files": _stat_entries(self.path, new_files, keys[0]),
+            "files": _stat_entries(self.path, new_files, keys[0], mp),
+            **_fmt_fields(mp),
         }
         if cluster_by:
             manifest["clustered_by"] = list(cluster_by)
@@ -1768,8 +2028,20 @@ class TxnTable:
         for v in range(since_version + 1, end + 1):
             m = self._manifest(v)
             op = m["op"]
-            if op in ("compact", "constraints"):
+            if op in ("compact", "constraints", "bloom"):
                 continue  # logical no-ops: the row set is unchanged
+            if op in ("rename_column", "drop_column"):
+                # rows unchanged, NAMES changed: commits before this one
+                # emit the old names, commits after the new — one feed
+                # spanning both would union into a frankenschema whose
+                # NULLs are indistinguishable from real changes (Delta's
+                # CDF refuses non-additive boundaries the same way).
+                raise ValueError(
+                    f"version {v} is a {op.upper()} commit — a change "
+                    "feed cannot span a column rename/drop; read the "
+                    f"segments separately (…, {v - 1}] and [{v}, …) or "
+                    "re-seed the consumer from a snapshot"
+                )
             schema = StructType.fromJson(json.loads(m["schema"]))
             # entry identity includes the deletion-vector reference: a
             # DV delete changes a file's VISIBLE rows without changing
@@ -1780,7 +2052,7 @@ class TxnTable:
                 else set()
             )
             added = [f for f in m["files"] if _entry_id(f) not in prev_ids]
-            new = self._read_entries(schema, added)
+            new = self._read_entries(schema, added, mapping=_mapping_of(m))
             if not precise:
                 if op in ("delete", "overwrite", "apply_changes", "restore"):
                     raise ValueError(
@@ -1806,14 +2078,15 @@ class TxnTable:
                 if v > 0
                 else []
             )
+            prev_m = self._manifest(v - 1) if v > 0 else m
             old_schema = (
-                StructType.fromJson(
-                    json.loads(self._manifest(v - 1)["schema"])
-                )
+                StructType.fromJson(json.loads(prev_m["schema"]))
                 if v > 0
                 else schema
             )
-            old = self._read_entries(old_schema, removed)
+            old = self._read_entries(
+                old_schema, removed, mapping=_mapping_of(prev_m)
+            )
             parts.append(_keyed_diff(new, old, _keys(m), v, preimages))
         if not parts:
             m = self._manifest(end)
@@ -1857,11 +2130,16 @@ class TxnTable:
         m = self._manifest(base)
         keys = _keys(m)
         schema = StructType.fromJson(json.loads(m["schema"]))
+        mp = _mapping_of(m)
         if merge_schema:
+            before = {f.name for f in schema.fields}
             schema = _evolved_schema(
                 changes.drop("_change_type", "_commit_version"),
                 schema,
                 self.path,
+            )
+            mp = _extended_mapping(
+                mp, schema, [f.name for f in schema.fields if f.name not in before]
             )
         w = Window.partitionBy(*keys).orderBy(F.desc("_commit_version"))
         latest = (
@@ -1894,6 +2172,7 @@ class TxnTable:
                         "schema": schema.json(),
                         "files": m["files"],
                         "meta": _rolled_meta(m, meta),
+                        **_fmt_fields(mp),
                     },
                 )
                 return {
@@ -1911,16 +2190,16 @@ class TxnTable:
                 kept = list(m["files"])
             else:
                 touched, kept = _split_by_delta_bounds(
-                    m["files"], keys, bounds, schema
+                    m["files"], keys, bounds, schema, mp
                 )
             if touched:
-                old = self._read_entries(schema, touched)
+                old = self._read_entries(schema, touched, mapping=mp)
                 surviving = old.join(dels, on=keys, how="left_anti")
                 merged = merge_dataframes(surviving, ups, keys)
             else:
                 merged = ups
             new_files = _write_data_files(
-                self.spark, self.path, merged, _constraints_of(m)
+                self.spark, self.path, merged, _constraints_of(m), mapping=mp
             )
             manifest = {
                 "version": base + 1,
@@ -1928,7 +2207,8 @@ class TxnTable:
                 "key_field": keys[0],
                 "key_fields": keys,
                 "schema": schema.json(),
-                "files": kept + _stat_entries(self.path, new_files, keys[0]),
+                "files": kept + _stat_entries(self.path, new_files, keys[0], mp),
+                **_fmt_fields(mp),
             }
             rolled = _rolled_meta(m, meta)
             if rolled:
@@ -1961,7 +2241,12 @@ class TxnTable:
         constraints = (cur.get("meta") or {}).get(_CONSTRAINTS_KEY) or {}
         if constraints:
             schema = StructType.fromJson(json.loads(m["schema"]))
-            _check_constraints(self._read_entries(schema, m["files"]), constraints)
+            _check_constraints(
+                self._read_entries(
+                    schema, m["files"], mapping=_mapping_of(m)
+                ),
+                constraints,
+            )
         manifest = {
             "version": base + 1,
             "op": "restore",
@@ -1970,6 +2255,9 @@ class TxnTable:
             "schema": m["schema"],
             "files": m["files"],
             "restored_from": version,
+            # the mapping travels WITH the schema it names (restoring a
+            # pre-rename snapshot restores its logical names too)
+            **_fmt_fields(_mapping_of(m)),
         }
         # meta rolls from the CURRENT base, not the restored snapshot:
         # a restore rewinds data, never exactly-once batch tracking
@@ -2013,6 +2301,7 @@ class TxnTable:
             "key_fields": _keys(m),
             "schema": m["schema"],
             "files": m["files"],
+            **_fmt_fields(_mapping_of(m)),
             "meta": {
                 "cloned_from": str(self.path),
                 "cloned_version": m["version"],
@@ -2212,19 +2501,30 @@ class TxnMergeBackend(MergeIntoBackend):
         if not snap.exists():
             tmp = t.path / f".snap-tmp-{uuid.uuid4().hex}"
             tmp.mkdir()
-            dvd = [f for f in m["files"] if _dv_of(f)]
-            for i, f in enumerate(m["files"]):
-                if not _dv_of(f):
-                    os.link(t.path / f["path"], tmp / f"part-{i:05d}.parquet")
+            mp = _mapping_of(m)
+            # an external-table reader resolves columns by the file's
+            # own names and cannot anti-join sidecars: under an active
+            # column mapping EVERY file materializes through the logical
+            # rename (zero-copy publication is an identity-mapping
+            # perk), and vector-carrying files always materialize
+            dvd = (
+                list(m["files"])
+                if mp
+                else [f for f in m["files"] if _dv_of(f)]
+            )
+            if not mp:
+                for i, f in enumerate(m["files"]):
+                    if not _dv_of(f):
+                        os.link(
+                            t.path / f["path"], tmp / f"part-{i:05d}.parquet"
+                        )
             if dvd:
-                # an external-table reader cannot anti-join sidecars:
-                # vector-carrying files MATERIALIZE into the snapshot
-                # (zero-copy stays for every vector-free file); Spark's
-                # part names never collide with the 5-digit links above
+                # Spark's part names never collide with the 5-digit
+                # links above
                 schema = StructType.fromJson(json.loads(m["schema"]))
-                t._read_entries(schema, dvd).write.mode("append").parquet(
-                    str(tmp)
-                )
+                t._read_entries(schema, dvd, mapping=mp).write.mode(
+                    "append"
+                ).parquet(str(tmp))
             try:
                 os.rename(tmp, snap)
             except OSError:
@@ -2265,6 +2565,7 @@ def _split_by_delta_bounds(
     keys: list[str],
     bounds,
     schema: StructType | None = None,
+    mapping: "dict[str, str] | None" = None,
 ) -> tuple[list[dict], list[dict]]:
     """(touched, kept): files that could vs. cannot contain a delta key
     tuple. A tuple matches only if EVERY dimension matches, so a file
@@ -2280,7 +2581,7 @@ def _split_by_delta_bounds(
         for i, k in enumerate(keys)
         if bounds[f"lo{i}"] is not None
     }
-    touched = _prune_by_ranges(files, ranges, keys[0], schema)
+    touched = _prune_by_ranges(files, ranges, keys[0], schema, mapping)
     touched_paths = {f["path"] for f in touched}
     kept = [f for f in files if f["path"] not in touched_paths]
     return touched, kept
@@ -2473,6 +2774,7 @@ def _write_data_files(
     root: Path,
     df: DataFrame,
     constraints: "dict[str, str] | None" = None,
+    mapping: "dict[str, str] | None" = None,
 ) -> list[str]:
     """Write ``df`` as immutable parquet files under a fresh commit
     subdirectory; returns table-relative paths. Files are never moved
@@ -2500,6 +2802,10 @@ def _write_data_files(
             + ", ".join(sorted(constraints))
         )
         df = df.where(F.coalesce(F.assert_true(ok, F.lit(msg)), F.lit(True)))
+    if mapping:
+        # constraints above reference LOGICAL names; the physical
+        # rename is the last thing before bytes hit disk
+        df = _to_physical(df, mapping)
     sub = f"{_DATA_DIR}/{uuid.uuid4().hex[:12]}"
     out = root / sub
     key = "spark.sql.parquet.outputTimestampType"
@@ -2521,11 +2827,19 @@ def _write_data_files(
     ]
 
 
-def _stat_entries(root: Path, rel_files: list[str], key_field: str) -> list[dict]:
+def _stat_entries(
+    root: Path,
+    rel_files: list[str],
+    key_field: str,
+    mapping: "dict[str, str] | None" = None,
+) -> list[dict]:
+    """Entries' ``stats`` are keyed by the footer's PHYSICAL names —
+    stable forever because files are immutable — and readers translate
+    through the manifest's current mapping at prune time."""
     entries = []
     for rel in rel_files:
         stats, rows = _file_stats(str(root / rel))
-        key = stats.get(key_field)
+        key = stats.get(_phys(mapping or {}, key_field))
         entries.append(
             {
                 "path": rel,
@@ -2543,6 +2857,7 @@ def _prune_by_ranges(
     ranges: "dict[str, tuple[Any, Any]]",
     key_field: str | None = None,
     schema: StructType | None = None,
+    mapping: "dict[str, str] | None" = None,
 ) -> list[dict]:
     """Data skipping: drop manifest entries whose per-column [min, max]
     cannot intersect every requested range (``None`` bound = open).
@@ -2564,7 +2879,7 @@ def _prune_by_ranges(
     for f in entries:
         keep = True
         for col, (lo, hi) in norm.items():
-            st = (f.get("stats") or {}).get(col)
+            st = (f.get("stats") or {}).get(_phys(mapping or {}, col))
             if st is None and col == key_field:
                 st = [f.get("key_min"), f.get("key_max")]
             if st is None or st[0] is None or st[1] is None:
@@ -2587,7 +2902,11 @@ def _publish(root: Path, version: int, manifest: dict) -> None:
     # commit wall-clock at the single publish choke point — what
     # timestamp time travel (version_at) resolves against
     manifest.setdefault("ts", time.time())
-    manifest.setdefault("format_version", _FORMAT_VERSION)
+    # publish the LOWEST format version the manifest actually needs, so
+    # unmapped tables stay readable by v1 readers forever
+    manifest.setdefault(
+        "format_version", 2 if manifest.get("column_mapping") else 1
+    )
     # bloom indexing at the same choke point: cfg rides the rolled
     # commit meta, so every verb inherits it without knowing it exists;
     # only entries MISSING a bloom compute one (carried-over COW entries
@@ -2595,10 +2914,12 @@ def _publish(root: Path, version: int, manifest: dict) -> None:
     # new file, same note as _file_stats: distribute at huge file counts.
     cfg = _bloom_of(manifest)
     if cfg and cfg.get("cols"):
+        mp = _mapping_of(manifest)
+        phys_cols = [_phys(mp, c) for c in cfg["cols"]]
         for e in manifest.get("files") or []:
             if "bloom" not in e:
                 e["bloom"] = _bloom_build(
-                    str(root / e["path"]), list(cfg["cols"]), float(cfg["fpp"])
+                    str(root / e["path"]), phys_cols, float(cfg["fpp"])
                 )
     stage = log / f".tmp-{uuid.uuid4().hex}.json"
     stage.write_text(json.dumps(manifest))
