@@ -183,6 +183,17 @@ class MaterializedAggView:
             # one full rebuild, loud in the receipt, never silent
             # (sync_table's contract, mirrored)
             return self._full_rebuild(end, mode="full_vacuumed")
+        except ValueError as exc:
+            if "cannot span a column rename" not in str(exc):
+                raise
+            # the base renamed/dropped a column since the last refresh —
+            # a non-additive boundary the change feed refuses to cross.
+            # Recomputing from the CURRENT snapshot is exactly right: if
+            # the view's group/agg columns survive under their old names
+            # the rebuild succeeds, and if one was renamed away the
+            # rebuild fails with the missing column spelled out (the
+            # spec must be updated) — never a silently stale view.
+            return self._full_rebuild(end, mode="full_schema_change")
         affected = _with_gkey(
             changes.select(*self.group_by).distinct(), self.group_by
         )

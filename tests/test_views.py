@@ -435,3 +435,59 @@ def test_random_base_op_sequences_keep_the_view_consistent(spark, tmp_path):
         assert {tuple(r) for r in view.read().collect()} == expected()
 
     check()
+
+
+def test_refresh_survives_base_rename_via_full_rebuild(spark, tmp_path):
+    """A base column rename/drop is a non-additive boundary the change
+    feed refuses to cross — the refresh must route to one loud full
+    rebuild (correct as long as the view's own columns survive), never
+    a silently stale view."""
+    base = _base(spark, tmp_path / "b")
+    # a spare column the view never references, added by evolution
+    base.merge(
+        spark.createDataFrame(
+            [(100, "1", 5000, "meta")], "k long, g string, x long, note string"
+        ),
+        merge_schema=True,
+    )
+    v = MaterializedAggView.create(spark, base, tmp_path / "v", ["g"], AGGS)
+    base.merge(
+        spark.createDataFrame(
+            [(101, "2", 7000, None)], "k long, g string, x long, note string"
+        )
+    )
+    base.rename_column("note", "annotation")  # not a view column
+    base.merge(
+        spark.createDataFrame(
+            [(102, "3", 9000, None)],
+            "k long, g string, x long, annotation string",
+        )
+    )
+    rec = v.refresh()
+    assert rec["mode"] == "full_schema_change"
+    assert _expect(base) == {
+        tuple(r) for r in v.read().select("g", *AGGS).collect()
+    }
+    # next refresh is incremental again (segment after the rename)
+    base.merge(
+        spark.createDataFrame(
+            [(103, "4", 1100, None)],
+            "k long, g string, x long, annotation string",
+        )
+    )
+    rec = v.refresh()
+    assert rec["mode"] == "incremental"
+    assert _expect(base) == {
+        tuple(r) for r in v.read().select("g", *AGGS).collect()
+    }
+    # renaming a column the view DOES use fails the rebuild loudly with
+    # the missing column spelled out — never a silently stale view
+    base.rename_column("x", "amount")
+    base.merge(
+        spark.createDataFrame(
+            [(104, "5", 1, None)],
+            "k long, g string, amount long, annotation string",
+        )
+    )
+    with pytest.raises(Exception, match="x"):
+        v.refresh()
