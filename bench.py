@@ -186,7 +186,8 @@ def main() -> None:
     if duck is not None:
         payload["duckdb"] = duck
 
-    Path(__file__).resolve().parent.joinpath("BENCH_SELF.json").write_text(
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    Path(__file__).resolve().parent.joinpath(out_name).write_text(
         json.dumps(payload) + "\n"
     )
     subsets: dict[str, float] = {}
@@ -209,7 +210,7 @@ def main() -> None:
         "sf": payload["sf"],
         "runs": RUNS,
         "cpus": int(cpus),
-        "full": "BENCH_SELF.json",
+        "full": out_name,
     }
     if duck is not None and "total_df" in duck:
         compact["duckdb_total_df"] = duck["total_df"]
