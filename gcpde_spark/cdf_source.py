@@ -258,19 +258,27 @@ class _CdfStreamReader(DataSourceStreamReader):
                 out.append(_CommitPartition(v, op, len(names)))
                 continue
             cur = {f["path"] for f in m["files"]}
-            if op in (
-                "compact",
-                "constraints",
-                "bloom",
-                "rename_column",
-                "drop_column",
-            ):
+            if op in ("compact", "constraints", "bloom", "rename_column"):
                 # logical no-ops to an upsert feed: compact changes the
                 # FILE SET without changing rows; the others change only
-                # metadata. Rename/drop flow because this reader
-                # addresses columns by their immutable PHYSICAL names.
+                # metadata. A RENAME flows because this reader addresses
+                # columns by their immutable PHYSICAL names — but a DROP
+                # does not get the same pass (below).
                 prev = cur
                 continue
+            if op == "drop_column":
+                # skipping a drop would make every LATER commit emit
+                # NULL for the dropped column under the running stream's
+                # schema — a keyed downstream sink would then upsert
+                # NULL over real values, silent data loss. Fail like a
+                # schema evolution: the offset has not advanced, a
+                # restart re-infers the post-drop schema.
+                raise ValueError(
+                    f"version {v} dropped a column the running stream "
+                    "still carries — restart the stream to pick up the "
+                    "narrowed schema (its checkpoint offset has NOT "
+                    "advanced past this commit, so no rows are lost)"
+                )
             if op not in _UPSERT_OPS:
                 raise ValueError(
                     f"version {v} is a {op.upper()} commit, which can "

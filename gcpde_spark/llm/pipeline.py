@@ -165,8 +165,16 @@ def curate_documents(
     if classifier_weights is not None:
         from gcpde_spark.llm.classify import DEFAULT_BUCKETS, hashed_classifier_score
 
+        # score ONLY the survivors of the cheap gates: the classifier's
+        # explode + lead window + per-doc agg is the expensive part of
+        # this plan, and running it over rows the token/quality/language
+        # gates already rejected (often most of a multilingual crawl)
+        # would be pure waste at corpus scale
+        survivors = deduped.join(
+            out.select(id_col), id_col, "left_semi"
+        ).select(id_col, F.col(norm_col).alias("_clf_text"))
         cl = hashed_classifier_score(
-            deduped.select(id_col, F.col(norm_col).alias("_clf_text")),
+            survivors,
             classifier_weights,
             n_buckets=classifier_n_buckets or DEFAULT_BUCKETS,
             id_col=id_col,

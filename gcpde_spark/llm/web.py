@@ -21,11 +21,21 @@ Scale design:
   window key), with NULL/invalid URLs kept as non-duplicates under
   private per-id keys.
 
+Honesty note on equivalence strength: scheme/host case folding,
+default-port removal and dot-segment resolution are RFC 3986 §6
+semantics-preserving; the OTHER folds (www strip, duplicate/trailing
+slash collapse, tracking-param strip, query sort) are CRAWL-canonical
+conventions — servers that genuinely distinguish ``/x`` from ``/x/``
+(or serve different content per ``utm_source``) would have those pages
+merged. That trade is standard for web dedup (re-crawls and alias URLs
+vastly outnumber such servers) but it is a policy, not an identity
+proof — pair :func:`dedup_by_url` with content-level dedup
+(``exact_dedup`` / MinHash) when the corpus can't tolerate it.
+
 Out of scope (documented, not silently wrong): percent-encoding
 normalization (%7E → ~ and hex-case folding need a char-level decoder;
 Catalyst has no regex-replace-with-callback) and IDN/punycode host
-folding. Both only MERGE more duplicates — every pair this form unifies
-is a true duplicate under RFC 3986 §6.
+folding.
 """
 
 from __future__ import annotations
@@ -37,6 +47,10 @@ from gcpde_spark.llm.text import normalize_text
 
 # Query parameters that carry tracking/session state, never content
 # identity. Matched as a full key (case-insensitive) or the utm_ prefix.
+# Deliberately NOT here: bare "ref" — on many sites (git forges, docs
+# hosts) it selects a branch/section, i.e. content identity; stripping
+# it would alias distinct pages. Callers with referrer-tracking corpora
+# can extend the set per crawl.
 TRACKING_PARAMS = (
     "gclid",
     "fbclid",
@@ -44,7 +58,6 @@ TRACKING_PARAMS = (
     "igshid",
     "mc_eid",
     "mc_cid",
-    "ref",
     "ref_src",
     "spm",
     "sessionid",

@@ -192,6 +192,13 @@ class ConcurrentCommitError(Exception):
     and re-apply the merge (optimistic concurrency)."""
 
 
+class NonAdditiveBoundaryError(ValueError):
+    """A change feed was asked to span a column rename/drop commit —
+    commits before it emit the old names, commits after the new, and a
+    union would be a frankenschema whose NULLs masquerade as changes.
+    Read the segments separately or re-seed the consumer."""
+
+
 class TxnTableNotFound(Exception):
     pass
 
@@ -404,12 +411,15 @@ def _bloom_build(path: str, cols: "list[str]", fpp: float) -> dict:
 
     pf = pq.ParquetFile(path)
     present = [c for c in cols if c in pf.schema_arrow.names]
+    # absent columns (pre-evolution files) record an explicit None —
+    # "no filter, keep the file" to readers, and "already decided, don't
+    # re-read this file on every later commit" to the backfill
+    out: dict = {c: None for c in cols if c not in present}
     if not present:
-        return {}
+        return out
     import pyarrow.compute as pc
 
     table = pq.read_table(path, columns=present)
-    out = {}
     for c in present:
         import pyarrow as pa
 
@@ -424,6 +434,7 @@ def _bloom_build(path: str, cols: "list[str]", fpp: float) -> dict:
         elif pa.types.is_temporal(t):
             tag = "t"
         else:
+            out[c] = None
             continue
         uniq = [v for v in pc.unique(table.column(c)).to_pylist() if v is not None]
         m_bits, k = _bloom_params(len(uniq), fpp)
@@ -678,15 +689,31 @@ class TxnTable:
         prune just to count it."""
         m = self._manifest(version)
         schema = StructType.fromJson(json.loads(m["schema"]))
-        all_ranges = dict(ranges or {})
+
+        def _tighten(acc: dict, col: str, rng: "tuple[Any, Any]") -> None:
+            # a column named by more than one of ranges/eq/key_range
+            # gets the INTERSECTION — silently replacing one request
+            # with another returned rows satisfying neither (prune used
+            # eq while the row filter used the range)
+            if col not in acc:
+                acc[col] = rng
+                return
+            (alo, ahi), (blo, bhi) = acc[col], rng
+            lo = blo if alo is None else alo if blo is None else max(alo, blo)
+            hi = bhi if ahi is None else ahi if bhi is None else min(ahi, bhi)
+            acc[col] = (lo, hi)
+
+        all_ranges: "dict[str, tuple[Any, Any]]" = {}
+        for col, rng in (ranges or {}).items():
+            _tighten(all_ranges, col, rng)
         for col, v in (eq or {}).items():
             if v is None:
                 raise ValueError(
                     f"eq[{col!r}] is NULL — SQL equality never matches NULL"
                 )
-            all_ranges[col] = (v, v)
+            _tighten(all_ranges, col, (v, v))
         if key_range is not None:
-            all_ranges[_keys(m)[0]] = key_range
+            _tighten(all_ranges, _keys(m)[0], key_range)
         entries = m["files"]
         mp = _mapping_of(m)
         if all_ranges:
@@ -2036,7 +2063,7 @@ class TxnTable:
                 # spanning both would union into a frankenschema whose
                 # NULLs are indistinguishable from real changes (Delta's
                 # CDF refuses non-additive boundaries the same way).
-                raise ValueError(
+                raise NonAdditiveBoundaryError(
                     f"version {v} is a {op.upper()} commit — a change "
                     "feed cannot span a column rename/drop; read the "
                     f"segments separately (…, {v - 1}] and [{v}, …) or "
@@ -2917,10 +2944,20 @@ def _publish(root: Path, version: int, manifest: dict) -> None:
         mp = _mapping_of(manifest)
         phys_cols = [_phys(mp, c) for c in cfg["cols"]]
         for e in manifest.get("files") or []:
-            if "bloom" not in e:
-                e["bloom"] = _bloom_build(
-                    str(root / e["path"]), phys_cols, float(cfg["fpp"])
-                )
+            # per-COLUMN backfill: re-enabling with different columns
+            # (or enabling after files already carry filters for the
+            # old set) must index the new ones too; columns already
+            # decided — a filter OR an explicit None marker — are never
+            # re-read
+            have = e.get("bloom") or {}
+            needed = [c for c in phys_cols if c not in have]
+            if needed:
+                e["bloom"] = {
+                    **have,
+                    **_bloom_build(
+                        str(root / e["path"]), needed, float(cfg["fpp"])
+                    ),
+                }
     stage = log / f".tmp-{uuid.uuid4().hex}.json"
     stage.write_text(json.dumps(manifest))
     final = log / _mname(version)

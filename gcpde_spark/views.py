@@ -54,6 +54,7 @@ from pyspark.sql.types import StructType
 
 from gcpde_spark.txn import (
     ConcurrentCommitError,
+    NonAdditiveBoundaryError,
     TxnTable,
     TxnTableNotFound,
 )
@@ -183,9 +184,7 @@ class MaterializedAggView:
             # one full rebuild, loud in the receipt, never silent
             # (sync_table's contract, mirrored)
             return self._full_rebuild(end, mode="full_vacuumed")
-        except ValueError as exc:
-            if "cannot span a column rename" not in str(exc):
-                raise
+        except NonAdditiveBoundaryError:
             # the base renamed/dropped a column since the last refresh —
             # a non-additive boundary the change feed refuses to cross.
             # Recomputing from the CURRENT snapshot is exactly right: if

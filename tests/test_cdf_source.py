@@ -359,3 +359,31 @@ def test_max_commits_per_batch_guard(spark, tmp_path):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_live_stream_fails_on_drop_column(spark, tmp_path):
+    """A drop_column landing while a stream runs must FAIL the stream:
+    skipping it would make every later commit emit NULL for the dropped
+    column under the stream's old schema, and a keyed downstream sink
+    would upsert NULL over real values — silent data loss. (Renames
+    flow through: physical addressing makes them no-ops.)"""
+    from gcpde_spark.cdf_source import _CdfStreamReader
+
+    t = _mk(spark, tmp_path / "t", n=4)
+    register_cdf_source(spark)
+    feed = (
+        spark.readStream.format("txn-cdf")
+        .option("path", str(tmp_path / "t"))
+        .option("startingVersion", 0)
+        .load()
+    )  # schema captured with column v, BEFORE the drop
+    t.drop_column("v")
+    t.append(spark.range(50, 51).select(F.col("id").alias("k")))
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("cdf_drop_live")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="dropped a column"):
+        q.awaitTermination(120)

@@ -153,3 +153,52 @@ def test_bloom_null_only_file_prunes_soundly(spark, tmp_path):
     assert df.count() == 100
     df, scanned, _ = t.read_with_receipt(eq={"tag": "miss"})
     assert scanned == 0 and df.count() == 0
+
+
+def test_bloom_reenable_backfills_new_columns(spark, tmp_path):
+    """Per-column backfill: switching the indexed column set must build
+    filters for the NEW columns on existing files (the first
+    implementation skipped any entry that already had a bloom dict,
+    so re-enables silently never indexed old files)."""
+    df = spark.range(400).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("a"),
+        F.sha1(F.col("id").cast("string")).alias("b"),
+    )
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), df, key_field="id", n_files=4,
+        bloom_cols=("a",),
+    )
+    t.set_bloom_cols(("b",))  # switch columns entirely
+    import hashlib
+
+    probe = hashlib.sha1(b"7").hexdigest()
+    got, scanned, total = t.read_with_receipt(eq={"b": probe})
+    assert scanned < total == 4  # the re-enable indexed b on OLD files
+    assert [r.id for r in got.collect()] == [7]
+    # the old column's filters survive on the entries (immutable files)
+    assert all(
+        (e.get("bloom") or {}).get("a") and (e.get("bloom") or {}).get("b")
+        for e in t._manifest()["files"]
+    )
+
+
+def test_eq_intersects_with_overlapping_range_requests(spark, tmp_path):
+    """eq + key_range/ranges on the same column must intersect, not
+    silently replace each other — the first implementation pruned by eq
+    while row-filtering by the range, returning rows that satisfied
+    neither request."""
+    t = _mk_uid_table(spark, tmp_path / "t", n=2000, bloom_cols=("uid",))
+    # eq on the KEY plus a wide key_range: intersection is the point
+    df, scanned, total = t.read_with_receipt(
+        eq={"id": 7}, key_range=(0, 1999)
+    )
+    rows = df.collect()
+    assert [r.id for r in rows] == [7]
+    assert scanned < total  # the point still prunes at the manifest
+    # eq outside the range: empty intersection, zero rows, no error
+    assert t.read(eq={"id": 7}, key_range=(100, 1999)).count() == 0
+    # eq + ranges on a non-key column intersect the same way
+    u = _uid(7)
+    assert t.read(eq={"uid": u}, ranges={"uid": (u, u)}).count() == 1
+    assert t.read(eq={"uid": u}, ranges={"uid": ("z", None)}).count() == 0
