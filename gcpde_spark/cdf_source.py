@@ -238,8 +238,10 @@ class _CdfStreamReader(DataSourceStreamReader):
         # may order fields differently, and slicing [-2:] off would
         # silently misalign rows against it
         names = [f.name for f in self.schema.fields if f.name not in _TAG_COLS]
+        stream_phys = {_phys(self.mapping, n) for n in names}
         first = start["version"] + 1
         out: list[InputPartition] = []
+        end_phys: "set[str] | None" = None  # lazily loaded, see below
         prev: set[str] = (
             {
                 f["path"]
@@ -267,18 +269,35 @@ class _CdfStreamReader(DataSourceStreamReader):
                 prev = cur
                 continue
             if op == "drop_column":
-                # skipping a drop would make every LATER commit emit
-                # NULL for the dropped column under the running stream's
-                # schema — a keyed downstream sink would then upsert
-                # NULL over real values, silent data loss. Fail like a
-                # schema evolution: the offset has not advanced, a
-                # restart re-infers the post-drop schema.
-                raise ValueError(
-                    f"version {v} dropped a column the running stream "
-                    "still carries — restart the stream to pick up the "
-                    "narrowed schema (its checkpoint offset has NOT "
-                    "advanced past this commit, so no rows are lost)"
-                )
+                # only a drop the RUNNING stream still carries is fatal:
+                # skipping it would make every later commit emit NULL
+                # for the dropped column under the stream's old schema,
+                # and a keyed downstream sink would upsert NULL over
+                # real values — silent data loss. A restarted reader
+                # re-infers the NARROWED schema, so on replay the
+                # dropped set is disjoint from stream_phys and the
+                # commit passes as a metadata no-op (like rename) —
+                # i.e. the restart advertised below genuinely recovers.
+                prev_mp = _manifest_or_lag_error(self.root, v - 1)
+                dropped = {
+                    _phys(_mapping_of(prev_mp), f["name"])
+                    for f in json.loads(prev_mp["schema"])["fields"]
+                } - {
+                    _phys(_mapping_of(m), f["name"])
+                    for f in json.loads(m["schema"])["fields"]
+                }
+                if dropped & stream_phys:
+                    raise ValueError(
+                        f"version {v} dropped a column the running "
+                        "stream still carries — restart the stream to "
+                        "pick up the narrowed schema (its checkpoint "
+                        "offset has NOT advanced past this commit; on "
+                        "restart the replay emits pre-drop commits "
+                        "without the dropped column, so no rows are "
+                        "lost)"
+                    )
+                prev = cur
+                continue
             if op not in _UPSERT_OPS:
                 raise ValueError(
                     f"version {v} is a {op.upper()} commit, which can "
@@ -300,16 +319,36 @@ class _CdfStreamReader(DataSourceStreamReader):
                 _phys(commit_mp, f["name"])
                 for f in json.loads(m["schema"])["fields"]
             }
-            stream_phys = {_phys(self.mapping, n) for n in names}
             extra = commit_phys - stream_phys
             if extra:
-                raise ValueError(
-                    f"version {v} evolved the schema with column(s) "
-                    f"{sorted(extra)} the running stream does not carry "
-                    "— restart the stream to pick up the new schema "
-                    "(its checkpoint offset has NOT advanced past this "
-                    "commit, so no rows are lost)"
-                )
+                # surplus physical columns that a LATER commit already
+                # dropped (they are gone from the scan-end manifest) are
+                # tolerated: a post-drop restart replaying pre-drop
+                # history under the narrowed schema must not wedge on
+                # its own checkpoint, and the narrowed schema IS the
+                # table's current contract — emitting those files
+                # without the since-dropped column matches what a fresh
+                # reader of the current table would see. Only columns
+                # still LIVE at scan end are a real evolution the
+                # stream missed, and refuse loudly.
+                if end_phys is None:
+                    end_m = _manifest_or_lag_error(
+                        self.root, end["version"]
+                    )
+                    end_phys = {
+                        _phys(_mapping_of(end_m), f["name"])
+                        for f in json.loads(end_m["schema"])["fields"]
+                    }
+                still_live = extra & end_phys
+                if still_live:
+                    raise ValueError(
+                        f"version {v} evolved the schema with column(s) "
+                        f"{sorted(still_live)} the running stream does "
+                        "not carry — restart the stream to pick up the "
+                        "new schema (its checkpoint offset has NOT "
+                        "advanced past this commit, so no rows are "
+                        "lost)"
+                    )
             phys_names = [_phys(self.mapping, n) for n in names]
             for f in m["files"]:
                 if f["path"] not in prev:

@@ -518,6 +518,13 @@ def profile_neighbors(
     ``method="lsh"`` force a route. Vocabularies wider than
     ``max_categories`` raise — use :func:`lsh_topk` over a
     hashed-feature vector for unbounded profiles.
+
+    Caching: ``method="auto"`` persists the profile aggregate
+    (MEMORY_AND_DISK, LRU-evictable) so the routing bound and the
+    routed query share one raw-event shuffle; the lazy result keeps
+    reading it, so the cache lifetime is caller-owned after return
+    (released automatically on routing errors). Force a route to avoid
+    the hidden persist entirely.
     """
     from pyspark.sql import Window
 
@@ -529,14 +536,37 @@ def profile_neighbors(
         # the raw events); persist it so the routed query reads the
         # (keys × categories)-sized aggregate instead of re-scanning the
         # input. Sized like a profile table, not the fact table.
+        #
+        # Cache lifetime is CALLER-OWNED past this call: the result is
+        # lazy and both routes read p again when the caller finally
+        # materializes it, so unpersisting here would turn the cache
+        # into two recomputes of the raw-event shuffle. The cache is
+        # MEMORY_AND_DISK (LRU-evictable, never OOMs the executors);
+        # callers that materialize the result and want the storage back
+        # immediately use method="exact"/"lsh" (no hidden persist) or
+        # spark.catalog.clearCache(). Routing errors do release it.
         p.persist()
-        method = (
-            "lsh" if profile_pair_bound(p, cat_col) > candidate_budget else "exact"
-        )
+        try:
+            method = (
+                "lsh"
+                if profile_pair_bound(p, cat_col) > candidate_budget
+                else "exact"
+            )
+        except Exception:
+            p.unpersist(blocking=False)
+            raise
+        auto_persisted = True
+    else:
+        auto_persisted = False
     if method == "lsh":
-        return _profile_neighbors_lsh(
-            p, key_col, cat_col, top_k, n_planes, seed, max_categories
-        )
+        try:
+            return _profile_neighbors_lsh(
+                p, key_col, cat_col, top_k, n_planes, seed, max_categories
+            )
+        except Exception:
+            if auto_persisted:
+                p.unpersist(blocking=False)
+            raise
     nrm = p.groupBy(key_col).agg(F.sum(F.col("_n") * F.col("_n")).alias("_s2"))
     a = p.select(
         F.col(key_col).alias("_ka"), F.col(cat_col).alias("_c"), F.col("_n").alias("_na")

@@ -777,6 +777,13 @@ def top_ngrams(
     )
 
 
+# bm25_topk switches off its wide conditional-aggregation form above
+# this many query terms: each term adds one aggregate column + one
+# literal struct to single projections, and past a few hundred the
+# generated Java exceeds whole-stage-codegen / constant-pool limits
+_BM25_WIDE_TERM_LIMIT = 64
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -812,7 +819,12 @@ def bm25_topk(
     id-keyed aggregation. Top-k is a TakeOrdered on the exact integer
     score, not a global sort. (Round 5: the previous form evaluated the
     tokenize+explode in three plan branches — dl, tf, and the final
-    join — this one evaluates it once.)
+    join — this one evaluates it once.) Above
+    ``_BM25_WIDE_TERM_LIMIT`` query terms the per-term-column form
+    would blow codegen/constant-pool limits, so the plan switches to a
+    collect-matched-occurrences route: still one corpus-sized shuffle,
+    plus one aggregation sized by matched occurrences — same rows,
+    same quantization, any |query|.
     """
     terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
     if not terms:
@@ -822,38 +834,69 @@ def bm25_topk(
     ex = spread(df).select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_term")
     )
-    dltf = ex.groupBy("_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_dl"),
-        *[
-            F.sum(F.when(F.col("_term") == t, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"_tf_{i}")
-            for i, t in enumerate(terms)
-        ],
-    )
-    stats = dltf.agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
-        F.sum("_dl").alias("_total"),
-    )
-    tf = (
-        dltf.select(
-            "_id",
-            "_dl",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("_term"),
-                            F.col(f"_tf_{i}").alias("_tf"),
-                        )
-                        for i, t in enumerate(terms)
-                    ]
-                )
-            ).alias("_e"),
+    if len(terms) <= _BM25_WIDE_TERM_LIMIT:
+        # small queries: |terms| conditional-sum columns in ONE id-keyed
+        # aggregation, then an all-literal struct unpivot — dl and every
+        # tf from a single corpus pass with zero extra shuffles
+        dltf = ex.groupBy("_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_dl"),
+            *[
+                F.sum(F.when(F.col("_term") == t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"_tf_{i}")
+                for i, t in enumerate(terms)
+            ],
         )
-        .select("_id", "_dl", F.col("_e._term").alias("_term"), F.col("_e._tf").alias("_tf"))
-        .where(F.col("_tf") > 0)
-    )
+        stats = dltf.agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
+            F.sum("_dl").alias("_total"),
+        )
+        tf = (
+            dltf.select(
+                "_id",
+                "_dl",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("_term"),
+                                F.col(f"_tf_{i}").alias("_tf"),
+                            )
+                            for i, t in enumerate(terms)
+                        ]
+                    )
+                ).alias("_e"),
+            )
+            .select("_id", "_dl", F.col("_e._term").alias("_term"), F.col("_e._tf").alias("_tf"))
+            .where(F.col("_tf") > 0)
+        )
+    else:
+        # large queries: the wide form would put |terms| aggregate
+        # columns + |terms| literal structs into single projections,
+        # which past a few hundred terms exceeds whole-stage-codegen /
+        # constant-pool limits (silent interpreted fallback, or JVM
+        # method-too-large failure). Keep the ONE corpus-sized shuffle
+        # but collect matched query-term occurrences as a per-doc list
+        # (isin compiles to an InSet hash probe, size-independent) and
+        # count them in a SECOND, matched-occurrences-sized aggregation
+        # — narrow plans at any |terms|. Same (_id, _dl, _term, _tf)
+        # rows, so everything downstream (and the quantized scoring) is
+        # route-independent.
+        agg = ex.groupBy("_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_dl"),
+            F.collect_list(
+                F.when(F.col("_term").isin(terms), F.col("_term"))
+            ).alias("_qhits"),
+        )
+        stats = agg.agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
+            F.sum("_dl").alias("_total"),
+        )
+        tf = (
+            agg.select("_id", "_dl", F.explode("_qhits").alias("_term"))
+            .groupBy("_id", "_dl", "_term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_tf"))
+        )
     dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
     idf = (
         dfreq.crossJoin(F.broadcast(stats))

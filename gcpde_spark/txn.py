@@ -690,17 +690,41 @@ class TxnTable:
         m = self._manifest(version)
         schema = StructType.fromJson(json.loads(m["schema"]))
 
+        field_types = {f.name: f.dataType for f in schema.fields}
+
         def _tighten(acc: dict, col: str, rng: "tuple[Any, Any]") -> None:
             # a column named by more than one of ranges/eq/key_range
             # gets the INTERSECTION — silently replacing one request
             # with another returned rows satisfying neither (prune used
-            # eq while the row filter used the range)
+            # eq while the row filter used the range). Bounds are
+            # compared through _norm_bound so mixed representations of
+            # the same column (naive vs tz-aware datetime on TIMESTAMP,
+            # date vs datetime on DATE) intersect on the SAME semantics
+            # the pruner applies, instead of raising TypeError or
+            # picking the wall-clock-wrong endpoint; the RAW winning
+            # value is kept, because the row filter below hands it to
+            # Spark as a typed literal.
             if col not in acc:
                 acc[col] = rng
                 return
+            dtype = field_types.get(col)
+
+            def norm(x: Any) -> Any:
+                return x if dtype is None else _norm_bound(x, dtype)
+
             (alo, ahi), (blo, bhi) = acc[col], rng
-            lo = blo if alo is None else alo if blo is None else max(alo, blo)
-            hi = bhi if ahi is None else ahi if bhi is None else min(ahi, bhi)
+            if alo is None:
+                lo = blo
+            elif blo is None:
+                lo = alo
+            else:
+                lo = alo if norm(alo) >= norm(blo) else blo
+            if ahi is None:
+                hi = bhi
+            elif bhi is None:
+                hi = ahi
+            else:
+                hi = ahi if norm(ahi) <= norm(bhi) else bhi
             acc[col] = (lo, hi)
 
         all_ranges: "dict[str, tuple[Any, Any]]" = {}

@@ -361,6 +361,28 @@ def test_max_commits_per_batch_guard(spark, tmp_path):
         )
 
 
+def test_restart_after_drop_column_recovers(spark, tmp_path):
+    """The recovery path the drop-column error message promises: a
+    reader created AFTER the drop (schema re-inferred, narrowed)
+    replaying history that spans the drop must NOT wedge — pre-drop
+    commits carry the since-dropped physical column (surplus vs the
+    narrowed stream schema) and the drop commit itself is disjoint
+    from the stream's columns, so both pass; rows flow without the
+    dropped column. A schema ADD the stream missed still refuses
+    (covered by test_live_stream_fails_on_drop_column's add sibling)."""
+    t = _mk(spark, tmp_path / "t", n=4)  # v0: create with columns k, v
+    t.append(spark.createDataFrame([(50, "x")], "k long, v string"))  # v1
+    t.drop_column("v")  # v2: metadata-only
+    t.append(spark.range(60, 61).select(F.col("id").alias("k")))  # v3
+    # reader created post-drop: schema is just (k) + tag columns
+    rows = _drain(spark, tmp_path / "t", "cdf_post_drop", starting=0).collect()
+    assert "v" not in rows[0].asDict()
+    ks = {r.k for r in rows}
+    assert {0, 1, 2, 3, 50, 60} <= ks
+    versions = {r._commit_version for r in rows}
+    assert versions == {0, 1, 3}  # the drop commit emitted nothing
+
+
 def test_live_stream_fails_on_drop_column(spark, tmp_path):
     """A drop_column landing while a stream runs must FAIL the stream:
     skipping it would make every later commit emit NULL for the dropped

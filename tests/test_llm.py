@@ -1660,6 +1660,37 @@ def test_bm25_idf_downweights_ubiquitous_terms(spark):
     assert got[100] > max(v for k, v in got.items() if k != 100)
 
 
+def test_bm25_large_query_route_matches_wide_route(spark, monkeypatch):
+    """Past _BM25_WIDE_TERM_LIMIT the plan switches to the
+    collect-matched-occurrences form (the per-term-column form blows
+    codegen/constant-pool limits on big queries). Both routes must
+    produce identical (doc, score) results — forced by dropping the
+    limit to 1 on the same query."""
+    from gcpde_spark.llm import text as text_mod
+    from gcpde_spark.llm.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " * 5),
+            (2, "needle alpha needle " * 3),
+            (3, "needle gamma"),
+            (4, "delta " * 10),
+            (5, "alpha beta needle gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    q = ["needle", "gamma", "alpha"]
+    wide = [(r.doc_id, r.bm25) for r in bm25_topk(docs, q, top_k=5).collect()]
+    monkeypatch.setattr(text_mod, "_BM25_WIDE_TERM_LIMIT", 1)
+    narrow = [(r.doc_id, r.bm25) for r in bm25_topk(docs, q, top_k=5).collect()]
+    assert wide == narrow and len(wide) == 4  # doc 4 matches nothing
+    # and a genuinely wide query list runs without error on the new route
+    many = q + [f"zz{i}" for i in range(300)]
+    assert {r.doc_id for r in bm25_topk(docs, many, top_k=5).collect()} == {
+        1, 2, 3, 5,
+    }
+
+
 def test_jpeg_codec_roundtrip_variants():
     """The baseline JPEG codec is real both ways: solid blocks decode
     bit-exact, gradients within quantization error, and the decoder

@@ -1047,6 +1047,43 @@ def test_read_ranges_skip_equals_filter_on_temporal_and_string_columns(
     check()
 
 
+def test_read_intersects_mixed_representation_bounds(spark, tmp_path):
+    """A column named by BOTH ranges and eq with mixed bound
+    representations (naive vs tz-aware datetime on TIMESTAMP, datetime
+    vs date on DATE) must intersect through _norm_bound semantics —
+    the raw-Python max/min it used to do either raises TypeError
+    (naive vs aware) or compares wall clocks the pruner would not."""
+    df = spark.range(200).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1_672_531_200) + F.col("id") * 3600).alias("ts"),
+        F.date_add(F.lit("2023-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+    )
+    t = TxnTable.create(spark, str(tmp_path / "t"), df, key_field="id")
+    # the instant of id=100 (2023-01-01T00 UTC + 100 h), expressed both ways
+    aware = dt.datetime(
+        2023, 1, 5, 4, 0, tzinfo=dt.timezone.utc
+    )  # = ts of id 100
+    naive_local = aware.astimezone().replace(tzinfo=None)
+    got = t.read(
+        ranges={"ts": (naive_local, None)}, eq={"ts": aware}
+    ).collect()
+    assert {r.id for r in got} == {100}
+    # DATE column: datetime range bound vs date eq bound on one column
+    got2 = t.read(
+        ranges={"d": (dt.datetime(2023, 1, 10, 5, 30), None)},
+        eq={"d": dt.date(2023, 1, 11)},
+    ).collect()
+    assert {r.id for r in got2} == {10}
+    # disjoint mixed bounds intersect to empty, not to a TypeError
+    assert (
+        t.read(
+            ranges={"ts": (None, naive_local - dt.timedelta(hours=2))},
+            eq={"ts": aware},
+        ).count()
+        == 0
+    )
+
+
 def test_read_ranges_equals_full_filter_on_random_ranges(spark, tmp_path):
     """Property: manifest data skipping is invisible to results — for
     arbitrary (possibly open-ended, possibly empty) ranges over any
