@@ -29,6 +29,11 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # relational subset or "l,x" for the LLM family (used for the sf1
 # floor-amortization data point in BASELINE.md)
 ONLY = [p for p in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if p]
+# Best committed no-op job floor measured on a quiet box (BASELINE.md:
+# 0.044–0.048 s across rounds 3–5 mid-round runs). A floor above 2×
+# this marks the host degraded for the duration of the run and sets
+# floor_degraded below.
+QUIET_FLOOR_S = 0.048
 
 
 def _input_bytes(sf_dir: str) -> int:
@@ -142,6 +147,13 @@ def main() -> None:
         spark.range(1).count()
         floor_samples.append(time.perf_counter() - t0)
     noop_floor = round(statistics.median(floor_samples), 4)
+    # Degraded-host self-flag (VERDICT r5 item 5): when the floor runs
+    # past 2× the best committed quiet-box floor, this artifact's cold
+    # totals carry host noise (~2.5 jobs/query × floor delta) and must
+    # not be read as a code regression — the r5 driver box measured a
+    # 0.17 s floor, 3.5× the quiet 0.048 s, which alone explains ~30 s
+    # of corpus total. The flag makes the caveat part of the artifact.
+    floor_degraded = noop_floor > 2 * QUIET_FLOOR_S
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -153,6 +165,8 @@ def main() -> None:
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 4),
         "noop_floor_s": noop_floor,
+        "floor_degraded": floor_degraded,
+        "quiet_floor_ref_s": QUIET_FLOOR_S,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": RUNS,
         "cpus": int(cpus),
@@ -207,6 +221,8 @@ def main() -> None:
         "subset_totals": subsets,
         "warm_total": payload["warm_total"],
         "noop_floor_s": noop_floor,
+        "floor_degraded": floor_degraded,
+        "quiet_floor_ref_s": QUIET_FLOOR_S,
         "sf": payload["sf"],
         "runs": RUNS,
         "cpus": int(cpus),

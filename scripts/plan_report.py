@@ -44,6 +44,24 @@ STREAMING = {
 # tests/test_plan_quality.py GLOBAL_WINDOW_ALLOWLIST.
 GLOBAL_WINDOW_ALLOWLIST = {"c66_ratio_to_report"}
 
+# Sanctioned cartesian / broadcast-nested-loop joins (the r5 verdict's
+# adjudicated set; mirrored in tests/test_plan_quality.py): c11 IS the
+# cross-join entry, c12/c29/l15/l22/l29/l32/l35 broadcast a ONE-ROW
+# scalar aggregate, l06 is the by-design exact similarity baseline.
+# Any new unkeyed join is a violation — the class regresses silently
+# otherwise (the round-4 l27/l33 lesson).
+UNKEYED_JOIN_ALLOWLIST = {
+    "c11_cross_join",
+    "c12_scalar_subquery",
+    "c29_merge_upsert",
+    "l06_embedding_topk",
+    "l15_tfidf",
+    "l22_unigram_logprob",
+    "l29_quality_select",
+    "l32_bm25_topk",
+    "l35_psi_drift",
+}
+
 
 def main() -> None:
     spark = build_session(
@@ -75,6 +93,8 @@ def main() -> None:
             violations.append(f"{name}: BatchEvalPython")
         if r.global_windows and name not in GLOBAL_WINDOW_ALLOWLIST:
             violations.append(f"{name}: {r.global_windows} global window(s)")
+        if r.unkeyed_joins and name not in UNKEYED_JOIN_ALLOWLIST:
+            violations.append(f"{name}: unkeyed (cartesian/BNL) join")
     spark.stop()
 
     audited = [v for v in out.values() if "shuffles" in v]
@@ -92,6 +112,10 @@ def main() -> None:
             k for k, v in out.items() if v.get("global_windows")
         ),
         "global_window_allowlist": sorted(GLOBAL_WINDOW_ALLOWLIST),
+        "entries_with_unkeyed_joins": sorted(
+            k for k, v in out.items() if v.get("unkeyed_joins")
+        ),
+        "unkeyed_join_allowlist": sorted(UNKEYED_JOIN_ALLOWLIST),
         "violations": violations,
     }
     payload = {"summary": summary, "plans": out, "sf_dir": SF}

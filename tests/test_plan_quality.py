@@ -180,6 +180,59 @@ STREAMING_ENTRIES = {
 }
 
 
+# Entries whose cartesian / broadcast-nested-loop join is justified BY
+# CONSTRUCTION (the r5 verdict's adjudicated set): c11 IS the cross-join
+# entry; c12/c29/l15/l22/l29/l32/l35 cross-join a ONE-ROW scalar
+# aggregate (a broadcast of a single row, not an O(N·M) pairing); l06
+# is the by-design exact brute-force cosine baseline whose scale routes
+# are x05/x07. Any OTHER corpus entry planning an unkeyed join fails —
+# the l27/l33 lesson from round 4 is that unflagged plan classes
+# regress silently.
+UNKEYED_JOIN_ALLOWLIST = {
+    "c11_cross_join",
+    "c12_scalar_subquery",
+    "c29_merge_upsert",
+    "l06_embedding_topk",
+    "l15_tfidf",
+    "l22_unigram_logprob",
+    "l29_quality_select",
+    "l32_bm25_topk",
+    "l35_psi_drift",
+}
+
+
+def test_no_corpus_entry_has_an_unkeyed_join(spark):
+    """No corpus entry outside the adjudicated allowlist may plan a
+    CartesianProduct or BroadcastNestedLoopJoin — with no usable
+    equi-key the join is O(N·M) at exactly the scale the corpus claims
+    to survive. Detection lives in plans.audit (unkeyed_joins) so user
+    queries get the same check via assert_scales."""
+    from gcpde_spark.plans import _UNKEYED_JOINS
+
+    offenders = []
+    for name in CORPUS:
+        if name in STREAMING_ENTRIES or name in UNKEYED_JOIN_ALLOWLIST:
+            continue
+        plan = _plan(spark, name)
+        if any(n in plan for n in _UNKEYED_JOINS):
+            offenders.append(name)
+    assert not offenders, f"unkeyed join in: {offenders}"
+
+
+def test_planted_cross_join_fails_the_gate(spark):
+    """The gate actually fires: a corpus-shaped entry that cross-joins
+    two fact tables must be caught by the same detection the corpus
+    sweep and plan_report use."""
+    import pytest
+
+    from gcpde_spark.plans import assert_scales
+
+    a = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey")
+    b = spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey")
+    with pytest.raises(AssertionError, match="cartesian|nested-loop"):
+        assert_scales(a.crossJoin(b))
+
+
 def test_no_corpus_entry_has_a_global_window(spark):
     """No corpus entry may plan a Window with an empty partition spec
     over a non-limited child — that moves the entire child into ONE
