@@ -11,6 +11,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+_NUMERIC_TYPES = (NumericType,)
 
 from gcpde_spark.llm.dedup import _exploded_shingles
 from gcpde_spark.llm.text import normalize_text, round4
@@ -72,18 +75,52 @@ def sample_stratified(
     n_per_stratum: int,
     seed: int = 42,
     id_col: str = "doc_id",
+    method: str = "auto",
+    stratum_bound: int = 10_000_000,
 ) -> DataFrame:
     """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
     is smaller), deterministic for a given seed.
 
     A seeded ``xxhash64(id, seed)`` orders each stratum pseudo-randomly
-    and a rank window keeps the first ``n`` — equivalent to a reservoir
-    sample but expressed as one window, so it is distributed, exactly
-    sized (``df.sample`` is only *expected* fraction), and reproducible
-    across runs/cluster sizes. One shuffle on the strata key; a skewed
-    giant stratum is one sort partition — pre-salt + re-rank if a single
-    stratum exceeds executor memory.
+    and the first ``n`` are kept — equivalent to a reservoir sample but
+    distributed, exactly sized (``df.sample`` is only *expected*
+    fraction), and reproducible across runs/cluster sizes.
+
+    ``method="exact"``: one rank window on the strata key. Hazard: a
+    skewed giant stratum is one SORT partition.
+
+    ``method="threshold"``: skew-safe — the order key is a uniform
+    64-bit hash, so the ``n``-th smallest hash in a stratum of ``N``
+    sits at ≈ ``2⁶⁴·n/N`` above the minimum; two closed-form cutoffs
+    with a ``6·√n`` binomial margin split rows into definitely-kept /
+    boundary-band / dropped, only the band (≈ ``12·√n`` rows per
+    stratum) is exactly ranked, and a per-stratum validation aggregate
+    proves ``kept ≤ n ≤ kept + band`` — any violation falls back to
+    the exact route, so the selected set is identical to it
+    unconditionally.
+
+    ``method="auto"`` (default) measures the largest stratum with one
+    keyed count and takes the threshold route past ``stratum_bound``
+    rows (the same measured routing as :func:`select_top_fraction`).
     """
+    if method not in ("auto", "exact", "threshold"):
+        raise ValueError(
+            f"unknown method {method!r}; use auto|exact|threshold"
+        )
+    if method == "auto":
+        biggest = (
+            df.groupBy(*strata_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n"))
+            .first()[0]
+        )
+        method = "threshold" if (biggest or 0) > stratum_bound else "exact"
+    if method == "threshold":
+        out = _sample_stratified_threshold(
+            df, strata_cols, n_per_stratum, seed, id_col
+        )
+        if out is not None:
+            return out
     w = Window.partitionBy(*strata_cols).orderBy(
         F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
     )
@@ -92,6 +129,81 @@ def sample_stratified(
         .where(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def _sample_stratified_threshold(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    seed: int,
+    id_col: str,
+) -> "DataFrame | None":
+    """Closed-form-cutoff route for :func:`sample_stratified`; returns
+    ``None`` when the validation cannot prove the hash-cutoff split
+    selects exactly the ``n`` smallest hashes per stratum."""
+    cols = df.columns
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    margin = 6.0 * (n_per_stratum ** 0.5) + 16.0
+    lo64, span = -9.223372036854776e18, 1.8446744073709552e19
+    stats = df.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).select(
+        *strata_cols,
+        F.least(F.lit(n_per_stratum).cast("bigint"), F.col("_n"))
+        .alias("_cut"),
+        # the n-th smallest of N uniform 64-bit hashes ≈ the
+        # (n/N)-quantile of the hash space; double rounding error at
+        # this magnitude (~2 KB of hash space) is absorbed by the margin
+        (F.lit(lo64) + F.lit(span)
+         * F.least(
+             F.lit(1.0),
+             (F.lit(float(n_per_stratum) + margin)) / F.col("_n"),
+         )).alias("_thi"),
+        (F.lit(lo64) + F.lit(span)
+         * F.greatest(
+             F.lit(0.0),
+             (F.lit(float(n_per_stratum) - margin)) / F.col("_n"),
+         )).alias("_tlo"),
+    )
+
+    def _nullsafe_join(left: DataFrame, right: DataFrame) -> DataFrame:
+        cond = None
+        for c in strata_cols:
+            e = left[c].eqNullSafe(right[c])
+            cond = e if cond is None else cond & e
+        out = left.join(F.broadcast(right), cond)
+        for c in strata_cols:
+            out = out.drop(right[c])
+        return out
+
+    joined = _nullsafe_join(df, stats).withColumn("_h", h)
+    is_kept = F.col("_h").cast("double") < F.col("_tlo")
+    is_band = ~is_kept & (F.col("_h").cast("double") <= F.col("_thi"))
+    counts = joined.groupBy(*strata_cols).agg(
+        F.sum(is_kept.cast("bigint")).alias("_nk"),
+        F.sum(is_band.cast("bigint")).alias("_nb"),
+        F.max("_cut").alias("_cut"),
+    )
+    bad = counts.where(
+        (F.col("_nk") > F.col("_cut"))
+        | (F.col("_nk") + F.col("_nb") < F.col("_cut"))
+    ).limit(1)
+    if bad.count() > 0:
+        return None
+    kept = joined.where(is_kept).select(*cols)
+    band_quota = counts.select(
+        *strata_cols, (F.col("_cut") - F.col("_nk")).alias("_q")
+    )
+    bw = Window.partitionBy(*strata_cols).orderBy(
+        F.col("_h"), F.col(id_col)
+    )
+    band_sel = (
+        _nullsafe_join(joined.where(is_band), band_quota)
+        .withColumn("_brn", F.row_number().over(bw))
+        .where(F.col("_brn") <= F.col("_q"))
+        .select(*cols)
+    )
+    return kept.unionByName(band_sel)
 
 
 def pack_token_budget(
@@ -326,6 +438,9 @@ def select_top_fraction(
     frac: float,
     strata_cols: list[str],
     id_col: str = "doc_id",
+    method: str = "auto",
+    stratum_bound: int = 10_000_000,
+    quantile_accuracy: int = 10_000,
 ) -> DataFrame:
     """Keep the top ``frac`` of each stratum by ``score_col`` — the
     quality-gate step of a curation pipeline (e.g. a perplexity filter:
@@ -334,18 +449,71 @@ def select_top_fraction(
 
     Deterministic: descending score with NULLS LAST, tie-broken on
     ``id_col``, and the cut is ``rank ≤ ceil(frac · stratum_size)`` so
-    every stratum keeps at least one row when non-empty. The rank and
-    count windows share the same partition spec — Catalyst evaluates
-    both in one Window node over ONE exchange on the strata key; the
-    shuffle carries only the projected frame, so at 100 TB project to
-    (id, strata, score) first and join survivors back by id if the
-    full rows are needed (what l29 does).
+    every stratum keeps at least one row when non-empty. Both routes
+    below select EXACTLY this set.
 
-    A skewed giant stratum is one sort partition — same caveat and
-    remedy as :func:`sample_stratified`.
+    ``method="exact"``: one rank window on the strata key — the rank
+    and count windows share the same partition spec, so Catalyst
+    evaluates both in one Window node over ONE exchange; the shuffle
+    carries only the projected frame, so at 100 TB project to
+    (id, strata, score) first and join survivors back by id if the
+    full rows are needed (what l29 does). Its hazard: a skewed giant
+    stratum is one SORT partition — one crawl source holding 60% of a
+    100 TB corpus becomes a single-task sort of tens of TB.
+
+    ``method="threshold"``: the skew-safe route — no stratum-sized
+    sort anywhere. Per stratum, two ``percentile_approx`` cutoffs at
+    ``1-frac ± 4/quantile_accuracy`` (a hash aggregate) split rows
+    into definitely-kept (score above the upper cutoff), definitely
+    -dropped (below the lower), and a boundary band whose width is
+    bounded by the approx-quantile rank-error guarantee (~8·n/accuracy
+    rows plus ties at the cutoff values); only the band is exactly
+    ranked, so the sort partition is band-sized, not stratum-sized.
+    The per-stratum cutoff/count tables are broadcast (one row per
+    stratum — dimension-sized). A per-stratum validation aggregate
+    then PROVES the split consistent (kept ≤ cut ≤ kept + band for
+    every stratum); any violation — approx-guarantee edge, NULL-heavy
+    stratum where the cut reaches past the non-null scores, non-binary
+    frac rounding — falls back to the exact route, so results are
+    identical to it unconditionally. Requires a numeric score column.
+
+    ``method="auto"`` (default) measures the largest stratum with one
+    cheap keyed count (the same measured-routing pattern as
+    ``profile_neighbors``) and takes the threshold route when it
+    exceeds ``stratum_bound`` rows (or the exact route when the score
+    column is non-numeric).
     """
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0,1], got {frac}")
+    if method not in ("auto", "exact", "threshold"):
+        raise ValueError(
+            f"unknown method {method!r}; use auto|exact|threshold"
+        )
+    if method == "auto":
+        numeric = isinstance(
+            df.schema[score_col].dataType, _NUMERIC_TYPES
+        )
+        if not numeric:
+            method = "exact"
+        else:
+            biggest = (
+                df.groupBy(*strata_cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(F.max("_n"))
+                .first()[0]
+            )
+            method = (
+                "threshold"
+                if (biggest or 0) > stratum_bound
+                else "exact"
+            )
+    if method == "threshold" and frac < 1.0:
+        out = _select_top_fraction_threshold(
+            df, score_col, frac, strata_cols, id_col, quantile_accuracy
+        )
+        if out is not None:
+            return out
+        # validation failed — fall through to the exact route
     w = Window.partitionBy(*strata_cols)
     rank = F.row_number().over(
         w.orderBy(F.col(score_col).desc_nulls_last(), F.col(id_col))
@@ -357,6 +525,73 @@ def select_top_fraction(
         .where(F.col("_rn") <= F.col("_cut"))
         .drop("_rn", "_cut")
     )
+
+
+def _select_top_fraction_threshold(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    strata_cols: list[str],
+    id_col: str,
+    accuracy: int,
+) -> "DataFrame | None":
+    """Two-pass threshold route for :func:`select_top_fraction`; returns
+    ``None`` when the per-stratum validation cannot prove the split
+    selects exactly the rank-cut set (caller falls back to exact)."""
+    cols = df.columns
+    delta = 4.0 / accuracy
+    qhi = min(1.0, 1.0 - frac + delta)
+    qlo = max(0.0, 1.0 - frac - delta)
+    stats = df.groupBy(*strata_cols).agg(
+        F.ceil(F.count(F.lit(1)) * F.lit(frac)).cast("bigint").alias("_cut"),
+        F.percentile_approx(score_col, qhi, accuracy).alias("_thi"),
+        F.percentile_approx(score_col, qlo, accuracy).alias("_tlo"),
+    )
+    # broadcast BY CONSTRUCTION: one row per stratum (a dimension-sized
+    # table); a shuffle join keyed on strata would re-create the very
+    # skew this route exists to avoid. NULL-SAFE on the strata keys —
+    # the exact route's window treats a NULL stratum as a group, so an
+    # equi-join silently losing those rows would diverge from it.
+    def _nullsafe_join(left: DataFrame, right: DataFrame) -> DataFrame:
+        cond = None
+        for c in strata_cols:
+            e = left[c].eqNullSafe(right[c])
+            cond = e if cond is None else cond & e
+        out = left.join(F.broadcast(right), cond)
+        for c in strata_cols:
+            out = out.drop(right[c])
+        return out
+
+    joined = _nullsafe_join(df, stats)
+    is_kept = F.col(score_col) > F.col("_thi")
+    is_band = F.col(score_col).isNotNull() & ~is_kept & (
+        F.col(score_col) >= F.col("_tlo")
+    )
+    counts = joined.groupBy(*strata_cols).agg(
+        F.sum(is_kept.cast("bigint")).alias("_nk"),
+        F.sum(is_band.cast("bigint")).alias("_nb"),
+        F.max("_cut").alias("_cut"),
+    )
+    bad = counts.where(
+        (F.col("_nk") > F.col("_cut"))
+        | (F.col("_nk") + F.col("_nb") < F.col("_cut"))
+    ).limit(1)
+    if bad.count() > 0:
+        return None
+    kept = joined.where(is_kept).select(*cols)
+    band_quota = counts.select(
+        *strata_cols, (F.col("_cut") - F.col("_nk")).alias("_q")
+    )
+    bw = Window.partitionBy(*strata_cols).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col)
+    )
+    band_sel = (
+        _nullsafe_join(joined.where(is_band), band_quota)
+        .withColumn("_brn", F.row_number().over(bw))
+        .where(F.col("_brn") <= F.col("_q"))
+        .select(*cols)
+    )
+    return kept.unionByName(band_sel)
 
 
 def split_train_val(

@@ -1626,6 +1626,102 @@ def test_select_top_fraction_single_window_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_select_top_fraction_threshold_route_matches_exact(spark):
+    """The skew-safe threshold route must select EXACTLY the exact
+    route's rank-cut set — including score ties straddling the cut,
+    NULL scores (NULLS LAST), multi-column strata, and a NULL stratum
+    key (which the window keeps as a group, so the route's joins must
+    be null-safe). Checked over several fracs on a skewed corpus."""
+    import random
+
+    from gcpde_spark.llm.curation import select_top_fraction
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(3000):  # planted giant stratum with heavy ties
+        rows.append((i, "giant", "x", float(rng.randint(0, 40))))
+    for i in range(3000, 3050):
+        rows.append((i, "small", "x", rng.random() * 10))
+    for i in range(3050, 3070):  # NULL-score tail in its own stratum
+        rows.append((i, "small", "y", None if i % 3 else 1.0))
+    rows.append((9000, None, "x", 5.0))  # NULL stratum key
+    rows.append((9001, None, "x", 3.0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, score double"
+    )
+    for frac in (0.1, 0.5, 0.9, 1.0):
+        exact = {
+            r.doc_id
+            for r in select_top_fraction(
+                df, "score", frac, ["source", "lang"], method="exact"
+            ).collect()
+        }
+        thr = {
+            r.doc_id
+            for r in select_top_fraction(
+                df, "score", frac, ["source", "lang"], method="threshold"
+            ).collect()
+        }
+        assert thr == exact, f"frac={frac}: {thr ^ exact}"
+
+
+def test_sample_stratified_threshold_route_matches_exact(spark):
+    """sample_stratified's skew-safe route (closed-form hash cutoffs +
+    band rank + validation) must select exactly the exact route's n
+    smallest seeded hashes per stratum — including strata smaller than
+    n, a NULL stratum key, and across seeds."""
+    from gcpde_spark.llm.curation import sample_stratified
+
+    rows = [(i, "giant") for i in range(4000)]
+    rows += [(10_000 + i, "tiny") for i in range(3)]
+    rows += [(20_000, None), (20_001, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for seed, n in ((42, 50), (7, 1), (99, 4000)):
+        exact = {
+            r.doc_id
+            for r in sample_stratified(
+                df, ["source"], n, seed=seed, method="exact"
+            ).collect()
+        }
+        thr = {
+            r.doc_id
+            for r in sample_stratified(
+                df, ["source"], n, seed=seed, method="threshold"
+            ).collect()
+        }
+        assert thr == exact, f"seed={seed} n={n}: {thr ^ exact}"
+
+
+def test_select_top_fraction_auto_routes_on_stratum_size(spark):
+    """method='auto' mirrors profile_neighbors' measured routing: a
+    planted 90%-one-stratum input past the bound takes the threshold
+    route (its plan carries the percentile_approx cutoff aggregate and
+    sorts only the boundary band, never the whole stratum); under the
+    bound it stays on the single-window exact plan."""
+    from gcpde_spark.llm.curation import select_top_fraction
+
+    rows = [(i, "dominant" if i < 900 else f"s{i % 7}", float(i % 83))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+
+    routed = select_top_fraction(
+        df, "score", 0.5, ["source"], stratum_bound=100
+    )
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" in plan  # threshold route taken
+    # the only sort-window runs over the band filter, not the stratum:
+    # the full-stratum exact plan has zero Filters between scan and Window
+    exact = select_top_fraction(
+        df, "score", 0.5, ["source"], stratum_bound=10_000_000
+    )
+    assert "percentile_approx" not in (
+        exact._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert {r.doc_id for r in routed.collect()} == {
+        r.doc_id for r in exact.collect()
+    }
+
+
 def test_bm25_ranks_planted_relevant_doc_first(spark):
     from gcpde_spark.llm.text import bm25_topk
 
