@@ -26,6 +26,12 @@ from gcpde_spark.errors import (
     SchemaInferenceConflict,
     SchemaMismatchException,
 )
+from gcpde_spark.commit_backend import (
+    CommitBackend,
+    ConditionalPutBackend,
+    PosixLinkBackend,
+    SimulatedObjectStore,
+)
 from gcpde_spark.session import build_session
 from gcpde_spark.tables import MergeIntoBackend
 from gcpde_spark.cdf_source import register_cdf_source
@@ -33,13 +39,17 @@ from gcpde_spark.txn import TxnMergeBackend, TxnTable, sync_table
 from gcpde_spark.views import MaterializedAggView, refresh_view_stream
 
 __all__ = [
+    "CommitBackend",
+    "ConditionalPutBackend",
     "Engine",
     "EngineException",
     "MaterializedAggView",
     "register_cdf_source",
     "MergeIntoBackend",
+    "PosixLinkBackend",
     "SchemaInferenceConflict",
     "SchemaMismatchException",
+    "SimulatedObjectStore",
     "TxnMergeBackend",
     "TxnTable",
     "build_session",

@@ -43,6 +43,13 @@ class SchemaMismatchException(EngineException):
         )
 
 
+class ConcurrentCommitError(Exception):
+    """Another writer published this version first — re-read the table
+    and re-apply the merge (optimistic concurrency). Raised by every
+    :mod:`gcpde_spark.commit_backend` arbitration, POSIX and
+    object-store alike."""
+
+
 class TableNotFoundError(EngineException):
     """Target table does not exist (≙ google NotFound at gcpde/bq.py:62-65)."""
 

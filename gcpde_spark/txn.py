@@ -9,13 +9,17 @@ three mechanisms from scratch at their minimal useful size):
    the highest manifest IS the table state. Readers resolve one
    manifest and only ever see that snapshot's file list, so a
    concurrent writer can never show them a half-rewritten table.
-2. **Atomic, conflict-detecting commits** — a manifest is staged to a
-   temp name and published with ``os.link`` (hard-link create fails
-   with EEXIST if the version already exists), which is atomic on any
-   POSIX filesystem: two writers racing to version N+1 get exactly one
-   winner and one :class:`ConcurrentCommitError`. Object stores would
-   swap this single call for a conditional PUT — that is the whole
-   port surface.
+2. **Atomic, conflict-detecting commits** — publishing a manifest is
+   ONE pluggable primitive (:mod:`gcpde_spark.commit_backend`):
+   exclusive creation of the version's manifest object. The default
+   :class:`PosixLinkBackend` stages to a temp name and ``os.link``\ s
+   it (hard-link create fails with EEXIST if the version exists —
+   atomic on any POSIX filesystem); for object stores,
+   :class:`ConditionalPutBackend` issues an if-none-match conditional
+   PUT and resolves ambiguous (applied-then-timed-out) outcomes by
+   reading back the manifest's ``commit_id``. Either way two writers
+   racing to version N+1 get exactly one winner and one
+   :class:`ConcurrentCommitError`.
 3. **File-pruned MERGE (the scale point)** — each manifest entry
    carries the data file's merge-key [min, max] from its parquet
    footer. ``merge`` rewrites ONLY the files whose key range overlaps
@@ -41,9 +45,13 @@ region, O(changes) not O(table)), and :class:`TxnMergeBackend`, which
 plugs the whole thing into ``TableStore.upsert_table_df`` via the
 :class:`gcpde_spark.tables.MergeIntoBackend` seam.
 
-Out of scope, stated honestly: multi-table transactions, Hadoop-FS
-paths (``gs://``/``s3://`` need the conditional-put commit above), and
-column-level stats beyond the merge key.
+Out of scope, stated honestly: multi-table transactions, a bundled
+cloud client (``ConditionalPutBackend`` takes any two-verb
+put_if_absent/get adapter — the sandbox ships no GCS/S3 SDK, so the
+shipped store is the fault-injecting local simulator; ``clone``'s
+zero-copy hard links and catalog snapshot links also remain
+POSIX-only conveniences — on an object store they become server-side
+copies), and column-level stats beyond the merge key.
 """
 
 from __future__ import annotations
@@ -61,11 +69,27 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from gcpde_spark.commit_backend import CommitBackend, PosixLinkBackend
+from gcpde_spark.errors import ConcurrentCommitError as _ConcurrentCommitError
 from gcpde_spark.errors import SchemaMismatchException
 from gcpde_spark.tables import MergeIntoBackend, merge_dataframes
 
 _LOG_DIR = "_txn_log"
 _DATA_DIR = "data"
+# process-wide default commit arbitration; override per table via
+# TxnTable(..., commit_backend=...) / create(..., commit_backend=...)
+# or globally via set_commit_backend (e.g. route every table at a
+# gs://-style mount through ConditionalPutBackend)
+_COMMIT_BACKEND: CommitBackend = PosixLinkBackend()
+
+
+def set_commit_backend(backend: CommitBackend) -> CommitBackend:
+    """Swap the process-wide default :class:`CommitBackend`; returns
+    the previous one (so tests/context managers can restore it)."""
+    global _COMMIT_BACKEND
+    prev = _COMMIT_BACKEND
+    _COMMIT_BACKEND = backend
+    return prev
 _CONSTRAINTS_KEY = "table_constraints"
 # On-disk format version (docs/txn_format.md). Readers refuse manifests
 # from a NEWER format (they may encode invariants — e.g. a new
@@ -187,9 +211,11 @@ class ConstraintViolation(Exception):
         super().__init__(f"CHECK constraint(s) violated: {detail}")
 
 
-class ConcurrentCommitError(Exception):
-    """Another writer published this version first — re-read the table
-    and re-apply the merge (optimistic concurrency)."""
+# Commit arbitration is pluggable (gcpde_spark/commit_backend.py):
+# POSIX link(2) by default, conditional-PUT for object stores. The
+# error type moved to errors.py so backends can raise it without a
+# circular import; re-bound here for every existing caller.
+ConcurrentCommitError = _ConcurrentCommitError
 
 
 class NonAdditiveBoundaryError(ValueError):
@@ -552,9 +578,18 @@ class TxnTable:
         t.vacuum()                     # drop unreferenced data files
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        commit_backend: "CommitBackend | None" = None,
+    ):
         self.spark = spark
         self.path = Path(path)
+        # commit arbitration for THIS table (None → the process-wide
+        # default, POSIX link(2)); pass a ConditionalPutBackend for
+        # tables living on an object store
+        self.commit_backend = commit_backend
         log = self.path / _LOG_DIR
         # an empty log dir is NOT a table: it is the residue of a
         # create() that crashed before publishing version 0 — treating
@@ -563,6 +598,12 @@ class TxnTable:
             p.stem.isdigit() for p in log.glob("*.json")
         ):
             raise TxnTableNotFound(f"no transactional table at {path}")
+
+    def _commit(self, version: int, manifest: dict) -> None:
+        """Publish ``manifest`` as ``version`` through this table's
+        commit arbitration — the single choke point every verb's
+        commit goes through."""
+        _publish(self.path, version, manifest, backend=self.commit_backend)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -579,6 +620,7 @@ class TxnTable:
         constraints: "dict[str, str] | None" = None,
         bloom_cols: "Sequence[str] | None" = None,
         bloom_fpp: float = 0.01,
+        commit_backend: "CommitBackend | None" = None,
     ) -> "TxnTable":
         """Initialize a table from ``df``. ``sort_by_key`` range-sorts
         the initial files by the merge key, which is what makes future
@@ -639,8 +681,8 @@ class TxnTable:
         }
         if meta:
             manifest["meta"] = meta
-        _publish(p, 0, manifest)
-        return cls(spark, path)
+        _publish(p, 0, manifest, backend=commit_backend)
+        return cls(spark, path, commit_backend=commit_backend)
 
     # -- snapshot reads ----------------------------------------------------
 
@@ -950,7 +992,7 @@ class TxnTable:
             "meta": _rolled_meta(m, {_BLOOM_KEY: cfg}),
             **_fmt_fields(_mapping_of(m)),
         }
-        _publish(self.path, base + 1, manifest)
+        self._commit(base + 1, manifest)
         return {"version": base + 1, "bloom_cols": list(cols)}
 
     def _schema_change_guards(self, m: dict, name: str) -> None:
@@ -1018,7 +1060,7 @@ class TxnTable:
         rolled = _rolled_meta(m, meta_delta or None)
         if rolled:
             manifest["meta"] = rolled
-        _publish(self.path, base + 1, manifest)
+        self._commit(base + 1, manifest)
         return {"version": base + 1, "renamed": {old: new}}
 
     def drop_column(self, name: str) -> dict:
@@ -1064,7 +1106,7 @@ class TxnTable:
         rolled = _rolled_meta(m, meta_delta or None)
         if rolled:
             manifest["meta"] = rolled
-        _publish(self.path, base + 1, manifest)
+        self._commit(base + 1, manifest)
         return {"version": base + 1, "dropped": name}
 
     def add_constraint(self, name: str, sql: str) -> dict:
@@ -1108,7 +1150,7 @@ class TxnTable:
             "meta": _rolled_meta(m, {_CONSTRAINTS_KEY: new_map}),
             **_fmt_fields(_mapping_of(m)),
         }
-        _publish(self.path, base + 1, manifest)
+        self._commit(base + 1, manifest)
         return {"version": base + 1, "constraints": dict(new_map)}
 
     def _enforce(self, df: DataFrame, m: dict) -> None:
@@ -1258,7 +1300,7 @@ class TxnTable:
         rolled = _rolled_meta(m, meta)
         if rolled:
             manifest["meta"] = rolled
-        _publish(self.path, base_version + 1, manifest)
+        self._commit(base_version + 1, manifest)
         out = {
             "version": base_version + 1,
             "rewritten": len(touched),
@@ -1346,7 +1388,7 @@ class TxnTable:
         rolled = _rolled_meta(m, meta)
         if rolled:
             manifest["meta"] = rolled
-        _publish(self.path, base + 1, manifest)
+        self._commit(base + 1, manifest)
         return {
             "version": base + 1,
             "rewritten": 0,
@@ -1421,7 +1463,7 @@ class TxnTable:
         rolled = _rolled_meta(m, None)
         if rolled:
             manifest["meta"] = rolled
-        _publish(self.path, base + 1, manifest)
+        self._commit(base + 1, manifest)
         return {"version": base + 1, "added": len(new_files)}
 
     def overwrite(
@@ -1473,7 +1515,7 @@ class TxnTable:
         rolled = _rolled_meta(m, meta)
         if rolled:
             manifest["meta"] = rolled
-        _publish(self.path, base + 1, manifest)
+        self._commit(base + 1, manifest)
         return {"version": base + 1, "added": len(new_files)}
 
     # -- DELETE / UPDATE (scan-targeted copy-on-write) ---------------------
@@ -1563,7 +1605,7 @@ class TxnTable:
         rolled = _rolled_meta(m, meta)
         if rolled:
             manifest["meta"] = rolled
-        _publish(self.path, base + 1, manifest)
+        self._commit(base + 1, manifest)
         return {
             "version": base + 1,
             "rewritten": len(touched),
@@ -1613,7 +1655,7 @@ class TxnTable:
         rolled = _rolled_meta(m, meta)
         if rolled:
             manifest["meta"] = rolled
-        _publish(self.path, base + 1, manifest)
+        self._commit(base + 1, manifest)
         return {
             "version": base + 1,
             "rewritten": 0,
@@ -1736,7 +1778,7 @@ class TxnTable:
         rolled = _rolled_meta(m, meta)
         if rolled:
             manifest["meta"] = rolled
-        _publish(self.path, base + 1, manifest)
+        self._commit(base + 1, manifest)
         return {
             "version": base + 1,
             "rewritten": len(touched),
@@ -1823,7 +1865,7 @@ class TxnTable:
         rolled = _rolled_meta(m, meta)
         if rolled:
             manifest["meta"] = rolled
-        _publish(self.path, base + 1, manifest)
+        self._commit(base + 1, manifest)
         return {
             "version": base + 1,
             "rewritten": 0,
@@ -1972,7 +2014,7 @@ class TxnTable:
         rolled = _rolled_meta(m, None)
         if rolled:
             manifest["meta"] = rolled
-        _publish(self.path, base + 1, manifest)
+        self._commit(base + 1, manifest)
         return {
             "version": base + 1,
             "purged_files": len(dvd),
@@ -2027,7 +2069,7 @@ class TxnTable:
         rolled = _rolled_meta(m, None)
         if rolled:
             manifest["meta"] = rolled
-        _publish(self.path, base + 1, manifest)
+        self._commit(base + 1, manifest)
         return {
             "version": base + 1,
             "before": len(m["files"]),
@@ -2212,8 +2254,7 @@ class TxnTable:
                     }
                 # empty feed but metadata to record (sync bookkeeping):
                 # publish a data-free commit carrying the same files
-                _publish(
-                    self.path,
+                self._commit(
                     base + 1,
                     {
                         "version": base + 1,
@@ -2264,7 +2305,7 @@ class TxnTable:
             rolled = _rolled_meta(m, meta)
             if rolled:
                 manifest["meta"] = rolled
-            _publish(self.path, base + 1, manifest)
+            self._commit(base + 1, manifest)
             return {
                 "version": base + 1,
                 "rewritten": len(touched),
@@ -2316,7 +2357,7 @@ class TxnTable:
         rolled = _rolled_meta(cur, meta)
         if rolled:
             manifest["meta"] = rolled
-        _publish(self.path, base + 1, manifest)
+        self._commit(base + 1, manifest)
         return {"version": base + 1, "restored_from": version}
 
     # -- maintenance -------------------------------------------------------
@@ -2365,8 +2406,8 @@ class TxnTable:
                 ),
             },
         }
-        _publish(dp, 0, manifest)
-        return TxnTable(self.spark, dest)
+        _publish(dp, 0, manifest, backend=self.commit_backend)
+        return TxnTable(self.spark, dest, commit_backend=self.commit_backend)
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Delete data files referenced by NO retained manifest and
@@ -2944,11 +2985,20 @@ def _prune_by_ranges(
     return out
 
 
-def _publish(root: Path, version: int, manifest: dict) -> None:
-    """Atomically publish a manifest: stage to a temp name, hard-link to
-    the final name (fails with EEXIST if the version is taken), unlink
-    the stage. POSIX link(2) is atomic; the manifest is either fully
-    visible or absent."""
+def _publish(
+    root: Path,
+    version: int,
+    manifest: dict,
+    backend: "CommitBackend | None" = None,
+) -> None:
+    """Atomically publish a manifest through the commit arbitration
+    ``backend`` (default: the process-wide one — POSIX ``link(2)``):
+    exactly one of N racing writers creates the version's manifest
+    object; the rest raise :class:`ConcurrentCommitError`. The manifest
+    is stamped with a ``commit_id`` UUID so object-store backends can
+    resolve ambiguous (applied-then-timed-out) outcomes by read-back —
+    see :mod:`gcpde_spark.commit_backend`. Either way the manifest is
+    fully visible or absent, never partial."""
     log = root / _LOG_DIR
     # commit wall-clock at the single publish choke point — what
     # timestamp time travel (version_at) resolves against
@@ -2982,15 +3032,9 @@ def _publish(root: Path, version: int, manifest: dict) -> None:
                         str(root / e["path"]), needed, float(cfg["fpp"])
                     ),
                 }
-    stage = log / f".tmp-{uuid.uuid4().hex}.json"
-    stage.write_text(json.dumps(manifest))
-    final = log / _mname(version)
-    try:
-        os.link(stage, final)
-    except FileExistsError as exc:
-        raise ConcurrentCommitError(
-            f"version {version} at {root} was committed by another writer; "
-            "re-read the table and re-apply the merge"
-        ) from exc
-    finally:
-        stage.unlink(missing_ok=True)
+    manifest.setdefault("commit_id", uuid.uuid4().hex)
+    (backend or _COMMIT_BACKEND).publish(
+        log / _mname(version),
+        json.dumps(manifest).encode("utf-8"),
+        manifest["commit_id"],
+    )

@@ -96,10 +96,10 @@ def test_concurrent_commit_single_winner(spark, tmp_path, monkeypatch):
     real_publish = txn._publish
     log = tmp_path / "t" / "_txn_log"
 
-    def rival_wins_first(root, version, manifest):
+    def rival_wins_first(root, version, manifest, backend=None):
         if version == 1 and not (log / _mname(1)).exists():
             (log / _mname(1)).write_text((log / _mname(0)).read_text())
-        real_publish(root, version, manifest)
+        real_publish(root, version, manifest, backend=backend)
 
     monkeypatch.setattr(txn, "_publish", rival_wins_first)
     with pytest.raises(ConcurrentCommitError):
@@ -122,7 +122,7 @@ def test_merge_with_retry_recovers_from_a_lost_race(spark, tmp_path, monkeypatch
     real_publish = txn._publish
     raced = {"done": False}
 
-    def rival_once(root, version, manifest):
+    def rival_once(root, version, manifest, backend=None):
         if not raced["done"] and not (log / _mname(version)).exists():
             raced["done"] = True
             # rival commits id=5 -> "RIVAL" at this version first
@@ -135,7 +135,7 @@ def test_merge_with_retry_recovers_from_a_lost_race(spark, tmp_path, monkeypatch
                 )
             finally:
                 txn._publish = real_publish_backup
-        real_publish(root, version, manifest)
+        real_publish(root, version, manifest, backend=backend)
 
     monkeypatch.setattr(txn, "_publish", rival_once)
     res = t.merge_with_retry(
@@ -1354,12 +1354,12 @@ def test_add_constraint_loses_commit_race_loudly(spark, tmp_path, monkeypatch):
     log = tmp_path / "t" / "_txn_log"
     real_publish = txn._publish
 
-    def rival_wins_first(root, version, manifest):
+    def rival_wins_first(root, version, manifest, backend=None):
         if not (log / _mname(version)).exists():
             m = __import__("json").loads((log / _mname(version - 1)).read_text())
             m["version"] = version
             real_publish(root, version, m)
-        real_publish(root, version, manifest)
+        real_publish(root, version, manifest, backend=backend)
 
     monkeypatch.setattr(txn, "_publish", rival_wins_first)
     with pytest.raises(ConcurrentCommitError):

@@ -167,7 +167,16 @@ def test_cdf_stream_flows_through_rename(spark, tmp_path):
     assert got[3] == str(3 % 7) and got[900] == "x" and len(got) == 21
 
 
-def test_cdf_stream_refuses_predrop_history(spark, tmp_path):
+def test_cdf_stream_replays_predrop_history_under_narrowed_schema(
+    spark, tmp_path
+):
+    """A reader created AFTER a drop_column and asked to backfill from
+    v0 must emit the pre-drop commits WITHOUT the dropped column (the
+    narrowed schema is the table's current contract) instead of
+    refusing — the old refusal permanently wedged checkpointed streams
+    whose unconsumed region contained a drop (round-5 advisory). Under
+    active column mapping the surplus physical column is recognized as
+    since-dropped by its absence from the scan-end manifest."""
     from gcpde_spark.cdf_source import register_cdf_source
 
     t = _mk(spark, tmp_path / "t", n=10, n_files=1)  # v0 carries `v`
@@ -183,9 +192,10 @@ def test_cdf_stream_refuses_predrop_history(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    with pytest.raises(Exception, match="does not"):
-        q.awaitTermination(120)
-        q.processAllAvailable()
+    q.awaitTermination(120)
+    rows = spark.table("drop_stream").collect()
+    assert {r.id for r in rows} == set(range(10))
+    assert "v" not in rows[0].asDict()
 
 
 def test_clone_restore_and_catalog_carry_mapping(spark, tmp_path):

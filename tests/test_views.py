@@ -278,14 +278,14 @@ def test_concurrent_refreshers_resolve_via_lost_race(
     vlog = tmp_path / "v" / "_txn_log"
     real_publish = txn._publish
 
-    def rival_wins_first(root, version, manifest):
+    def rival_wins_first(root, version, manifest, backend=None):
         # a twin refresher lands the same refresh just before ours
         if root == (tmp_path / "v") and not (vlog / _mname(version)).exists():
             m = _json.loads((vlog / _mname(version - 1)).read_text())
             m["version"] = version
             m.setdefault("meta", {})["view_base_version"] = end
             real_publish(root, version, m)
-        real_publish(root, version, manifest)
+        real_publish(root, version, manifest, backend=backend)
 
     monkeypatch.setattr(txn, "_publish", rival_wins_first)
     rec = view.refresh()
@@ -298,13 +298,13 @@ def test_concurrent_refreshers_resolve_via_lost_race(
     stale = end  # rival only reflects the OLD base version
     end = base.version()
 
-    def stale_rival_wins(root, version, manifest):
+    def stale_rival_wins(root, version, manifest, backend=None):
         if root == (tmp_path / "v") and not (vlog / _mname(version)).exists():
             m = _json.loads((vlog / _mname(version - 1)).read_text())
             m["version"] = version
             m.setdefault("meta", {})["view_base_version"] = stale
             real_publish(root, version, m)
-        real_publish(root, version, manifest)
+        real_publish(root, version, manifest, backend=backend)
 
     monkeypatch.setattr(txn, "_publish", stale_rival_wins)
     with pytest.raises(ConcurrentCommitError, match="re-run"):
