@@ -35,6 +35,7 @@ from gcpde_spark.commit_backend import (
 from gcpde_spark.session import build_session
 from gcpde_spark.tables import MergeIntoBackend
 from gcpde_spark.cdf_source import register_cdf_source
+from gcpde_spark.txn_source import register_txn_source
 from gcpde_spark.txn import TxnMergeBackend, TxnTable, sync_table
 from gcpde_spark.views import MaterializedAggView, refresh_view_stream
 
@@ -45,6 +46,7 @@ __all__ = [
     "EngineException",
     "MaterializedAggView",
     "register_cdf_source",
+    "register_txn_source",
     "MergeIntoBackend",
     "PosixLinkBackend",
     "SchemaInferenceConflict",

@@ -132,6 +132,41 @@ class _FilePartition(InputPartition):
         self.rel_path = rel_path
 
 
+def _file_columns(partition: "_FilePartition") -> "tuple[list[list], int]":
+    """Executor-side materialization of ONE data file as Python column
+    lists under the partition's physical names: pyarrow read, deletion
+    vectors applied (drop the sidecar-listed row positions — parquet
+    row order is the position space), pre-evolution columns NULL-filled.
+    Shared by the streaming feed and the ``gcpde_txn`` batch source
+    (gcpde_spark/txn_source.py)."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(partition.file_path)
+    if getattr(partition, "dv_paths", None):
+        dead: set[int] = set()
+        for p in partition.dv_paths:
+            dv = pq.read_table(p, columns=["_file", "_pos"])
+            for f, pos in zip(
+                dv.column("_file").to_pylist(),
+                dv.column("_pos").to_pylist(),
+            ):
+                if f == partition.rel_path:
+                    dead.add(pos)
+        if dead:
+            table = table.take(
+                [i for i in range(table.num_rows) if i not in dead]
+            )
+    present = set(table.column_names)
+    cols = []
+    n = table.num_rows
+    for name in partition.phys_names:
+        if name in present:
+            cols.append(table.column(name).to_pylist())
+        else:  # file predates an additively-evolved column
+            cols.append([None] * n)
+    return cols, n
+
+
 class _CommitPartition(InputPartition):
     def __init__(self, version: int, op: str, n_fields: int):
         self.version = version
@@ -370,39 +405,13 @@ class _CdfStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
-        import pyarrow.parquet as pq
-
         if isinstance(partition, _CommitPartition):
             marker = (None,) * partition.n_fields + (
                 partition.op,
                 partition.version,
             )
             return iter([marker])
-        table = pq.read_table(partition.file_path)
-        if getattr(partition, "dv_paths", None):
-            # apply the file's deletion vector: drop the sidecar-listed
-            # row positions (parquet row order is the position space)
-            dead: set[int] = set()
-            for p in partition.dv_paths:
-                dv = pq.read_table(p, columns=["_file", "_pos"])
-                for f, pos in zip(
-                    dv.column("_file").to_pylist(),
-                    dv.column("_pos").to_pylist(),
-                ):
-                    if f == partition.rel_path:
-                        dead.add(pos)
-            if dead:
-                table = table.take(
-                    [i for i in range(table.num_rows) if i not in dead]
-                )
-        present = set(table.column_names)
-        cols = []
-        n = table.num_rows
-        for name in partition.phys_names:
-            if name in present:
-                cols.append(table.column(name).to_pylist())
-            else:  # file predates an additively-evolved column
-                cols.append([None] * n)
+        cols, n = _file_columns(partition)
         tail_type = ["upsert"] * n
         tail_version = [partition.version] * n
         return iter(zip(*cols, tail_type, tail_version))

@@ -731,63 +731,8 @@ class TxnTable:
         prune just to count it."""
         m = self._manifest(version)
         schema = StructType.fromJson(json.loads(m["schema"]))
-
-        field_types = {f.name: f.dataType for f in schema.fields}
-
-        def _tighten(acc: dict, col: str, rng: "tuple[Any, Any]") -> None:
-            # a column named by more than one of ranges/eq/key_range
-            # gets the INTERSECTION — silently replacing one request
-            # with another returned rows satisfying neither (prune used
-            # eq while the row filter used the range). Bounds are
-            # compared through _norm_bound so mixed representations of
-            # the same column (naive vs tz-aware datetime on TIMESTAMP,
-            # date vs datetime on DATE) intersect on the SAME semantics
-            # the pruner applies, instead of raising TypeError or
-            # picking the wall-clock-wrong endpoint; the RAW winning
-            # value is kept, because the row filter below hands it to
-            # Spark as a typed literal.
-            if col not in acc:
-                acc[col] = rng
-                return
-            dtype = field_types.get(col)
-
-            def norm(x: Any) -> Any:
-                return x if dtype is None else _norm_bound(x, dtype)
-
-            (alo, ahi), (blo, bhi) = acc[col], rng
-            if alo is None:
-                lo = blo
-            elif blo is None:
-                lo = alo
-            else:
-                lo = alo if norm(alo) >= norm(blo) else blo
-            if ahi is None:
-                hi = bhi
-            elif bhi is None:
-                hi = ahi
-            else:
-                hi = ahi if norm(ahi) <= norm(bhi) else bhi
-            acc[col] = (lo, hi)
-
-        all_ranges: "dict[str, tuple[Any, Any]]" = {}
-        for col, rng in (ranges or {}).items():
-            _tighten(all_ranges, col, rng)
-        for col, v in (eq or {}).items():
-            if v is None:
-                raise ValueError(
-                    f"eq[{col!r}] is NULL — SQL equality never matches NULL"
-                )
-            _tighten(all_ranges, col, (v, v))
-        if key_range is not None:
-            _tighten(all_ranges, _keys(m)[0], key_range)
-        entries = m["files"]
+        entries, all_ranges = _pruned_entries(m, schema, key_range, ranges, eq)
         mp = _mapping_of(m)
-        if all_ranges:
-            entries = _prune_by_ranges(
-                entries, all_ranges, _keys(m)[0], schema, mp
-            )
-        if eq:
-            entries = _prune_by_bloom(entries, eq, schema, mp)
         df = self._read_entries(schema, entries, mapping=mp)
         for col, (lo, hi) in all_ranges.items():
             if lo is not None and hi is not None:
@@ -2983,6 +2928,81 @@ def _prune_by_ranges(
         if keep:
             out.append(f)
     return out
+
+
+
+
+def _pruned_entries(
+    m: dict,
+    schema: StructType,
+    key_range: "tuple[Any, Any] | None" = None,
+    ranges: "dict[str, tuple[Any, Any]] | None" = None,
+    eq: "dict[str, Any] | None" = None,
+) -> "tuple[list[dict], dict[str, tuple[Any, Any]]]":
+    """The manifest-level data-skipping core shared by
+    :meth:`TxnTable.read_with_receipt` and the ``gcpde_txn`` batch
+    DataSource (gcpde_spark/txn_source.py): intersect every bound
+    naming one column, prune file entries by per-column [min, max]
+    stats and (for ``eq``) Bloom indexes. Returns the surviving
+    entries plus the intersected ranges for the caller's residual row
+    filter — pruning alone is a superset, never the exact answer."""
+    field_types = {f.name: f.dataType for f in schema.fields}
+
+    def _tighten(acc: dict, col: str, rng: "tuple[Any, Any]") -> None:
+        # a column named by more than one of ranges/eq/key_range
+        # gets the INTERSECTION — silently replacing one request
+        # with another returned rows satisfying neither (prune used
+        # eq while the row filter used the range). Bounds are
+        # compared through _norm_bound so mixed representations of
+        # the same column (naive vs tz-aware datetime on TIMESTAMP,
+        # date vs datetime on DATE) intersect on the SAME semantics
+        # the pruner applies, instead of raising TypeError or
+        # picking the wall-clock-wrong endpoint; the RAW winning
+        # value is kept, because the caller's residual row filter
+        # hands it to Spark as a typed literal.
+        if col not in acc:
+            acc[col] = rng
+            return
+        dtype = field_types.get(col)
+
+        def norm(x: Any) -> Any:
+            return x if dtype is None else _norm_bound(x, dtype)
+
+        (alo, ahi), (blo, bhi) = acc[col], rng
+        if alo is None:
+            lo = blo
+        elif blo is None:
+            lo = alo
+        else:
+            lo = alo if norm(alo) >= norm(blo) else blo
+        if ahi is None:
+            hi = bhi
+        elif bhi is None:
+            hi = ahi
+        else:
+            hi = ahi if norm(ahi) <= norm(bhi) else bhi
+        acc[col] = (lo, hi)
+
+    all_ranges: "dict[str, tuple[Any, Any]]" = {}
+    for col, rng in (ranges or {}).items():
+        _tighten(all_ranges, col, rng)
+    for col, v in (eq or {}).items():
+        if v is None:
+            raise ValueError(
+                f"eq[{col!r}] is NULL — SQL equality never matches NULL"
+            )
+        _tighten(all_ranges, col, (v, v))
+    if key_range is not None:
+        _tighten(all_ranges, _keys(m)[0], key_range)
+    entries = m["files"]
+    mp = _mapping_of(m)
+    if all_ranges:
+        entries = _prune_by_ranges(
+            entries, all_ranges, _keys(m)[0], schema, mp
+        )
+    if eq:
+        entries = _prune_by_bloom(entries, eq, schema, mp)
+    return entries, all_ranges
 
 
 def _publish(

@@ -1,0 +1,206 @@
+"""Batch DataSource for :class:`gcpde_spark.txn.TxnTable` — reach the
+transactional format from plain ``spark.read`` / SQL, no Python facade::
+
+    register_txn_source(spark)
+    df = (spark.read.format("gcpde_txn")
+          .option("path", table_dir)
+          .option("asOf", 3)            # optional time travel (version)
+          .load()
+          .where("k between 100 and 200 and v = 'x'"))
+
+Built on Spark 4's Python DataSource batch API (the streaming half
+lives in :mod:`gcpde_spark.cdf_source`), so the relation is
+first-class: one input partition per LIVE data file (reads parallelize
+across executors and scale with the snapshot's file count), each
+executor reads its parquet file directly with pyarrow, deletion
+vectors are applied per file, and column mapping resolves physical
+birth names to the manifest's logical schema — the same snapshot
+semantics as ``TxnTable.read()``.
+
+Predicate pushdown (``pushFilters``, Spark 4.1): comparison and
+equality filters on stats-carrying columns prune at the MANIFEST level
+through the exact same :func:`gcpde_spark.txn._pruned_entries` core as
+``TxnTable.read(ranges=/eq=)`` — files whose per-column [min, max]
+cannot intersect (or whose Bloom index rejects an equality probe) are
+never scheduled at all. Every filter is also RETURNED to Spark for
+post-scan evaluation (file ranges overlap a predicate without every
+row matching), so results stay exact; pushdown only removes I/O.
+
+No reference counterpart (≙ the Delta/Iceberg DSv2 relation,
+re-expressed over this repo's manifest format).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Iterator, List, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from gcpde_spark.cdf_source import _file_columns, _FilePartition
+from gcpde_spark.txn import (
+    _list_versions,
+    _load_manifest,
+    _mapping_of,
+    _phys,
+    _pruned_entries,
+)
+
+
+def register_txn_source(spark) -> None:
+    """Register the ``gcpde_txn`` batch format on this session and
+    enable Python-source filter pushdown (off by default in Spark 4.1;
+    a reader implementing ``pushFilters`` refuses to plan without it —
+    runtime-settable, same pattern as the nanos conf in
+    :func:`gcpde_spark.catalog.load_table`)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TxnTableDataSource)
+
+
+class TxnTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "gcpde_txn"
+
+    def _root(self) -> Path:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "gcpde_txn requires .option('path', <table dir>)"
+            )
+        return Path(path)
+
+    def _version(self) -> int:
+        as_of = self.options.get("asOf")
+        if as_of is None:
+            return max(_list_versions(self._root()))
+        v = int(as_of)
+        if v < 0:
+            raise ValueError(f"asOf must be a version >= 0, got {v}")
+        return v
+
+    def schema(self) -> StructType:
+        m = _load_manifest(self._root(), self._version())
+        return StructType.fromJson(json.loads(m["schema"]))
+
+    def reader(self, schema: StructType) -> "TxnTableReader":
+        return TxnTableReader(self._root(), self._version(), schema)
+
+
+class TxnTableReader(DataSourceReader):
+    """One snapshot, one manifest: ``partitions()`` prunes the file
+    list with whatever filters ``pushFilters`` accepted, ``read()``
+    materializes one file (DV-filtered, mapping-resolved)."""
+
+    def __init__(self, root: Path, version: int, schema: StructType):
+        self.root = root
+        self.version = version
+        self.schema = schema
+        # intersected per-column bounds accumulated by pushFilters, in
+        # TxnTable.read(ranges=)'s shape: {col: (lo, hi)}, None = open
+        self.ranges: "dict[str, tuple[Any, Any]]" = {}
+        # point probes eligible for Bloom pruning: {col: value}
+        self.eq: "dict[str, Any]" = {}
+        # pruning receipt, recorded at planning time (repr'd into the
+        # Spark plan is not possible for a Python source, so tests and
+        # audits read it off the reader object)
+        self.files_scanned: "int | None" = None
+        self.files_total: "int | None" = None
+
+    # -- pushdown ------------------------------------------------------
+
+    def pushFilters(self, filters: "List[Filter]") -> "Sequence[Filter]":
+        """Record the bounds the manifest pruner can use. EVERY filter
+        — accepted or not — is returned for Spark-side post-scan
+        evaluation: file-level [min, max] pruning admits supersets, so
+        the source never claims exact filtering, only fewer files.
+        Strict bounds (``<``/``>``) prune with their inclusive
+        relaxation, which is sound (a file disjoint from ``>= v`` is
+        disjoint from ``> v``)."""
+        top = {f.name for f in self.schema.fields}
+        for f in filters:
+            col = (
+                f.attribute[0]
+                if len(getattr(f, "attribute", ())) == 1
+                else None
+            )
+            if col is None or col not in top:
+                continue
+            if isinstance(f, EqualTo) and f.value is not None:
+                self.eq[col] = f.value
+                self._tighten(col, (f.value, f.value))
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                self._tighten(col, (f.value, None))
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                self._tighten(col, (None, f.value))
+        return filters
+
+    def _tighten(self, col: str, rng: "tuple[Any, Any]") -> None:
+        # keep the NARROWER bound per side; the exact normalization
+        # happens inside _pruned_entries, which re-intersects — here a
+        # last-writer-wins accumulation is enough because every filter
+        # also re-runs Spark-side, so a loose bound only under-prunes
+        if col not in self.ranges:
+            self.ranges[col] = rng
+            return
+        lo, hi = self.ranges[col]
+        blo, bhi = rng
+        self.ranges[col] = (
+            blo if lo is None else lo,
+            bhi if hi is None else hi,
+        )
+
+    # -- scan ----------------------------------------------------------
+
+    def partitions(self) -> "Sequence[InputPartition]":
+        m = _load_manifest(self.root, self.version)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        entries, _ = _pruned_entries(
+            m,
+            schema,
+            ranges=self.ranges or None,
+            eq=self.eq or None,
+        )
+        self.files_scanned = len(entries)
+        self.files_total = len(m["files"])
+        mp = _mapping_of(m)
+        names = [f.name for f in self.schema.fields]
+        phys_names = [_phys(mp, n) for n in names]
+        out: "list[InputPartition]" = []
+        for e in entries:
+            dv = e.get("dv") or {}
+            out.append(
+                _FilePartition(
+                    str(self.root / e["path"]),
+                    self.version,
+                    names,
+                    dv_paths=[str(self.root / p) for p in dv.get("paths", [])],
+                    rel_path=e["path"],
+                    phys_names=phys_names,
+                )
+            )
+        if not out:
+            # Spark requires >= 1 partition; an empty one keeps the
+            # fully-pruned (or empty-table) scan a valid relation
+            out.append(
+                _FilePartition("", self.version, names, phys_names=phys_names)
+            )
+        return out
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if not partition.file_path:
+            return iter(())
+        cols, _ = _file_columns(partition)
+        return iter(zip(*cols))

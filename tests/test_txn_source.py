@@ -1,0 +1,152 @@
+"""The gcpde_txn batch DataSource (gcpde_spark/txn_source.py):
+format-read ≡ TxnTable.read() including time travel, deletion vectors,
+and column mapping; manifest-level predicate pushdown with a receipt
+matching read(ranges=)'s file counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcpde_spark.txn import TxnTable
+from gcpde_spark.txn_source import TxnTableReader, register_txn_source
+
+
+def _mk(spark, path, n=400, n_files=8, **kw):
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("v")
+    )
+    return TxnTable.create(
+        spark, str(path), df, key_field="id", n_files=n_files, **kw
+    )
+
+
+def _fmt(spark, path, as_of=None):
+    r = spark.read.format("gcpde_txn").option("path", str(path))
+    if as_of is not None:
+        r = r.option("asOf", as_of)
+    return r.load()
+
+
+def test_format_read_equals_table_read_with_dv_and_time_travel(
+    spark, tmp_path
+):
+    t = _mk(spark, tmp_path / "t")
+    register_txn_source(spark)
+    t.merge(spark.createDataFrame([(3, "X"), (999, "NEW")], "id long, v string"))
+    t.delete("id % 50 = 1", mode="dv")  # deletion vectors, no rewrite
+    for v in (None, 0, 1, 2):
+        got = {tuple(r) for r in _fmt(spark, tmp_path / "t", v).collect()}
+        want = {tuple(r) for r in t.read(version=v).collect()}
+        assert got == want, f"version {v}"
+    latest = {r.id for r in _fmt(spark, tmp_path / "t").collect()}
+    assert 999 in latest and 1 not in latest and 51 not in latest
+    # (name, type) parity; the FORMAT keeps the manifest's declared
+    # nullability while the parquet path relaxes everything to nullable
+    assert [
+        (f.name, f.dataType) for f in _fmt(spark, tmp_path / "t").schema
+    ] == [(f.name, f.dataType) for f in t.read().schema]
+
+
+def test_format_read_resolves_column_mapping(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=50)
+    register_txn_source(spark)
+    t.rename_column("v", "val")
+    df = _fmt(spark, tmp_path / "t")
+    assert df.columns == ["id", "val"]
+    assert {tuple(r) for r in df.collect()} == {
+        tuple(r) for r in t.read().collect()
+    }
+    # pre-rename snapshot still reads under the OLD logical names
+    assert _fmt(spark, tmp_path / "t", 0).columns == ["id", "v"]
+
+
+def test_pushdown_filters_produce_exact_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    register_txn_source(spark)
+    got = {
+        r.id
+        for r in _fmt(spark, tmp_path / "t")
+        .where("id >= 100 and id < 120 and v = '3'")
+        .collect()
+    }
+    want = {
+        r.id
+        for r in t.read(ranges={"id": (100, 120)})
+        .where("id < 120 and v = '3'")
+        .collect()
+    }
+    assert got == want and got  # non-empty and exact
+
+
+def test_pushdown_receipt_matches_table_read_pruning(spark, tmp_path):
+    """The planning-time receipt: pushFilters → partitions() schedules
+    exactly the files read(ranges=) would scan — fewer than the
+    snapshot's total."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    t = _mk(spark, tmp_path / "t")  # 8 key-sorted files over id 0..399
+    m = t._manifest()
+    reader = TxnTableReader(t.path, t.version(), t.read().schema)
+    kept = reader.pushFilters(
+        [
+            GreaterThanOrEqual(("id",), 100),
+            LessThanOrEqual(("id",), 149),
+        ]
+    )
+    assert len(list(kept)) == 2  # every filter re-runs Spark-side
+    parts = reader.partitions()
+    _, files_scanned, files_total = t.read_with_receipt(
+        ranges={"id": (100, 149)}
+    )
+    assert reader.files_total == files_total == len(m["files"]) == 8
+    assert reader.files_scanned == files_scanned
+    assert len(parts) == files_scanned < files_total
+
+
+def test_pushdown_eq_uses_bloom_index(spark, tmp_path):
+    """A point probe on a Bloom-indexed high-cardinality column prunes
+    past what range stats can (every file's [min, max] covers the
+    value space after a non-key sort)."""
+    from pyspark.sql.datasource import EqualTo
+
+    df = spark.range(2_000).select(
+        F.col("id"),
+        F.concat(F.lit("u"), (F.col("id") * 2_654_435_761 % 997)).alias("u"),
+    )
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), df, key_field="id",
+        n_files=8, bloom_cols=["u"],
+    )
+    probe = "u13"
+    reader = TxnTableReader(t.path, t.version(), t.read().schema)
+    reader.pushFilters([EqualTo(("u",), probe)])
+    parts = reader.partitions()
+    _, files_scanned, files_total = t.read_with_receipt(eq={"u": probe})
+    assert reader.files_scanned == files_scanned < files_total
+    assert len(parts) == files_scanned
+    # and the relation returns the exact probe rows
+    register_txn_source(spark)
+    got = {
+        r.id
+        for r in _fmt(spark, tmp_path / "t").where(F.col("u") == probe).collect()
+    }
+    want = {r.id for r in t.read(eq={"u": probe}).collect()}
+    assert got == want and got
+
+
+def test_fully_pruned_scan_is_a_valid_empty_relation(spark, tmp_path):
+    _mk(spark, tmp_path / "t", n=50, n_files=2)
+    register_txn_source(spark)
+    df = _fmt(spark, tmp_path / "t").where("id > 10000")
+    assert df.count() == 0
+    assert df.columns == ["id", "v"]
+
+
+def test_missing_and_bad_options_fail_loudly(spark, tmp_path):
+    register_txn_source(spark)
+    with pytest.raises(Exception, match="path"):
+        spark.read.format("gcpde_txn").load().count()
+    _mk(spark, tmp_path / "t", n=10, n_files=1)
+    with pytest.raises(Exception, match="asOf|not found"):
+        _fmt(spark, tmp_path / "t", as_of=99).count()
