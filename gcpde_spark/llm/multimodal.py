@@ -31,12 +31,20 @@ coverage (published specs, no imaging/audio library):
   (ISO 14496-12); MJPEG video samples decode to real pixels (T.81
   decoder), PCM audio tracks (``twos``/``sowt``/``raw``) to real
   samples feeding the WAV feature path
+- H.264 keyframes decode to REAL pixels: the from-scratch intra-only
+  baseline decoder (:mod:`gcpde_spark.llm.h264` — CAVLC, I_PCM /
+  Intra_4x4 / Intra_16x16, 4:2:0) reconstructs I/IDR samples; frame
+  sampling snaps picks to the container's stss sync samples so the
+  sampled frames are the decodable ones
 
-Everything outside that coverage (H.264/AAC PAYLOAD decode — actual
-pixel/PCM reconstruction from INTER-FRAME/perceptually-coded media) is
-STUBBED with deterministic content-hash stand-ins, each flagged per row
+The remaining boundary, stated precisely: H.264 INTER (P/B) slices and
+CABAC streams, and AAC/MP3 PCM reconstruction (IMDCT + scale-factor
+entropy decode), return None from the real decoders — those rows keep
+deterministic content-hash stand-ins, each flagged per row
 (``resize_applied`` / ``features_real``) — swapping in PIL/pyav is a
-body-only change to the batch functions.
+body-only change to the batch functions. The h264 module's own
+docstring states its conformance-validation boundary (no reference
+decoder exists in this environment; round-trip + structural tests).
 
 Scale notes: ``binaryFile`` gives one row per file with the content as a
 single cell — fine for images/short audio; for long video, store
@@ -54,6 +62,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from gcpde_spark.llm.h264 import h264_decode_avcc as _h264_decode_avcc
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -546,6 +556,30 @@ def _mp4_track_samples(
             out["sample_rate"] = (
                 int.from_bytes(b[entry + 32 : entry + 36], "big") >> 16
             )
+    if handler == b"vide" and stsd is not None and stsd[0] + 16 <= stsd[1]:
+        # capture the avcC decoder-configuration payload (ISO 14496-15
+        # §5.2.4) so H.264 keyframe samples can decode to real pixels
+        # (gcpde_spark/llm/h264.py), and the stss sync-sample list so
+        # frame sampling can snap to decodable keyframes
+        entry = stsd[0] + 8
+        entry_size = int.from_bytes(b[entry : entry + 4], "big")
+        entry_end = min(entry + max(entry_size, 0), stsd[1])
+        for t2, l2, h2 in _mp4_boxes(b, entry + 8 + 78, entry_end):
+            if t2 == b"avcC":
+                out["avcc"] = b[l2:h2]
+                break
+        stss = _find_box(b, lo, hi, b"stss")
+        if stss is not None:
+            n_sync = min(
+                int.from_bytes(b[stss[0] + 4 : stss[0] + 8], "big"),
+                max(0, (stss[1] - stss[0] - 8) // 4),
+            )
+            out["sync"] = [
+                int.from_bytes(
+                    b[stss[0] + 8 + 4 * i : stss[0] + 12 + 4 * i], "big"
+                )
+                for i in range(n_sync)
+            ]
     parsed = _parse_stsz(b, lo, hi)
     if parsed is None:
         return None
@@ -2851,14 +2885,17 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     handling) re-encoded as PNG. For ISO BMFF video the sample layout
     is REAL too: frame byte ranges and timestamps come from the
     container's own stsz/stsc/stco/stts tables
-    (:func:`_mp4_track_samples`), and MJPEG payloads (codec
+    (:func:`_mp4_track_samples`); MJPEG payloads (codec
     ``jpeg``/``mjpa``, or ``mp4v`` carrying a JFIF stream) decode to
-    real pixels via the T.81 JPEG decoder. Compressed inter-frame
-    codecs (H.264) have no stdlib decoder: those rows keep their real
-    (idx, offset, byte-range) plan with a NULL ``frame_png`` — a pyav
-    swap fills them via the same batch iterator. Containers without
-    sample tables fall back to evenly-spaced offsets over the stub
-    duration."""
+    real pixels via the T.81 JPEG decoder, and H.264 (``avc1``)
+    KEYFRAMES decode via the from-scratch intra decoder
+    (:mod:`gcpde_spark.llm.h264`) — picks snap to the stss sync-sample
+    list first, the same seek a real frame sampler does, so the
+    sampled frames are the decodable ones. Inter (P/B) payloads return
+    None and keep their real (idx, offset, byte-range) plan with a
+    NULL ``frame_png`` — a pyav swap fills them via the same batch
+    iterator. Containers without sample tables fall back to
+    evenly-spaced offsets over the stub duration."""
     out_schema = StructType(
         [
             StructField("path", StringType(), True),
@@ -2907,12 +2944,33 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                         n_total = len(tr["samples"])
                         ts = tr["timescale"] or 1
                         n = min(n_frames, n_total)
-                        for idx in [j * n_total // n for j in range(n)]:
+                        picked = [j * n_total // n for j in range(n)]
+                        avcc = tr.get("avcc")
+                        sync = tr.get("sync")
+                        if avcc and sync:
+                            # snap to the sync sample at-or-before each
+                            # pick (what a real frame sampler's seek
+                            # does): only I/IDR samples decode without
+                            # reference pictures
+                            s0 = sorted(s - 1 for s in sync if s >= 1)
+                            snapped = []
+                            for idx in picked:
+                                at = [s for s in s0 if s <= idx]
+                                snapped.append(at[-1] if at else idx)
+                            picked = sorted(set(snapped))
+                        for idx in picked:
                             off, size = tr["samples"][idx]
                             payload = raw[off : off + size]
                             png = None
                             if payload[:2] == b"\xff\xd8":
                                 px = _jpeg_decode(payload)
+                                if px is not None:
+                                    png = _png_encode(px)
+                            elif avcc:
+                                # REAL H.264 intra decode (llm/h264.py)
+                                # — keyframes reconstruct; inter
+                                # samples return None and stay flagged
+                                px = _h264_decode_avcc(avcc, payload)
                                 if px is not None:
                                     png = _png_encode(px)
                             rows.append(
