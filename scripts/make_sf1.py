@@ -16,19 +16,25 @@ every foreign key keeps referencing the matching replica:
   for any correctness conclusion (dedup cardinalities change).
 
 Writes /root/repo/benchdata/sf1/*.parquet (git-ignored). ~10 s, DuckDB.
+
+Round 6: generalized — ``python scripts/make_sf1.py [copies] [name]``
+(default ``10 sf1``; e.g. ``30 sf3`` builds the sf3 replica behind the
+BASELINE.md cold-ratio amortization curve).
 """
 
 from __future__ import annotations
 
 import math
 import os
+import sys
 from pathlib import Path
 
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = Path(__file__).resolve().parent.parent / "benchdata" / "sf1"
-COPIES = 10
+COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+_NAME = sys.argv[2] if len(sys.argv) > 2 else "sf1"
+DST = Path(__file__).resolve().parent.parent / "benchdata" / _NAME
 
 KEYED = {
     "customer": ["c_custkey"],
