@@ -19,6 +19,25 @@ from gcpde_spark.llm.dedup import _exploded_shingles
 from gcpde_spark.llm.text import normalize_text, round4
 
 
+def _nullsafe_broadcast_join(
+    left: DataFrame, right: DataFrame, strata_cols: "list[str]"
+) -> DataFrame:
+    """Broadcast-join ``right`` (one row per stratum — dimension-sized
+    BY CONSTRUCTION; a shuffle join keyed on strata would re-create the
+    very skew the threshold routes exist to avoid) onto ``left``,
+    NULL-SAFE on the strata keys: the exact routes' windows treat a
+    NULL stratum as a group, so an equi-join silently losing those rows
+    would diverge from them. Drops the right-side key columns."""
+    cond = None
+    for c in strata_cols:
+        e = left[c].eqNullSafe(right[c])
+        cond = e if cond is None else cond & e
+    out = left.join(F.broadcast(right), cond)
+    for c in strata_cols:
+        out = out.drop(right[c])
+    return out
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -166,17 +185,7 @@ def _sample_stratified_threshold(
          )).alias("_tlo"),
     )
 
-    def _nullsafe_join(left: DataFrame, right: DataFrame) -> DataFrame:
-        cond = None
-        for c in strata_cols:
-            e = left[c].eqNullSafe(right[c])
-            cond = e if cond is None else cond & e
-        out = left.join(F.broadcast(right), cond)
-        for c in strata_cols:
-            out = out.drop(right[c])
-        return out
-
-    joined = _nullsafe_join(df, stats).withColumn("_h", h)
+    joined = _nullsafe_broadcast_join(df, stats, strata_cols).withColumn("_h", h)
     is_kept = F.col("_h").cast("double") < F.col("_tlo")
     is_band = ~is_kept & (F.col("_h").cast("double") <= F.col("_thi"))
     counts = joined.groupBy(*strata_cols).agg(
@@ -198,7 +207,9 @@ def _sample_stratified_threshold(
         F.col("_h"), F.col(id_col)
     )
     band_sel = (
-        _nullsafe_join(joined.where(is_band), band_quota)
+        _nullsafe_broadcast_join(
+            joined.where(is_band), band_quota, strata_cols
+        )
         .withColumn("_brn", F.row_number().over(bw))
         .where(F.col("_brn") <= F.col("_q"))
         .select(*cols)
@@ -547,22 +558,7 @@ def _select_top_fraction_threshold(
         F.percentile_approx(score_col, qhi, accuracy).alias("_thi"),
         F.percentile_approx(score_col, qlo, accuracy).alias("_tlo"),
     )
-    # broadcast BY CONSTRUCTION: one row per stratum (a dimension-sized
-    # table); a shuffle join keyed on strata would re-create the very
-    # skew this route exists to avoid. NULL-SAFE on the strata keys —
-    # the exact route's window treats a NULL stratum as a group, so an
-    # equi-join silently losing those rows would diverge from it.
-    def _nullsafe_join(left: DataFrame, right: DataFrame) -> DataFrame:
-        cond = None
-        for c in strata_cols:
-            e = left[c].eqNullSafe(right[c])
-            cond = e if cond is None else cond & e
-        out = left.join(F.broadcast(right), cond)
-        for c in strata_cols:
-            out = out.drop(right[c])
-        return out
-
-    joined = _nullsafe_join(df, stats)
+    joined = _nullsafe_broadcast_join(df, stats, strata_cols)
     is_kept = F.col(score_col) > F.col("_thi")
     is_band = F.col(score_col).isNotNull() & ~is_kept & (
         F.col(score_col) >= F.col("_tlo")
@@ -586,7 +582,9 @@ def _select_top_fraction_threshold(
         F.col(score_col).desc_nulls_last(), F.col(id_col)
     )
     band_sel = (
-        _nullsafe_join(joined.where(is_band), band_quota)
+        _nullsafe_broadcast_join(
+            joined.where(is_band), band_quota, strata_cols
+        )
         .withColumn("_brn", F.row_number().over(bw))
         .where(F.col("_brn") <= F.col("_q"))
         .select(*cols)

@@ -55,13 +55,6 @@ class _Bits:
             self.pos += 1
         return v
 
-    def peek(self, n: int) -> int:
-        p = self.pos
-        try:
-            return self.u(n)
-        finally:
-            self.pos = p
-
     def ue(self) -> int:
         zeros = 0
         while self.u(1) == 0:
@@ -287,22 +280,15 @@ def _qpc(qp: int) -> int:
     return qp if qp < 30 else _QPC[min(qp, 51) - 30]
 
 
-def _build_vlc(table_len, table_bits):
-    """(length, bits)[] -> {(length, bits): index} decode dict."""
-    return {
-        (table_len[i], table_bits[i]): i
-        for i in range(len(table_len))
-        if table_len[i] > 0 or i == 0
-    }
+def _vlc_lut(pairs) -> "dict[tuple[int, int], int]":
+    """(length, bits)[] -> {(length, bits): index}, built ONCE at
+    import — the decoder reads thousands of codes per frame."""
+    return {(ln, b): i for i, (ln, b) in enumerate(pairs) if ln}
 
 
-def _read_vlc(r: _Bits, pairs: "list[tuple[int, int]]") -> int:
-    """Read one code from a small (length, bits) table by longest-prefix
-    trial — tables are tiny (< 64 entries), bitstreams are short."""
-    lut = {}
-    for idx, (ln, bits) in enumerate(pairs):
-        if ln:
-            lut[(ln, bits)] = idx
+def _read_vlc(r: _Bits, lut: "dict[tuple[int, int], int]") -> int:
+    """Read one code from a precomputed (length, bits) → index LUT by
+    longest-prefix trial (codes are ≤ 16 bits)."""
     acc, n = 0, 0
     while n < 32:
         acc = (acc << 1) | r.u(1)
@@ -313,13 +299,19 @@ def _read_vlc(r: _Bits, pairs: "list[tuple[int, int]]") -> int:
     raise ValueError("unreadable VLC code")
 
 
+def _ct_ctx(nc: int) -> int:
+    return 3 if nc == -1 else (0 if nc < 2 else 1 if nc < 4 else 2)
+
+
 def _coeff_token_pairs(nc: int) -> "list[tuple[int, int]]":
-    ctx = 3 if nc == -1 else (0 if nc < 2 else 1 if nc < 4 else 2)
-    lens, bits = _CT_LEN[ctx], _CT_BITS[ctx]
-    pairs = []
-    for i in range(len(lens)):
-        pairs.append((lens[i], bits[i]))
-    return pairs
+    ctx = _ct_ctx(nc)
+    return list(zip(_CT_LEN[ctx], _CT_BITS[ctx]))
+
+
+_CT_LUT = [_vlc_lut(list(zip(_CT_LEN[c], _CT_BITS[c]))) for c in range(4)]
+_TZ_LUT = [_vlc_lut(row) for row in _TZ]
+_TZ_CDC_LUT = [_vlc_lut(row) for row in _TZ_CDC]
+_RUN_LUT = [_vlc_lut(row) for row in _RUN]
 
 
 def _ct_index(total: int, t1s: int) -> int:
@@ -348,7 +340,7 @@ def _read_residual(r: _Bits, max_coeff: int, nc: int) -> "list[int]":
         else:
             total, t1s = (code >> 2) + 1, code & 3
     else:
-        idx = _read_vlc(r, _coeff_token_pairs(nc))
+        idx = _read_vlc(r, _CT_LUT[_ct_ctx(nc)])
         total, t1s = _ct_decode_index(idx)
     coeffs = [0] * max_coeff
     if total == 0:
@@ -385,11 +377,8 @@ def _read_residual(r: _Bits, max_coeff: int, nc: int) -> "list[int]":
         if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
             suffix_len += 1
     if total < max_coeff:
-        if nc == -1:
-            tz_pairs = _TZ_CDC[total - 1]
-        else:
-            tz_pairs = _TZ[total - 1]
-        total_zeros = _read_vlc(r, list(tz_pairs))
+        lut = _TZ_CDC_LUT[total - 1] if nc == -1 else _TZ_LUT[total - 1]
+        total_zeros = _read_vlc(r, lut)
     else:
         total_zeros = 0
     # place levels: highest-frequency coefficient first in the stream
@@ -400,7 +389,7 @@ def _read_residual(r: _Bits, max_coeff: int, nc: int) -> "list[int]":
         if i == total - 1:
             break
         if zeros_left > 0:
-            run = _read_vlc(r, _RUN[min(zeros_left, 7) - 1])
+            run = _read_vlc(r, _RUN_LUT[min(zeros_left, 7) - 1])
             zeros_left -= run
         else:
             run = 0
@@ -592,10 +581,24 @@ def _pred4(plane, x, y, mode, W, H):
     up = y > 0
     left = x > 0
     A = [plane[y - 1][x + i] for i in range(4)] if up else [0] * 4
-    # top-right: substitute A[3] when unavailable (§8.3.1.2.1)
+    # top-right availability is DECODE-ORDER-aware (§8.3.1.2.1): the
+    # samples must belong to an already-decoded region — the MB row
+    # above (by==0, incl. the above-right MB), or an earlier-coded 4x4
+    # of the SAME MB; the right-neighbor MB (bx==3, by>0) and
+    # later-coded blocks substitute A[3]
+    bx4, by4 = (x % 16) // 4, (y % 16) // 4
+    if not up or x + 8 > W:
+        ar_avail = False
+    elif by4 == 0:
+        ar_avail = True
+    elif bx4 == 3:
+        ar_avail = False
+    else:
+        nb = (by4 - 1) * 4 + (bx4 + 1)
+        ar_avail = _BLK_CODE_IDX[nb] < _BLK_CODE_IDX[by4 * 4 + bx4]
     AR = (
         [plane[y - 1][x + 4 + i] for i in range(4)]
-        if up and x + 8 <= W
+        if ar_avail
         else [A[3]] * 4
     )
     L = [plane[y + i][x - 1] for i in range(4)] if left else [0] * 4
@@ -702,6 +705,10 @@ def _pred4(plane, x, y, mode, W, H):
 
 def _pred16(plane, mx, my, mode, W, H):
     up, left = my > 0, mx > 0
+    if (mode == 0 and not up) or (mode == 1 and not left) or (
+        mode == 3 and not (up and left)
+    ):
+        raise ValueError(f"intra16 mode {mode} needs unavailable neighbors")
     p = [[0] * 16 for _ in range(16)]
     if mode == 0:  # vertical
         for j in range(16):
@@ -741,6 +748,10 @@ def _pred_chroma(plane, mx, my, mode, W, H):
     """8x8 chroma prediction (modes: 0 DC, 1 horizontal, 2 vertical,
     3 plane — note the order differs from luma 16x16)."""
     up, left = my > 0, mx > 0
+    if (mode == 1 and not left) or (mode == 2 and not up) or (
+        mode == 3 and not (up and left)
+    ):
+        raise ValueError(f"chroma mode {mode} needs unavailable neighbors")
     p = [[0] * 8 for _ in range(8)]
     if mode == 0:  # DC, per 4x4 quadrant (§8.3.4.1)
         for qy in (0, 4):
@@ -896,6 +907,16 @@ class _MBCtx:
 # raster index of the 16 luma 4x4 blocks in coding order (§6.4.3:
 # luma4x4BlkIdx zig-zags 8x8 quadrants, 4x4 inside each)
 _BLK_ORDER = [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15]
+# coding index of each raster 4x4 block (inverse of _BLK_ORDER) — drives
+# within-MB decode-order availability (a neighbor is usable only if its
+# coding index is lower)
+_BLK_CODE_IDX = {blk: k for k, blk in enumerate(_BLK_ORDER)}
+
+
+def _quadrant(blk: int) -> int:
+    """cbp_luma bit index of a raster 4x4 block: the 8x8 quadrant
+    (§7.4.5: i8x8 = 2*(by>>1) + (bx>>1)), NOT the raster row."""
+    return ((blk >> 2) >> 1) * 2 + ((blk & 3) >> 1)
 
 
 def _decode_slice(
@@ -1019,7 +1040,10 @@ def _decode_mb(r, sps, pps, Y, Cb, Cr, ctx, addr, qp) -> int:
                     d[j][i] = (f * scale) << (per - 2)
                 else:
                     d[j][i] = (f * scale + (1 << (1 - per))) >> (2 - per)
-        for blk in range(16):
+        # AC blocks parse in CODING order (§6.4.3 — quadrant zig-zag,
+        # what real encoders emit), not raster: the order decides both
+        # which coefficients land where and the nC neighbor sequencing
+        for blk in _BLK_ORDER:
             bx, by = blk & 3, blk >> 2
             ox, oy = mx + bx * 4, my + by * 4
             if cbp_luma:
@@ -1039,7 +1063,7 @@ def _decode_mb(r, sps, pps, Y, Cb, Cr, ctx, addr, qp) -> int:
             bx, by = blk & 3, blk >> 2
             ox, oy = mx + bx * 4, my + by * 4
             pred = _pred4(Y, ox, oy, mode, W, H)
-            if cbp_luma & (1 << (blk >> 2)):
+            if cbp_luma & (1 << _quadrant(blk)):
                 nc = ctx.nc(ctx.luma_nz, bx0 + bx, by0 + by)
                 levels = _read_residual(r, 16, nc)
                 ctx.luma_nz[by0 + by][bx0 + bx] = sum(1 for c in levels if c)
@@ -1352,7 +1376,9 @@ def _encode_mb(
         nc = ctx.nc(ctx.luma_nz, bx0, by0)
         dc_zz = [dc_levels2d[_ZIGZAG[z] >> 2][_ZIGZAG[z] & 3] for z in range(16)]
         _write_residual(w, dc_zz, 16, nc)
-        for blk in range(16):
+        # AC blocks in CODING order (§6.4.3) — matches the decoder's
+        # parse/nC sequencing (the round-6 review's conformance finding)
+        for blk in _BLK_ORDER:
             bx, by = blk & 3, blk >> 2
             levels = ac_blocks[blk] if cbp_luma else [0] * 16
             if cbp_luma:
@@ -1441,7 +1467,7 @@ def _encode_mb(
         for k in range(16):
             blk = _BLK_ORDER[k]
             bx, by = blk & 3, blk >> 2
-            if cbp_luma & (1 << (blk >> 2)):
+            if cbp_luma & (1 << _quadrant(blk)):
                 nc = ctx.nc(ctx.luma_nz, bx0 + bx, by0 + by)
                 total = _write_residual(w, ac_blocks[blk], 16, nc)
                 ctx.luma_nz[by0 + by][bx0 + bx] = total

@@ -54,6 +54,7 @@ from gcpde_spark.txn import (
     _list_versions,
     _load_manifest,
     _mapping_of,
+    _norm_bound,
     _phys,
     _pruned_entries,
 )
@@ -83,12 +84,21 @@ class TxnTableDataSource(DataSource):
         return Path(path)
 
     def _version(self) -> int:
+        # pinned on first resolution: Spark calls schema() and reader()
+        # as separate planning steps, and a commit landing between them
+        # must not make the reader scan snapshot N+1 under snapshot N's
+        # schema (a concurrent rename would silently read as all-NULL)
+        pinned = getattr(self, "_pinned_version", None)
+        if pinned is not None:
+            return pinned
         as_of = self.options.get("asOf")
         if as_of is None:
-            return max(_list_versions(self._root()))
-        v = int(as_of)
-        if v < 0:
-            raise ValueError(f"asOf must be a version >= 0, got {v}")
+            v = max(_list_versions(self._root()))
+        else:
+            v = int(as_of)
+            if v < 0:
+                raise ValueError(f"asOf must be a version >= 0, got {v}")
+        self._pinned_version = v
         return v
 
     def schema(self) -> StructType:
@@ -148,19 +158,35 @@ class TxnTableReader(DataSourceReader):
         return filters
 
     def _tighten(self, col: str, rng: "tuple[Any, Any]") -> None:
-        # keep the NARROWER bound per side; the exact normalization
-        # happens inside _pruned_entries, which re-intersects — here a
-        # last-writer-wins accumulation is enough because every filter
-        # also re-runs Spark-side, so a loose bound only under-prunes
+        # keep the NARROWER bound per side, compared through
+        # _norm_bound like TxnTable.read does — keeping the first bound
+        # would prune with the LOOSEST of conjunctive filters on one
+        # column (correct results either way, since every filter
+        # re-runs Spark-side, but strictly less I/O elimination)
         if col not in self.ranges:
             self.ranges[col] = rng
             return
-        lo, hi = self.ranges[col]
-        blo, bhi = rng
-        self.ranges[col] = (
-            blo if lo is None else lo,
-            bhi if hi is None else hi,
+        dtype = next(
+            (f.dataType for f in self.schema.fields if f.name == col), None
         )
+
+        def norm(x: Any) -> Any:
+            return x if dtype is None else _norm_bound(x, dtype)
+
+        (lo, hi), (blo, bhi) = self.ranges[col], rng
+        if lo is None:
+            nlo = blo
+        elif blo is None:
+            nlo = lo
+        else:
+            nlo = lo if norm(lo) >= norm(blo) else blo
+        if hi is None:
+            nhi = bhi
+        elif bhi is None:
+            nhi = hi
+        else:
+            nhi = hi if norm(hi) <= norm(bhi) else bhi
+        self.ranges[col] = (nlo, nhi)
 
     # -- scan ----------------------------------------------------------
 

@@ -104,6 +104,22 @@ def test_pushdown_receipt_matches_table_read_pruning(spark, tmp_path):
     assert len(parts) == files_scanned < files_total
 
 
+def test_pushdown_keeps_the_narrower_of_conjunctive_bounds(spark, tmp_path):
+    """Two lower bounds on one column must prune with the TIGHTER one
+    (the round-6 review finding: keeping the first bound pruned with
+    the loosest — correct rows, wasted I/O)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    t = _mk(spark, tmp_path / "t")
+    reader = TxnTableReader(t.path, t.version(), t.read().schema)
+    reader.pushFilters(
+        [GreaterThanOrEqual(("id",), 100), GreaterThanOrEqual(("id",), 300)]
+    )
+    reader.partitions()
+    _, tight, _ = t.read_with_receipt(ranges={"id": (300, None)})
+    assert reader.files_scanned == tight
+
+
 def test_pushdown_eq_uses_bloom_index(spark, tmp_path):
     """A point probe on a Bloom-indexed high-cardinality column prunes
     past what range stats can (every file's [min, max] covers the
