@@ -38,6 +38,7 @@ from typing import Any, Iterator, List, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -46,17 +47,26 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 from gcpde_spark.cdf_source import _file_columns, _FilePartition
+from gcpde_spark.errors import SchemaMismatchException
 from gcpde_spark.txn import (
+    _constraints_of,
+    _fmt_fields,
+    _keys,
     _list_versions,
     _load_manifest,
     _mapping_of,
     _norm_bound,
     _phys,
     _pruned_entries,
+    _publish,
+    _rolled_meta,
+    _stat_entries,
+    ConcurrentCommitError,
 )
 
 
@@ -107,6 +117,9 @@ class TxnTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "TxnTableReader":
         return TxnTableReader(self._root(), self._version(), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "TxnTableWriter":
+        return TxnTableWriter(self._root(), schema, overwrite)
 
 
 class TxnTableReader(DataSourceReader):
@@ -230,3 +243,121 @@ class TxnTableReader(DataSourceReader):
             return iter(())
         cols, _ = _file_columns(partition)
         return iter(zip(*cols))
+
+
+class _TxnWriteMessage(WriterCommitMessage):
+    def __init__(self, rel_path: "str | None", rows: int):
+        self.rel_path = rel_path
+        self.rows = rows
+
+
+class TxnTableWriter(DataSourceArrowWriter):
+    """Transactional batch write for an EXISTING TxnTable:
+    ``df.write.format("gcpde_txn").mode("append"|"overwrite")
+    .option("path", t).save()``.
+
+    Each task streams its Arrow batches into ONE fresh parquet file
+    under ``data/`` (physical column names under an active mapping,
+    immutable thereafter); the driver's ``commit`` turns the collected
+    file list into a single atomic ``append``/``overwrite`` manifest —
+    per-file stats from footers, rolled meta, Bloom backfill at the
+    `_publish` choke point — arbitrated through the table's
+    CommitBackend with a bounded optimistic retry on lost races
+    (appends commute; overwrite is last-writer-wins by definition).
+    A failed job's files are removed by ``abort`` (and are invisible
+    anyway: liveness is manifest reference).
+
+    Declared boundaries, loud not silent: the table must already exist
+    (creation needs a merge key and layout choices — ``TxnTable.create``
+    is the API for that), the DataFrame schema must match the table's
+    logical (name, type) schema exactly (no writer-side evolution), and
+    tables carrying CHECK constraints refuse (this path cannot inject
+    the in-plan row guard that ``TxnTable.append`` installs; use the
+    Python API for constrained tables).
+    """
+
+    def __init__(self, root: Path, schema: StructType, overwrite: bool):
+        import uuid
+
+        self.root = root
+        self.overwrite = overwrite
+        base = max(_list_versions(root))  # raises TxnTableNotFound
+        m = _load_manifest(root, base)
+        table_schema = StructType.fromJson(json.loads(m["schema"]))
+        if [(f.name, f.dataType) for f in schema.fields] != [
+            (f.name, f.dataType) for f in table_schema.fields
+        ]:
+            raise SchemaMismatchException(
+                f"write schema != table schema at {root}",
+                schema,
+                table_schema,
+            )
+        if _constraints_of(m):
+            raise ValueError(
+                f"table at {root} carries CHECK constraints — the SQL "
+                "writer cannot install the in-plan row guard; append "
+                "through TxnTable (gcpde_spark.txn) instead"
+            )
+        mp = _mapping_of(m)
+        self.phys_by_name = {
+            f.name: _phys(mp, f.name) for f in table_schema.fields
+        }
+        # one fresh commit subdirectory shared by every task of this job
+        self.sub = f"data/{uuid.uuid4().hex[:12]}"
+
+    def write(self, iterator) -> _TxnWriteMessage:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _TxnWriteMessage(None, 0)
+        table = pa.Table.from_batches(batches)
+        table = table.rename_columns(
+            [self.phys_by_name.get(n, n) for n in table.column_names]
+        )
+        rel = f"{self.sub}/part-{uuid.uuid4().hex}.parquet"
+        out = self.root / rel
+        out.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(table, out)
+        return _TxnWriteMessage(rel, table.num_rows)
+
+    def commit(self, messages) -> None:
+        rels = [m.rel_path for m in messages if m is not None and m.rel_path]
+        if not rels and not self.overwrite:
+            return  # empty append: nothing to commit
+        last: "Exception | None" = None
+        for _ in range(5):  # optimistic loop, like merge_with_retry
+            base = max(_list_versions(self.root))
+            m = _load_manifest(self.root, base)
+            mp = _mapping_of(m)
+            entries = _stat_entries(self.root, rels, _keys(m)[0], mp)
+            manifest = {
+                "version": base + 1,
+                "op": "overwrite" if self.overwrite else "append",
+                "key_field": _keys(m)[0],
+                "key_fields": _keys(m),
+                "schema": m["schema"],
+                "files": entries
+                if self.overwrite
+                else list(m["files"]) + entries,
+                **_fmt_fields(mp),
+            }
+            rolled = _rolled_meta(m, None)
+            if rolled:
+                manifest["meta"] = rolled
+            try:
+                _publish(self.root, base + 1, manifest)
+                return
+            except ConcurrentCommitError as exc:
+                last = exc  # rival landed base+1: recompute and retry
+        raise ConcurrentCommitError(
+            f"write to {self.root} kept losing the commit race"
+        ) from last
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg is not None and msg.rel_path:
+                (self.root / msg.rel_path).unlink(missing_ok=True)
