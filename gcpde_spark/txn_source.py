@@ -264,6 +264,12 @@ class TxnTableWriter(DataSourceArrowWriter):
     `_publish` choke point — arbitrated through the table's
     CommitBackend with a bounded optimistic retry on lost races
     (appends commute; overwrite is last-writer-wins by definition).
+    Retrying against a rival's EVOLVED schema is sound by the format's
+    own invariants: physical names are immutable birth names, so a
+    column this job wrote can never be confused with one a rival
+    dropped-and-re-added (fresh uuid physical), rival-added columns
+    NULL-fill over our files like any pre-evolution file, and rival
+    renames re-label the same physical bytes.
     A failed job's files are removed by ``abort`` (and are invisible
     anyway: liveness is manifest reference).
 
