@@ -567,10 +567,24 @@ def _select_top_fraction_threshold(
         F.sum(is_kept.cast("bigint")).alias("_nk"),
         F.sum(is_band.cast("bigint")).alias("_nb"),
         F.max("_cut").alias("_cut"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # a band past ~4× the approx-quantile rank guarantee (8·n/accuracy)
+    # means heavy TIES at the cutoff (e.g. quantized perplexity buckets)
+    # pulled a stratum-sized mass into the band — the band row_number
+    # below would then BE the giant single-task sort this route exists
+    # to avoid, so treat it as a validation failure (results identical
+    # via the exact fallback). The 4096 floor keeps small strata off the
+    # fallback for incidental ties. The hash-ordered sample_stratified
+    # route has no such hazard (64-bit hashes don't tie).
+    band_bound = F.greatest(
+        F.lit(4096).cast("bigint"),
+        (F.col("_n") * F.lit(32.0 / accuracy)).cast("bigint"),
     )
     bad = counts.where(
         (F.col("_nk") > F.col("_cut"))
         | (F.col("_nk") + F.col("_nb") < F.col("_cut"))
+        | (F.col("_nb") > band_bound)
     ).limit(1)
     if bad.count() > 0:
         return None

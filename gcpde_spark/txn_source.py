@@ -70,13 +70,19 @@ from gcpde_spark.txn import (
 )
 
 
-def register_txn_source(spark) -> None:
-    """Register the ``gcpde_txn`` batch format on this session and
-    enable Python-source filter pushdown (off by default in Spark 4.1;
-    a reader implementing ``pushFilters`` refuses to plan without it —
-    runtime-settable, same pattern as the nanos conf in
-    :func:`gcpde_spark.catalog.load_table`)."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+def register_txn_source(spark, enable_filter_pushdown: bool = True) -> None:
+    """Register the ``gcpde_txn`` batch format on this session.
+
+    **Session-wide side effect, read this**: by default this also flips
+    ``spark.sql.python.filterPushdown.enabled`` to ``true`` for the
+    WHOLE session — Spark 4.1 ships it off, and a reader implementing
+    ``pushFilters`` refuses to plan without it (runtime-settable, same
+    pattern as the nanos conf in :func:`gcpde_spark.catalog.load_table`).
+    Every other Python data source in the session plans under the flag
+    too. Pass ``enable_filter_pushdown=False`` to leave the conf alone
+    (``gcpde_txn`` reads then fail to plan until you set it yourself)."""
+    if enable_filter_pushdown:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TxnTableDataSource)
 
 
@@ -119,7 +125,12 @@ class TxnTableDataSource(DataSource):
         return TxnTableReader(self._root(), self._version(), schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> "TxnTableWriter":
-        return TxnTableWriter(self._root(), schema, overwrite)
+        return TxnTableWriter(
+            self._root(),
+            schema,
+            overwrite,
+            backend_factory=self.options.get("commitBackend"),
+        )
 
 
 class TxnTableReader(DataSourceReader):
@@ -257,13 +268,29 @@ class TxnTableWriter(DataSourceArrowWriter):
     .option("path", t).save()``.
 
     Each task streams its Arrow batches into ONE fresh parquet file
-    under ``data/`` (physical column names under an active mapping,
-    immutable thereafter); the driver's ``commit`` turns the collected
-    file list into a single atomic ``append``/``overwrite`` manifest —
-    per-file stats from footers, rolled meta, Bloom backfill at the
-    `_publish` choke point — arbitrated through the table's
-    CommitBackend with a bounded optimistic retry on lost races
-    (appends commute; overwrite is last-writer-wins by definition).
+    under ``data/`` (``pq.ParquetWriter`` opened on the first batch,
+    batch-by-batch writes — task memory stays bounded by one Arrow
+    batch, never the whole partition; physical column names under an
+    active mapping, immutable thereafter); the driver's ``commit``
+    turns the collected file list into a single atomic
+    ``append``/``overwrite`` manifest — per-file stats from footers,
+    rolled meta, Bloom backfill at the `_publish` choke point —
+    arbitrated through a CommitBackend with a bounded optimistic retry
+    on lost races (appends commute; overwrite is last-writer-wins by
+    definition).
+
+    **Backend selection**: the planning/commit steps run in Spark's
+    Python-datasource workers, SEPARATE processes from the user's
+    driver — a driver-side ``set_commit_backend(...)`` never reaches
+    them, and the module default (POSIX link) is what arbitrates
+    unless told otherwise. For tables arbitrated by a non-default
+    backend (e.g. object-store conditional PUT), pass
+    ``.option("commitBackend", "pkg.module:factory")`` — a zero-arg
+    callable resolved BY NAME inside the commit worker and invoked
+    there to build the backend (clients like a GCS/S3 session are
+    process-local, so constructing in the committing process is the
+    only sound place). Mixing arbitration primitives on one table is
+    a race; the option makes the SQL path match the Python path.
     Retrying against a rival's EVOLVED schema is sound by the format's
     own invariants: physical names are immutable birth names, so a
     column this job wrote can never be confused with one a rival
@@ -282,11 +309,18 @@ class TxnTableWriter(DataSourceArrowWriter):
     Python API for constrained tables).
     """
 
-    def __init__(self, root: Path, schema: StructType, overwrite: bool):
+    def __init__(
+        self,
+        root: Path,
+        schema: StructType,
+        overwrite: bool,
+        backend_factory: "str | None" = None,
+    ):
         import uuid
 
         self.root = root
         self.overwrite = overwrite
+        self.backend_factory = backend_factory
         base = max(_list_versions(root))  # raises TxnTableNotFound
         m = _load_manifest(root, base)
         table_schema = StructType.fromJson(json.loads(m["schema"]))
@@ -317,27 +351,75 @@ class TxnTableWriter(DataSourceArrowWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
+        writer: "pq.ParquetWriter | None" = None
+        rel = out = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if not batch.num_rows:
+                    continue
+                renamed = pa.RecordBatch.from_arrays(
+                    batch.columns,
+                    names=[
+                        self.phys_by_name.get(n, n) for n in batch.schema.names
+                    ],
+                )
+                if writer is None:
+                    rel = f"{self.sub}/part-{uuid.uuid4().hex}.parquet"
+                    out = self.root / rel
+                    out.parent.mkdir(parents=True, exist_ok=True)
+                    writer = pq.ParquetWriter(out, renamed.schema)
+                writer.write_batch(renamed)
+                rows += renamed.num_rows
+        except BaseException:
+            if writer is not None:
+                writer.close()
+                out.unlink(missing_ok=True)  # half-written file: invisible
+            raise
+        if writer is None:
             return _TxnWriteMessage(None, 0)
-        table = pa.Table.from_batches(batches)
-        table = table.rename_columns(
-            [self.phys_by_name.get(n, n) for n in table.column_names]
-        )
-        rel = f"{self.sub}/part-{uuid.uuid4().hex}.parquet"
-        out = self.root / rel
-        out.parent.mkdir(parents=True, exist_ok=True)
-        pq.write_table(table, out)
-        return _TxnWriteMessage(rel, table.num_rows)
+        writer.close()
+        return _TxnWriteMessage(rel, rows)
+
+    def _backend(self):
+        """Resolve the commit backend INSIDE the committing process
+        (see class docstring): ``commitBackend`` option > module
+        default. Factory string is ``pkg.module:name``."""
+        if not self.backend_factory:
+            return None  # _publish falls through to the module default
+        import importlib
+
+        mod_name, _, attr = self.backend_factory.partition(":")
+        if not attr:
+            raise ValueError(
+                "commitBackend must be 'pkg.module:factory', got "
+                f"{self.backend_factory!r}"
+            )
+        factory = getattr(importlib.import_module(mod_name), attr)
+        return factory()
 
     def commit(self, messages) -> None:
         rels = [m.rel_path for m in messages if m is not None and m.rel_path]
         if not rels and not self.overwrite:
             return  # empty append: nothing to commit
+        backend = self._backend()
         last: "Exception | None" = None
         for _ in range(5):  # optimistic loop, like merge_with_retry
             base = max(_list_versions(self.root))
             m = _load_manifest(self.root, base)
+            if _constraints_of(m):
+                # same refusal as __init__, re-run per attempt: a rival
+                # add_constraint landing mid-job must not let this
+                # commit roll the constraint forward over rows it never
+                # validated (TxnTable verbs re-enforce per attempt via
+                # _enforce; this loop is the SQL path's equivalent)
+                self.abort(messages)
+                raise ValueError(
+                    f"table at {self.root} gained CHECK constraints "
+                    "mid-job — the SQL writer cannot validate staged "
+                    "rows against them; append through TxnTable "
+                    "(gcpde_spark.txn) instead"
+                )
             mp = _mapping_of(m)
             entries = _stat_entries(self.root, rels, _keys(m)[0], mp)
             manifest = {
@@ -355,7 +437,7 @@ class TxnTableWriter(DataSourceArrowWriter):
             if rolled:
                 manifest["meta"] = rolled
             try:
-                _publish(self.root, base + 1, manifest)
+                _publish(self.root, base + 1, manifest, backend=backend)
                 return
             except ConcurrentCommitError as exc:
                 last = exc  # rival landed base+1: recompute and retry

@@ -3008,3 +3008,30 @@ def test_mp4_pcm_audio_features_match_wav(spark, tmp_path):
     n_declared = int.from_bytes(m4_le[stsz_at + 12 : stsz_at + 16], "big")
     short[stsz_at + 12 : stsz_at + 16] = (n_declared + 5).to_bytes(4, "big")
     assert _mp4_pcm_samples(bytes(short)) == (None, None)
+
+
+def test_select_top_fraction_tied_mass_falls_back_to_exact(spark):
+    """Round-6 advisory: when (quantized) scores tie so heavily that the
+    boundary band swallows the whole stratum, the threshold route's band
+    rank would BE the giant single-task sort it exists to avoid — the
+    band-bound validation must reject it and fall back to the exact
+    route, with identical rows."""
+    from gcpde_spark.llm.curation import select_top_fraction
+
+    # one stratum, 6000 rows, ONE score value: is_kept empty, band = all
+    df = spark.createDataFrame(
+        [(i, "s", 7.0) for i in range(6000)],
+        "doc_id long, source string, score double",
+    )
+    routed = select_top_fraction(df, "score", 0.5, ["source"], method="threshold")
+    # fallback happened: the returned plan is the exact single-window one
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" not in plan
+    got = {r.doc_id for r in routed.collect()}
+    exact = {
+        r.doc_id
+        for r in select_top_fraction(
+            df, "score", 0.5, ["source"], method="exact"
+        ).collect()
+    }
+    assert got == exact and len(got) == 3000
