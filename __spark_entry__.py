@@ -10,15 +10,19 @@ adapts it to the driver's interface.
 
 from __future__ import annotations
 
-import sys
 from collections.abc import Callable
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+try:
+    # installed package (pip install -e ., pyproject.toml)
+    from gcpde_spark.queries import CORPUS
+except ImportError:  # bare checkout: the driver runs this file in place
+    import sys
+    from pathlib import Path
 
-from gcpde_spark.queries import CORPUS  # noqa: E402
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from gcpde_spark.queries import CORPUS
 
 
 def entry(spark: SparkSession) -> DataFrame:
