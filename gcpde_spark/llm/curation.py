@@ -127,12 +127,19 @@ def sample_stratified(
             f"unknown method {method!r}; use auto|exact|threshold"
         )
     if method == "auto":
-        biggest = (
-            df.groupBy(*strata_cols)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .agg(F.max("_n"))
-            .first()[0]
-        )
+        # shared-materialization persist, same rationale and caller-
+        # owned lifetime as select_top_fraction's auto route
+        df.persist()
+        try:
+            biggest = (
+                df.groupBy(*strata_cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(F.max("_n"))
+                .first()[0]
+            )
+        except Exception:
+            df.unpersist(blocking=False)
+            raise
         method = "threshold" if (biggest or 0) > stratum_bound else "exact"
     if method == "threshold":
         out = _sample_stratified_threshold(
@@ -507,12 +514,27 @@ def select_top_fraction(
         if not numeric:
             method = "exact"
         else:
-            biggest = (
-                df.groupBy(*strata_cols)
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .agg(F.max("_n"))
-                .first()[0]
-            )
+            # The measurement job must materialize df anyway — often a
+            # composed scoring pipeline (l29: the full unigram-LM
+            # chain), which the selection pass would otherwise compute
+            # a second time. Persist it (MEMORY_AND_DISK, LRU-
+            # evictable) so routing and selection share one
+            # materialization — the same caller-owned cache lifetime as
+            # profile_neighbors' routing persist (similarity.py):
+            # the result is lazy and keeps reading the cache, so
+            # callers that want the storage back force a method (no
+            # hidden persist) or clearCache(). Routing errors release.
+            df.persist()
+            try:
+                biggest = (
+                    df.groupBy(*strata_cols)
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .agg(F.max("_n"))
+                    .first()[0]
+                )
+            except Exception:
+                df.unpersist(blocking=False)
+                raise
             method = (
                 "threshold"
                 if (biggest or 0) > stratum_bound
