@@ -383,3 +383,22 @@ def test_writer_commit_backend_option_resolves_factory(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="commitBackend"):
         bad._backend()
+
+
+def test_writer_commit_backend_option_end_to_end(spark, tmp_path):
+    """The documented option path through a REAL Spark write: the
+    factory string rides the options into the planning worker, resolves
+    by import inside the commit worker, and the append lands."""
+    t = _mk(spark, tmp_path / "t", n=6, n_files=1)
+    register_txn_source(spark)
+    extra = spark.createDataFrame([(800, "B")], "id long, v string")
+    (
+        extra.write.format("gcpde_txn")
+        .mode("append")
+        .option("path", str(tmp_path / "t"))
+        .option(
+            "commitBackend", "gcpde_spark.commit_backend:PosixLinkBackend"
+        )
+        .save()
+    )
+    assert {r.id for r in t.read().collect()} == set(range(6)) | {800}
