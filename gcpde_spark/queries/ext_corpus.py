@@ -1327,12 +1327,13 @@ def _drain_stream(spark, agg, name, state_partitions=4):
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    if ckpt is not None:
-        # bounded drain, complete-mode sink: the checkpoint is dead
-        # weight the moment the query terminates — reclaim the tmpfs
-        import shutil
+        if ckpt is not None:
+            # bounded drain, complete-mode sink: the checkpoint is dead
+            # weight the moment the query terminates (or fails) —
+            # reclaim the tmpfs either way
+            import shutil
 
-        shutil.rmtree(ckpt, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
