@@ -524,6 +524,10 @@ def select_top_fraction(
             # the result is lazy and keeps reading the cache, so
             # callers that want the storage back force a method (no
             # hidden persist) or clearCache(). Routing errors release.
+            # Scale: what gets cached is the SELECTION INPUT, which the
+            # docstring above already tells 100 TB callers to pass as
+            # the (id, strata, score) projection (join survivors back
+            # by id) — O(N·3 narrow cols), not the corpus frame.
             df.persist()
             try:
                 biggest = (
