@@ -164,7 +164,6 @@ def _mk_gcs(tmp_path, fail_before=(), fail_after=()):
     def plant(p, data):
         client.objects[("bkt", store._key(p))] = data
 
-    store.puts = property  # placeholder so attr below is explicit
     store.applied = lambda: client.puts
     return store, peek, plant
 
@@ -331,16 +330,18 @@ def test_adapter_key_mapping_strips_mount_root(tmp_path, mk):
 def test_adapters_import_and_construct_without_cloud_sdks():
     """The modules must be importable and stores constructible with no
     SDK installed; only the first real request demands one (loudly)."""
+    from pathlib import Path
+
     g = GcsObjectStore("b", mount_root="/mnt/x")
     s = S3ObjectStore("b", mount_root="/mnt/x")
-    for store, pkg in ((g, "google"), (s, "boto3")):
+    for store, pkg in ((g, "google.cloud.storage"), (s, "boto3")):
         try:
             __import__(pkg)
             pytest.skip(f"{pkg} installed in this env")
         except ImportError:
             pass
         with pytest.raises(ImportError):
-            store.put_if_absent(Path := __import__("pathlib").Path("/mnt/x/a"), b"")
+            store.put_if_absent(Path("/mnt/x/a"), b"")
 
 
 def test_end_to_end_txn_commits_through_gcs_adapter_fake(spark, tmp_path):
