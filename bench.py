@@ -67,6 +67,60 @@ def _drain_session_garbage(spark) -> None:
         spark._jvm.System.gc()
 
 
+def _prefork_python_workers(spark) -> None:
+    """Fork the reusable Python-worker pool once, before any timed sample.
+
+    One task per core, each running a trivial Arrow-batched pandas_udf:
+    with ``spark.python.worker.reuse=true`` (default) the forked workers
+    park in the per-executor pool and every later Arrow stage (x05/x06/
+    x07/x09's matmul UDFs) checks one out instead of forking+importing
+    pandas per worker inside its first timed run.
+    """
+    from pyspark.sql.functions import col, pandas_udf
+
+    # lambda form: bench.py has `from __future__ import annotations`, which
+    # stringifies type hints and breaks pandas_udf's hint inference for
+    # locally-imported names; the explicit-eval-type lambda path avoids it
+    _warm = pandas_udf(lambda v: v * 1.0, "double")
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
+    spark.range(cpus, numPartitions=cpus).select(
+        _warm(col("id").cast("double"))
+    ).collect()
+
+
+def _warm_streaming_engine(spark) -> None:
+    """Load the Structured Streaming classes once, before any timed sample.
+
+    A 1-row availableNow rate-source drain into a memory sink brings up
+    MicroBatchExecution, the offset/commit log, the state-store provider
+    class, and the listener-bus threads — JVM classload the session pays
+    exactly once, which otherwise lands inside the first streaming
+    entry's (c60's) cold sample.
+    """
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        q = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "1")
+            .load()
+            .groupBy((F.col("value") % 2).alias("k"))
+            .count()
+            .writeStream.format("memory")
+            .queryName("_bench_stream_warm")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.catalog.dropTempView("_bench_stream_warm")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -93,8 +147,28 @@ def main() -> None:
         confs["spark.sql.files.maxPartitionBytes"] = str(8 << 20)
     spark = build_session(app_name="gcpde_spark_bench", extra_confs=confs)
 
-    # Warm the JVM + file index once with the flagship query.
+    # Session warm-up (protocol: warm SESSION, cold PLANS — BASELINE.md
+    # §measured). Three one-time session costs are paid here, outside any
+    # timed sample, because a production session pays each exactly once
+    # and the per-query cold series is meant to measure per-PLAN cost
+    # (Catalyst + codegen + dispatch), not process bring-up:
+    #   1. JVM/JIT + parquet file index: the flagship query.
+    #   2. The Python-worker pool: `spark.python.worker.reuse` (default
+    #      true) keeps forked workers alive across queries, so the first
+    #      Arrow-UDF stage of the session eats the fork+import of one
+    #      worker per core (~2-4 s at 32 cores) that every later stage
+    #      reuses — a one-row pandas_udf job registers the pool
+    #      (VERDICT r6 #1: "pre-register reused Python workers").
+    #   3. The streaming machinery: the first streaming query loads the
+    #      MicroBatchExecution/state-store classes and starts the
+    #      listener bus threads; a 1-row availableNow drain into a
+    #      memory sink pays that classload once.
+    # The DuckDB side needs no analog: its per-query medians are taken
+    # over `runs` repeats in one process, so one-time process costs are
+    # already outside its medians too.
     CORPUS["c06_three_way_join_agg"].build(spark, sf_dir).toPandas()
+    _prefork_python_workers(spark)
+    _warm_streaming_engine(spark)
 
     selected = [
         (name, spec)
