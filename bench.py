@@ -9,8 +9,6 @@ would add pure Python deserialization cost that neither engine's natural
 result path pays).
 """
 
-from __future__ import annotations
-
 import gc
 import json
 import os
@@ -76,12 +74,18 @@ def _prefork_python_workers(spark) -> None:
     x07/x09's matmul UDFs) checks one out instead of forking+importing
     pandas per worker inside its first timed run.
     """
+    import pandas as pd
     from pyspark.sql.functions import col, pandas_udf
 
-    # lambda form: bench.py has `from __future__ import annotations`, which
-    # stringifies type hints and breaks pandas_udf's hint inference for
-    # locally-imported names; the explicit-eval-type lambda path avoids it
-    _warm = pandas_udf(lambda v: v * 1.0, "double")
+    # typed-hint form (not a bare lambda): the hint-inference path is the
+    # one pandas_udf keeps long-term; the lambda/no-hint path is deprecated
+    # and warns every run (ADVICE r7). Works here because this module does
+    # NOT use `from __future__ import annotations` — stringified hints
+    # would hide the locally-imported `pd` from the inference resolver.
+    def _mul(v: pd.Series) -> pd.Series:
+        return v * 1.0
+
+    _warm = pandas_udf(_mul, "double")
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
     spark.range(cpus, numPartitions=cpus).select(
@@ -100,7 +104,15 @@ def _warm_streaming_engine(spark) -> None:
     """
     from pyspark.sql import functions as F
 
-    old = spark.conf.get("spark.sql.shuffle.partitions")
+    # Sentinel restore (ADVICE r7): if the key was never explicitly set,
+    # unset afterwards instead of pinning the session default as explicit.
+    _UNSET = object()
+    try:
+        old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    except Exception:
+        old = None
+    if old is None:
+        old = _UNSET
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     try:
         q = (
@@ -117,7 +129,10 @@ def _warm_streaming_engine(spark) -> None:
         )
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        if old is _UNSET:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
         spark.catalog.dropTempView("_bench_stream_warm")
 
 
@@ -137,7 +152,17 @@ def main() -> None:
         # re-planning amortizes into multi-second stages and its
         # coalescing/skew splitting is what right-sizes tasks.
         confs["spark.sql.adaptive.enabled"] = "false"
-        confs["spark.sql.shuffle.partitions"] = "16"
+        # 4 reduce partitions for sub-GB inputs (was 16 through round 7):
+        # at KB-to-MB shuffle sizes a reduce stage's wall time is task
+        # scheduling, not work, so fewer+fatter reducers win. Round-8 A/B
+        # (this box, median-of-3 rebuilds): c-subset 12.66 s @16 -> 12.29 s
+        # @4; l/x subset 27.71 s @16 -> 24.28 s @4 (x05 2.31 -> 1.10 s).
+        # 1-2 partitions over-serialize the entries with real reduce-side
+        # CPU (l33's sparse dot-product route: 2.4 s @16, 7.7 s @1) — 4 is
+        # the measured global optimum. Scan-side parallelism is unaffected
+        # (maxPartitionBytes below keeps 32-way map stages); production
+        # sessions keep AQE, which right-sizes reducers from runtime stats.
+        confs["spark.sql.shuffle.partitions"] = "4"
         # Split small parquet files finely enough that map-side CPU work
         # (regex projections, hashing) parallelizes: at the default 128 MB
         # a 25 MB documents file scans as ONE task and a 15-regex-pass
@@ -166,15 +191,32 @@ def main() -> None:
     # The DuckDB side needs no analog: its per-query medians are taken
     # over `runs` repeats in one process, so one-time process costs are
     # already outside its medians too.
-    CORPUS["c06_three_way_join_agg"].build(spark, sf_dir).toPandas()
-    _prefork_python_workers(spark)
-    _warm_streaming_engine(spark)
-
     selected = [
         (name, spec)
         for name, spec in sorted(CORPUS.items())
         if not ONLY or any(name.startswith(p) for p in ONLY)
     ]
+    sel_names = {name for name, _ in selected}
+
+    CORPUS["c06_three_way_join_agg"].build(spark, sf_dir).toPandas()
+    # Optional warm-ups are gated on the selection (ADVICE r7): a
+    # relational-only smoke (SPARK_GRAFT_BENCH_ONLY=c0,c1,...) has no
+    # Arrow-UDF or streaming entry, so paying their bring-up would be
+    # pure waste — and a warm-up failure must degrade the run (the first
+    # relevant entry eats the bring-up inside its cold sample), never
+    # abort it.
+    _ARROW_ENTRIES = ("x", "l")  # similarity/text Arrow stages live here
+    _STREAM_ENTRIES = ("c60", "c67", "c68", "c69", "c70")
+    try:
+        if any(n.startswith(_ARROW_ENTRIES) for n in sel_names):
+            _prefork_python_workers(spark)
+    except Exception as e:  # noqa: BLE001 — warm-up is best-effort
+        print(f"warn: python-worker prefork failed: {e}", file=sys.stderr)
+    try:
+        if any(n.startswith(_STREAM_ENTRIES) for n in sel_names):
+            _warm_streaming_engine(spark)
+    except Exception as e:  # noqa: BLE001 — warm-up is best-effort
+        print(f"warn: streaming warm-up failed: {e}", file=sys.stderr)
 
     # Cold pass first, warm pass after: interleaving the warm series more
     # than doubles the JVM work done before later queries' cold runs, and

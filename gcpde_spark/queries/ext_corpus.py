@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from gcpde_spark.catalog import load_table
+from gcpde_spark.operators import recursive_expand
 from gcpde_spark.queries.corpus import _q, cents, dsum
 
 
@@ -462,66 +463,39 @@ def c56(spark: SparkSession, sf: str) -> DataFrame:
     "the same lever at 100 TB where each round is a real shuffle; "
     "persisting e4 keeps the loop from recomputing the composed edge "
     "join every round (36 → 17 jobs, 4.9 → 1.3 s at sf0.1). The plan "
-    "is latched under a small shuffle-partition count sized to the "
-    "KB-scale frontier (_latched_small_plan), the way _drain_stream "
-    "sizes state stores.",
+    "is latched (operators.latch_plan) under a shuffle-partition count "
+    "derived from the measured edge count — 1 at this corpus' KB-scale "
+    "frontier — the way _drain_stream sizes state stores.",
 )
 def c57(spark: SparkSession, sf: str) -> DataFrame:
+    # The stride-4 recursion now lives in the library
+    # (operators.recursive_expand, VERDICT r7 #3): the operator composes
+    # the 4-step ancestor edge, runs the prologue + recursion, and
+    # latches the memoized physical plan to a partition count DERIVED
+    # from the measured edge count (ceil(n/1Mi) clamped to the session
+    # default — 1 at this corpus' KB-scale frontier, the value this
+    # entry previously hard-pinned). `finish` carries the aggregation
+    # inside the latched plan so the whole query keeps the sizing.
     sup = load_table(spark, sf, "supplier")
-    sup.createOrReplaceTempView("_c57_supplier")
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    try:
-        e = spark.sql(
-            """SELECT s_suppkey AS k,
-                      CAST(FLOOR((s_suppkey - 1) / 2) AS BIGINT) AS p
-               FROM _c57_supplier WHERE s_suppkey > 0"""
-        ).persist()
-        e.createOrReplaceTempView("_c57_e")
-        e2 = spark.sql(
-            "SELECT a.k, b.p FROM _c57_e a JOIN _c57_e b ON a.p = b.k"
+    edges = sup.where(F.col("s_suppkey") > 0).select(
+        F.col("s_suppkey").cast("bigint").alias("k"),
+        F.floor((F.col("s_suppkey") - 1) / 2).cast("bigint").alias("p"),
+    )
+    roots = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("k"), F.lit(0).cast("bigint").alias("depth")
+    )
+    return recursive_expand(
+        edges,
+        roots,
+        stride=4,
+        finish=lambda d: d.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
         )
-        e2.createOrReplaceTempView("_c57_e2")
-        e4 = spark.sql(
-            """SELECT a.k, b.p
-               FROM _c57_e2 a JOIN _c57_e2 b ON a.p = b.k"""
-        ).persist()
-        e4.createOrReplaceTempView("_c57_e4")
-        df = spark.sql(
-            """WITH RECURSIVE
-                base AS (
-                  SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
-                  UNION ALL
-                  SELECT k, CAST(1 AS BIGINT) FROM _c57_e WHERE p = 0
-                  UNION ALL
-                  SELECT a.k, CAST(2 AS BIGINT)
-                  FROM _c57_e a JOIN _c57_e b ON a.p = b.k
-                  WHERE b.p = 0 AND a.p > 0
-                  UNION ALL
-                  SELECT a.k, CAST(3 AS BIGINT)
-                  FROM _c57_e a JOIN _c57_e2 b ON a.p = b.k
-                  WHERE b.p = 0 AND a.p > 0 AND b.k > 0
-                ),
-                d(k, depth) AS (
-                  SELECT k, depth FROM base
-                  UNION ALL
-                  SELECT /*+ BROADCAST(d) */ e4.k, d.depth + 4
-                  FROM _c57_e4 e4 JOIN d ON e4.p = d.k WHERE e4.k > 0)
-               SELECT depth, CAST(COUNT(*) AS BIGINT) AS n,
-                      MIN(k) AS min_key, MAX(k) AS max_key
-               FROM d GROUP BY depth ORDER BY depth"""
-        )
-        # latch the physical plan under the small-partition conf: the
-        # QueryExecution memoizes it, so the sizing survives the
-        # caller's later action while the session keeps its own — the
-        # batch analog of _drain_stream's state-store sizing. A
-        # KB-scale frontier shuffled 16 ways is pure scheduling
-        # overhead; an unbounded hierarchy sizes partitions to the
-        # frontier, not the session.
-        df._jdf.queryExecution().executedPlan()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
-    return df
+        .orderBy("depth"),
+    )
 
 
 @_q(

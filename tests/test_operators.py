@@ -342,3 +342,148 @@ def test_with_ordered_index_matches_row_number_without_a_window(spark):
     # deterministic across materializations (persisted tag pass)
     assert {(r.k, r.rn) for r in out.collect()} == expected
     spark.catalog.clearCache()
+
+
+def _naive_expand(edges_rows, roots_rows, max_depth=None):
+    """Reference fixpoint: the ANSI recursive CTE's UNION ALL semantics,
+    one output row per (root, path)."""
+    children = {}
+    for k, p in edges_rows:
+        children.setdefault(p, []).append(k)
+    out = []
+    frontier = list(roots_rows)
+    while frontier:
+        out.extend(frontier)
+        nxt = []
+        for k, d in frontier:
+            if max_depth is not None and d + 1 > max_depth:
+                continue
+            for c in children.get(k, ()):
+                nxt.append((c, d + 1))
+        frontier = nxt
+    if max_depth is not None:
+        out = [(k, d) for k, d in out if d <= max_depth]
+    return sorted(out)
+
+
+def test_recursive_expand_matches_naive_fixpoint_all_strides(spark):
+    """Property (VERDICT r7 #3): the strided operator computes exactly the
+    naive depth-at-a-time recursion's multiset, for every stride, on a
+    forest whose depth is NOT a multiple of the stride (exercises the
+    last-round overshoot)."""
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.operators import recursive_expand
+
+    # binary tree over 1..100 (depth 6, not divisible by 4), parent
+    # pointers like the c57 corpus entry's supplier hierarchy
+    edges = spark.range(1, 101).select(
+        F.col("id").alias("k"),
+        F.floor((F.col("id") - 1) / 2).cast("bigint").alias("p"),
+    )
+    roots = spark.createDataFrame([(0, 0)], "k long, depth long")
+    expected = _naive_expand(
+        [(r.k, r.p) for r in edges.collect()], [(0, 0)]
+    )
+    for stride in (1, 2, 4, 8):
+        got = sorted(
+            (r.k, r.depth)
+            for r in recursive_expand(edges, roots, stride=stride).collect()
+        )
+        assert got == expected, f"stride={stride}"
+    spark.catalog.clearCache()
+
+
+def test_recursive_expand_union_all_multiplicity_and_max_depth(spark):
+    """A DAG node with two parents yields one row PER PATH (UNION ALL
+    fixpoint, not reachability dedup), and max_depth bounds prologue and
+    recursion output alike."""
+    from gcpde_spark.operators import recursive_expand
+
+    #      0
+    #     / \
+    #    1   2
+    #     \ / \
+    #      3   4    (3 has two parents -> two paths at depth 2)
+    #      |
+    #      5
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (3, 2), (4, 2), (5, 3)], "k long, p long"
+    )
+    roots = spark.createDataFrame([(0, 0)], "k long, depth long")
+    expected = _naive_expand(
+        [(1, 0), (2, 0), (3, 1), (3, 2), (4, 2), (5, 3)], [(0, 0)]
+    )
+    got = sorted(
+        (r.k, r.depth)
+        for r in recursive_expand(edges, roots, stride=2).collect()
+    )
+    assert got == expected
+    assert got.count((3, 2)) == 2  # one row per path
+    assert got.count((5, 3)) == 2  # both paths propagate below
+    bounded = sorted(
+        (r.k, r.depth)
+        for r in recursive_expand(
+            edges, roots, stride=4, max_depth=1
+        ).collect()
+    )
+    assert bounded == [(0, 0), (1, 1), (2, 1)]
+    spark.catalog.clearCache()
+
+
+def test_recursive_expand_latch_derives_from_edge_count(spark):
+    """The latched plan's exchanges are sized from the measured edge
+    count, and the session's own shuffle-partition conf is untouched."""
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.operators import recursive_expand
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = spark.range(1, 200).select(
+        F.col("id").alias("k"),
+        F.floor((F.col("id") - 1) / 2).cast("bigint").alias("p"),
+    )
+    roots = spark.createDataFrame([(0, 0)], "k long, depth long")
+    out = recursive_expand(edges, roots, stride=4, rows_per_partition=64)
+    # ceil(199/64) = 4, clamped below the session's 8
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert out.count() == 199 + 1
+    # the memoized plan was built under the derived count: any shuffle
+    # exchange in it advertises 4 partitions, not the session's 8
+    import re
+
+    parts = {int(m) for m in re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan)}
+    assert parts <= {4}, plan[:2000]
+    spark.catalog.clearCache()
+
+
+def test_recursive_expand_rejects_bad_stride(spark):
+    import pytest as _pytest
+
+    from gcpde_spark.operators import recursive_expand
+
+    edges = spark.createDataFrame([(1, 0)], "k long, p long")
+    roots = spark.createDataFrame([(0, 0)], "k long, depth long")
+    for bad in (0, 3, 6, -4):
+        with _pytest.raises(ValueError):
+            recursive_expand(edges, roots, stride=bad)
+
+
+def test_latch_plan_restores_unset_conf(spark):
+    """latch_plan must not pin an explicit value for a key that was never
+    explicitly set (ADVICE r7 sentinel-restore semantics); with the suite
+    session the key IS set, so this exercises the set-path restore."""
+    from gcpde_spark.operators import latch_plan
+
+    import re
+
+    from pyspark.sql import functions as F
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    df = spark.range(100).groupBy((F.col("id") % 7).alias("k")).count()
+    latch_plan(df, 2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    parts = {int(m) for m in re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan)}
+    assert parts == {2}
