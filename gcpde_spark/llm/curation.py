@@ -88,6 +88,23 @@ def decontaminate(
     ).withColumn("contaminated", F.col("n_shared_ngrams") >= min_shared)
 
 
+def _release_routing_cache(
+    out: DataFrame, routed_input: DataFrame, release: bool
+) -> DataFrame:
+    """Finalize an auto-routed selection when the caller asked for a
+    bounded cache (``unpersist_after=True``, VERDICT r7 #5): persist
+    and materialize the (smaller) selection so it no longer needs the
+    routing persist, then release the routing persist immediately.
+    The returned DataFrame reads its own LRU-evictable cache — the
+    caller unpersists it when done."""
+    if not release:
+        return out
+    out = out.persist()
+    out.count()
+    routed_input.unpersist(blocking=False)
+    return out
+
+
 def sample_stratified(
     df: DataFrame,
     strata_cols: list[str],
@@ -96,6 +113,7 @@ def sample_stratified(
     id_col: str = "doc_id",
     method: str = "auto",
     stratum_bound: int = 10_000_000,
+    unpersist_after: bool = False,
 ) -> DataFrame:
     """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
     is smaller), deterministic for a given seed.
@@ -121,15 +139,21 @@ def sample_stratified(
     ``method="auto"`` (default) measures the largest stratum with one
     keyed count and takes the threshold route past ``stratum_bound``
     rows (the same measured routing as :func:`select_top_fraction`).
+
+    ``unpersist_after=True``: materialize the sample eagerly and
+    release the auto route's hidden persist of the input immediately —
+    see :func:`select_top_fraction` for the full contract.
     """
     if method not in ("auto", "exact", "threshold"):
         raise ValueError(
             f"unknown method {method!r}; use auto|exact|threshold"
         )
+    auto_persisted = False
     if method == "auto":
         # shared-materialization persist, same rationale and caller-
         # owned lifetime as select_top_fraction's auto route
         df.persist()
+        auto_persisted = True
         try:
             biggest = (
                 df.groupBy(*strata_cols)
@@ -141,20 +165,22 @@ def sample_stratified(
             df.unpersist(blocking=False)
             raise
         method = "threshold" if (biggest or 0) > stratum_bound else "exact"
+    release = auto_persisted and unpersist_after
     if method == "threshold":
         out = _sample_stratified_threshold(
             df, strata_cols, n_per_stratum, seed, id_col
         )
         if out is not None:
-            return out
+            return _release_routing_cache(out, df, release)
     w = Window.partitionBy(*strata_cols).orderBy(
         F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
     )
-    return (
+    out = (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+    return _release_routing_cache(out, df, release)
 
 
 def _sample_stratified_threshold(
@@ -459,6 +485,7 @@ def select_top_fraction(
     method: str = "auto",
     stratum_bound: int = 10_000_000,
     quantile_accuracy: int = 10_000,
+    unpersist_after: bool = False,
 ) -> DataFrame:
     """Keep the top ``frac`` of each stratum by ``score_col`` — the
     quality-gate step of a curation pipeline (e.g. a perplexity filter:
@@ -500,6 +527,15 @@ def select_top_fraction(
     ``profile_neighbors``) and takes the threshold route when it
     exceeds ``stratum_bound`` rows (or the exact route when the score
     column is non-numeric).
+
+    ``unpersist_after=True`` (VERDICT r7 #5, for long-lived sessions
+    making many auto-routed calls): trade the lazy-result contract for
+    a bounded cache — the selection is materialized eagerly (persisted
+    + counted), the auto route's hidden persist of the (bigger) input
+    is released immediately, and the returned DataFrame reads its own
+    (smaller, LRU-evictable) cache; unpersist it when done. Default
+    False preserves the documented lazy contract. No-op when a forced
+    ``method`` skipped the hidden persist.
     """
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0,1], got {frac}")
@@ -507,6 +543,7 @@ def select_top_fraction(
         raise ValueError(
             f"unknown method {method!r}; use auto|exact|threshold"
         )
+    auto_persisted = False
     if method == "auto":
         numeric = isinstance(
             df.schema[score_col].dataType, _NUMERIC_TYPES
@@ -529,6 +566,7 @@ def select_top_fraction(
             # the (id, strata, score) projection (join survivors back
             # by id) — O(N·3 narrow cols), not the corpus frame.
             df.persist()
+            auto_persisted = True
             try:
                 biggest = (
                     df.groupBy(*strata_cols)
@@ -544,24 +582,26 @@ def select_top_fraction(
                 if (biggest or 0) > stratum_bound
                 else "exact"
             )
+    release = auto_persisted and unpersist_after
     if method == "threshold" and frac < 1.0:
         out = _select_top_fraction_threshold(
             df, score_col, frac, strata_cols, id_col, quantile_accuracy
         )
         if out is not None:
-            return out
+            return _release_routing_cache(out, df, release)
         # validation failed — fall through to the exact route
     w = Window.partitionBy(*strata_cols)
     rank = F.row_number().over(
         w.orderBy(F.col(score_col).desc_nulls_last(), F.col(id_col))
     )
     cut = F.ceil(F.count(F.lit(1)).over(w) * F.lit(frac)).cast("bigint")
-    return (
+    out = (
         df.withColumn("_rn", rank)
         .withColumn("_cut", cut)
         .where(F.col("_rn") <= F.col("_cut"))
         .drop("_rn", "_cut")
     )
+    return _release_routing_cache(out, df, release)
 
 
 def _select_top_fraction_threshold(

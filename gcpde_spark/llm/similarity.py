@@ -487,6 +487,7 @@ def profile_neighbors(
     n_planes: int = 16,
     seed: int = 13,
     max_categories: int = 4096,
+    unpersist_after: bool = False,
 ) -> DataFrame:
     """Behavioral nearest neighbors: build each key's categorical
     activity profile (count vector over ``cat_col``) and return its
@@ -524,7 +525,12 @@ def profile_neighbors(
     routed query share one raw-event shuffle; the lazy result keeps
     reading it, so the cache lifetime is caller-owned after return
     (released automatically on routing errors). Force a route to avoid
-    the hidden persist entirely.
+    the hidden persist entirely — or pass ``unpersist_after=True``
+    (VERDICT r7 #5, long-lived sessions) to trade the lazy contract for
+    a bounded cache: the top-k result (neighbor-table-sized, far
+    smaller than the profile aggregate) is materialized+persisted
+    eagerly and the routing persist is released before returning; see
+    curation.select_top_fraction for the shared contract.
     """
     from pyspark.sql import Window
 
@@ -558,15 +564,19 @@ def profile_neighbors(
         auto_persisted = True
     else:
         auto_persisted = False
+    from gcpde_spark.llm.curation import _release_routing_cache
+
+    release = auto_persisted and unpersist_after
     if method == "lsh":
         try:
-            return _profile_neighbors_lsh(
+            out = _profile_neighbors_lsh(
                 p, key_col, cat_col, top_k, n_planes, seed, max_categories
             )
         except Exception:
             if auto_persisted:
                 p.unpersist(blocking=False)
             raise
+        return _release_routing_cache(out, p, release)
     nrm = p.groupBy(key_col).agg(F.sum(F.col("_n") * F.col("_n")).alias("_s2"))
     a = p.select(
         F.col(key_col).alias("_ka"), F.col(cat_col).alias("_c"), F.col("_n").alias("_na")
@@ -601,7 +611,7 @@ def profile_neighbors(
     w = Window.partitionBy("_ka").orderBy(
         F.col("_sim_micro").desc(), F.col("_kb")
     )
-    return (
+    out = (
         sims.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= top_k)
         .select(
@@ -612,6 +622,7 @@ def profile_neighbors(
             .alias("sim"),
         )
     )
+    return _release_routing_cache(out, p, release)
 
 
 def _profile_neighbors_lsh(

@@ -346,9 +346,14 @@ def c55(spark: SparkSession, sf: str) -> DataFrame:
     # the full document (measured at 30x SF: 14.3 s → 7.8 s from this
     # restructure alone). The ORDER BY is a projection barrier Catalyst
     # cannot collapse across, so `_toks` is materialized exactly once
-    # per row and the three lambdas traverse the in-row array. At
-    # cluster scale the same rule holds: never feed the same expensive
-    # expression to multiple fallback-eval lambdas — materialize it.
+    # per row and the three lambdas traverse the in-row array. The rule
+    # — never feed the same expensive expression to multiple
+    # fallback-eval lambdas, materialize it — holds at any scale; the
+    # PLACEMENT below the sort is a trade-off (ADVICE r7): the token
+    # array (~document-sized) rides through the range exchange + sort
+    # instead of three scalar columns. A clear win at measured scales;
+    # if sort/spill payload ever dominates (very large documents), sort
+    # AFTER computing the three scalars from a persisted token column.
     toks = F.col("_toks")
     return (
         docs.select("doc_id", tokens("text").alias("_toks"))

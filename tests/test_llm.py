@@ -3035,3 +3035,79 @@ def test_select_top_fraction_tied_mass_falls_back_to_exact(spark):
         ).collect()
     }
     assert got == exact and len(got) == 3000
+
+
+def test_unpersist_after_releases_routing_persist_select_top_fraction(spark):
+    """VERDICT r7 #5: unpersist_after=True frees the auto route's hidden
+    persist of the INPUT once the selection is materialized, keeps the
+    (smaller) result cached, and selects exactly the default-route set."""
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.llm.curation import select_top_fraction
+
+    spark.catalog.clearCache()
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("s"),
+        (F.col("id") * 37 % 101).cast("double").alias("score"),
+    )
+    out = select_top_fraction(
+        df, "score", 0.25, ["s"], unpersist_after=True
+    )
+    lvl = df.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "input persist not released"
+    out_lvl = out.storageLevel
+    assert out_lvl.useMemory or out_lvl.useDisk, "result should stay cached"
+    expected = sorted(
+        r.doc_id
+        for r in select_top_fraction(df, "score", 0.25, ["s"], method="exact").collect()
+    )
+    assert sorted(r.doc_id for r in out.collect()) == expected
+    out.unpersist(blocking=True)
+    spark.catalog.clearCache()
+
+
+def test_unpersist_after_releases_routing_persist_sample_stratified(spark):
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.llm.curation import sample_stratified
+
+    spark.catalog.clearCache()
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("s")
+    )
+    out = sample_stratified(df, ["s"], n_per_stratum=5, unpersist_after=True)
+    lvl = df.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+    expected = sorted(
+        r.doc_id
+        for r in sample_stratified(df, ["s"], n_per_stratum=5, method="exact").collect()
+    )
+    assert sorted(r.doc_id for r in out.collect()) == expected
+    out.unpersist(blocking=True)
+    spark.catalog.clearCache()
+
+
+def test_unpersist_after_releases_routing_persist_profile_neighbors(spark):
+    """profile_neighbors' routing persist is an internal aggregate, so
+    the check is global: after the call with unpersist_after=True the
+    ONLY cached RDDs left belong to the materialized result."""
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.llm.similarity import profile_neighbors
+
+    spark.catalog.clearCache()
+    ev = spark.range(500).select(
+        (F.col("id") % 20).cast("string").alias("k"),
+        (F.col("id") % 5).cast("string").alias("c"),
+    )
+    out = profile_neighbors(ev, "k", "c", top_k=2, unpersist_after=True)
+    out_lvl = out.storageLevel
+    assert out_lvl.useMemory or out_lvl.useDisk
+    # exactly one cached plan remains: the result itself (the routing
+    # persist of the profile aggregate is gone)
+    n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_cached == 1, n_cached
+    assert out.count() > 0
+    out.unpersist(blocking=True)
+    spark.catalog.clearCache()
