@@ -89,17 +89,32 @@ def decontaminate(
 
 
 def _release_routing_cache(
-    out: DataFrame, routed_input: DataFrame, release: bool
+    out: DataFrame,
+    routed_input: DataFrame,
+    release: bool,
+    latch_partitions: "int | None" = None,
 ) -> DataFrame:
     """Finalize an auto-routed selection when the caller asked for a
     bounded cache (``unpersist_after=True``, VERDICT r7 #5): persist
     and materialize the (smaller) selection so it no longer needs the
     routing persist, then release the routing persist immediately.
     The returned DataFrame reads its own LRU-evictable cache — the
-    caller unpersists it when done."""
+    caller unpersists it when done.
+
+    ``latch_partitions`` additionally pins the result plan's exchanges
+    to a measurement-derived shuffle-partition count
+    (operators.latch_plan — see profile_neighbors' reduce-stage
+    sizing). Ordering matters on the release path: persist() must
+    precede the plan materialization so the cache substitution lands
+    inside the memoized plan."""
+    if release:
+        out = out.persist()
+    if latch_partitions is not None:
+        from gcpde_spark.operators import latch_plan
+
+        latch_plan(out, latch_partitions)
     if not release:
         return out
-    out = out.persist()
     out.count()
     routed_input.unpersist(blocking=False)
     return out

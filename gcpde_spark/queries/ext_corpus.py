@@ -832,8 +832,16 @@ def l33(spark: SparkSession, sf: str) -> DataFrame:
     from gcpde_spark.llm.similarity import profile_neighbors
 
     e = load_table(spark, sf, "events")
-    return profile_neighbors(e, "user_id", "event_type", top_k=1).orderBy(
-        "user_id"
+    # finish= carries the final sort inside profile_neighbors' latched
+    # plan: the auto route measures the candidate-pair bound and sizes
+    # the dot-product reduce from it (operators.latch_plan), which a
+    # post-hoc .orderBy would discard by re-planning under session confs.
+    return profile_neighbors(
+        e,
+        "user_id",
+        "event_type",
+        top_k=1,
+        finish=lambda d: d.orderBy("user_id"),
     )
 
 

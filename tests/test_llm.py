@@ -3111,3 +3111,53 @@ def test_unpersist_after_releases_routing_persist_profile_neighbors(spark):
     assert out.count() > 0
     out.unpersist(blocking=True)
     spark.catalog.clearCache()
+
+
+def test_profile_neighbors_measured_reduce_latch_and_finish(spark):
+    """The auto route sizes the exact dot-product reduce from the
+    measured pair bound: with a tiny pairs_per_partition the latched
+    plan's exchanges exceed the session's shuffle-partition setting
+    (raise-only), the finish callback rides inside the latched plan,
+    and rows equal the unlatched forced-exact route."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.llm.similarity import profile_neighbors
+
+    spark.catalog.clearCache()
+    ev = spark.range(2000).select(
+        (F.col("id") % 50).cast("string").alias("k"),
+        (F.col("id") % 7).cast("string").alias("c"),
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        out = profile_neighbors(
+            ev, "k", "c", top_k=1,
+            pairs_per_partition=10,  # force derived >> session (3)
+            finish=lambda d: d.orderBy("k"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        parts = {
+            int(m) for m in re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan)
+        }
+        cap = spark.sparkContext.defaultParallelism
+        assert max(parts) > 3 and max(parts) <= cap, (parts, cap)
+        expected = [
+            (r.k, r.neighbor)
+            for r in profile_neighbors(ev, "k", "c", top_k=1, method="exact")
+            .orderBy("k")
+            .collect()
+        ]
+        assert [(r.k, r.neighbor) for r in out.collect()] == expected
+        # small bounds derive <= session: no raise, no latch
+        small = profile_neighbors(ev, "k", "c", top_k=1)
+        plan_s = small._jdf.queryExecution().executedPlan().toString()
+        parts_s = {
+            int(m) for m in re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan_s)
+        }
+        assert max(parts_s) <= 3, parts_s
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    spark.catalog.clearCache()
