@@ -141,7 +141,8 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     os.environ["SPARK_GRAFT_CPUS"] = cpus
     confs = {"spark.ui.enabled": "false"}
-    if _input_bytes(sf_dir) < 2 << 30:
+    input_bytes = _input_bytes(sf_dir)
+    if input_bytes < 2 << 30:
         # Static planning profile for sub-GB inputs: AQE materializes one
         # JOB per query stage to re-plan on runtime stats, and a bare
         # no-op job costs ~80 ms on this VM — for KB-to-MB shuffles that
@@ -152,17 +153,22 @@ def main() -> None:
         # re-planning amortizes into multi-second stages and its
         # coalescing/skew splitting is what right-sizes tasks.
         confs["spark.sql.adaptive.enabled"] = "false"
-        # 4 reduce partitions for sub-GB inputs (was 16 through round 7):
-        # at KB-to-MB shuffle sizes a reduce stage's wall time is task
-        # scheduling, not work, so fewer+fatter reducers win. Round-8 A/B
-        # (this box, median-of-3 rebuilds): c-subset 12.66 s @16 -> 12.29 s
-        # @4; l/x subset 27.71 s @16 -> 24.28 s @4 (x05 2.31 -> 1.10 s).
-        # 1-2 partitions over-serialize the entries with real reduce-side
-        # CPU (l33's sparse dot-product route: 2.4 s @16, 7.7 s @1) — 4 is
-        # the measured global optimum. Scan-side parallelism is unaffected
+        # Reduce partitions tier on input size (round-8 A/B, this box,
+        # median-of-3 rebuilds, one arm per process):
+        #   sf0.1 (~17 MB): 4 beats 16 by 9-12% (c 12.66 -> 12.29 s, l/x
+        #   27.71 -> 24.28 s; x05 2.31 -> 1.10 s) — at KB-to-MB shuffle
+        #   sizes a reduce stage's wall time is task scheduling, not work.
+        #   1-2 partitions over-serialize real reduce-side CPU (l33's
+        #   sparse dot-product: 2.4 s @16 -> 7.7 s @1).
+        #   sf1 (~230 MB): 16 beats 4 by 3-4% (c 15.59 vs 16.18 s, l/x
+        #   59.65 vs 61.54 s) — per-task work is big enough to amortize
+        #   scheduling and wants the parallelism back.
+        # Scan-side parallelism is unaffected either way
         # (maxPartitionBytes below keeps 32-way map stages); production
-        # sessions keep AQE, which right-sizes reducers from runtime stats.
-        confs["spark.sql.shuffle.partitions"] = "4"
+        # sessions keep AQE, which derives exactly this from runtime stats.
+        confs["spark.sql.shuffle.partitions"] = (
+            "4" if input_bytes < (64 << 20) else "16"
+        )
         # Split small parquet files finely enough that map-side CPU work
         # (regex projections, hashing) parallelizes: at the default 128 MB
         # a 25 MB documents file scans as ONE task and a 15-regex-pass
