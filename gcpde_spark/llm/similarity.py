@@ -425,43 +425,57 @@ def embedding_near_dup_pairs(
     generation, exact cosine on candidates, keep ``score ≥ threshold``.
     Returns ``(id_a, id_b, score)`` with ``id_a < id_b``.
 
-    Scale contract: a bucket with m members emits m(m-1)/2 candidate
-    pairs, so candidate volume is Σ m_i² — quadratic in the largest
-    bucket, NOT in N. ``max_bucket_size`` drops buckets above the cap
-    whole (zero-vector / constant-embedding cohorts that no hyperplane
-    can split); size ``n_planes`` so E[bucket] = N / 2^n_planes stays
-    well under the cap — at 100 TB (~1e9 vectors) use n_planes ≥ 24.
-    """
-    from gcpde_spark.llm.dedup import _bucket_pairs
+    Scale contract: a bucket with m members scores m(m-1)/2 pairs, so
+    pair volume is Σ m_i² — quadratic in the largest bucket, NOT in N.
+    ``max_bucket_size`` drops buckets above the cap whole (zero-vector /
+    constant-embedding cohorts that no hyperplane can split); size
+    ``n_planes`` so E[bucket] = N / 2^n_planes stays well under the cap
+    — at 100 TB (~1e9 vectors) use n_planes ≥ 24.
 
-    # persist: bucket assignment (a pandas-UDF matmul over every vector)
-    # is consumed by candidate generation once and by the two verify
-    # re-joins; caching runs it exactly once, LRU eviction reclaims it
+    Execution shape (round 8): one shuffle of the vectors keyed by
+    bucket, then each bucket's Arrow group computes the whole gram
+    matrix with one BLAS matmul and emits the over-threshold upper
+    triangle. Vectors cross the wire ONCE (N rows), not once per
+    candidate pair — the previous explode-pairs-then-rejoin-vectors
+    plan shipped ~Σ m_i² vector copies through two joins and evaluated
+    every dot product in interpreted higher-order-function lambdas
+    (CodegenFallback), which dominated the entry's cost (x06 at sf1:
+    ~6-8 s isolated, 13-19 s late in a full run as the joins fought
+    session heap; gram form ~1-2 s, stateless). Peak per-task memory is
+    the largest kept bucket's gram matrix: ``max_bucket_size²`` doubles
+    (8 MB at the 1024 default). Scores use numpy's pairwise summation
+    rather than the sequential-fold oracle form (:func:`cosine`); this
+    operator is approximate/oracle-less by construction and both forms
+    are deterministic, differing at most in the last ulp before the
+    4-decimal round.
+    """
+    import pandas as pd
+
+    id_type = spread(embeddings).schema[id_col].dataType.simpleString()
     b = with_lsh_buckets(
         spread(embeddings).select(F.col(id_col).alias("_id"), _dvec(vec_col).alias("_v")),
         "_v", dim, n_planes, seed,
-    ).withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v")))).persist()
-    pairs = _bucket_pairs(
-        b.select("bucket", "_id"), ["bucket"], max_bucket_size=max_bucket_size
     )
-    x = b.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
-    )
-    y = b.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
-    )
-    return (
-        pairs.join(x, "id_a")
-        .join(y, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                round4(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
-                + F.lit(0.0)
-            ).alias("score"),
-        )
-        .where(F.col("score") >= threshold)
+
+    def _score_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        m = len(pdf)
+        if m < 2 or m > max_bucket_size:
+            return empty
+        vecs = np.stack(pdf["_v"].to_numpy())  # m × dim
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (vecs @ vecs.T) / np.outer(norms, norms)
+        iu = np.triu_indices(m, 1)
+        s = np.round(sims[iu] * 10000.0) / 10000.0 + 0.0
+        keep = s >= threshold  # NaN (zero-norm rows) compares False
+        ids = pdf["_id"].to_numpy()
+        ia, ib = ids[iu[0][keep]], ids[iu[1][keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "score": s[keep]})
+
+    return b.groupBy("bucket").applyInPandas(
+        _score_bucket, f"id_a {id_type}, id_b {id_type}, score double"
     )
 
 

@@ -3097,6 +3097,9 @@ def test_unpersist_after_releases_routing_persist_profile_neighbors(spark):
     from gcpde_spark.llm.similarity import profile_neighbors
 
     spark.catalog.clearCache()
+    # baseline AFTER clearCache: non-catalog RDD persists from earlier
+    # tests in the session can linger and are not this test's subject
+    base_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     ev = spark.range(500).select(
         (F.col("id") % 20).cast("string").alias("k"),
         (F.col("id") % 5).cast("string").alias("c"),
@@ -3104,10 +3107,10 @@ def test_unpersist_after_releases_routing_persist_profile_neighbors(spark):
     out = profile_neighbors(ev, "k", "c", top_k=2, unpersist_after=True)
     out_lvl = out.storageLevel
     assert out_lvl.useMemory or out_lvl.useDisk
-    # exactly one cached plan remains: the result itself (the routing
-    # persist of the profile aggregate is gone)
+    # exactly one NEW cached plan remains: the result itself (the
+    # routing persist of the profile aggregate is gone)
     n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert n_cached == 1, n_cached
+    assert n_cached - base_cached == 1, (n_cached, base_cached)
     assert out.count() > 0
     out.unpersist(blocking=True)
     spark.catalog.clearCache()
