@@ -420,6 +420,8 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     seed: int = 13,
     max_bucket_size: int = 1024,
+    method: str = "auto",
+    pair_budget: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     generation, exact cosine on candidates, keep ``score ≥ threshold``.
@@ -432,30 +434,82 @@ def embedding_near_dup_pairs(
     ``n_planes`` so E[bucket] = N / 2^n_planes stays well under the cap
     — at 100 TB (~1e9 vectors) use n_planes ≥ 24.
 
-    Execution shape (round 8): one shuffle of the vectors keyed by
-    bucket, then each bucket's Arrow group computes the whole gram
-    matrix with one BLAS matmul and emits the over-threshold upper
-    triangle. Vectors cross the wire ONCE (N rows), not once per
-    candidate pair — the previous explode-pairs-then-rejoin-vectors
-    plan shipped ~Σ m_i² vector copies through two joins and evaluated
-    every dot product in interpreted higher-order-function lambdas
-    (CodegenFallback), which dominated the entry's cost (x06 at sf1:
-    ~6-8 s isolated, 13-19 s late in a full run as the joins fought
-    session heap; gram form ~1-2 s, stateless). Peak per-task memory is
-    the largest kept bucket's gram matrix: ``max_bucket_size²`` doubles
-    (8 MB at the 1024 default). Scores use numpy's pairwise summation
-    rather than the sequential-fold oracle form (:func:`cosine`); this
-    operator is approximate/oracle-less by construction and both forms
-    are deterministic, differing at most in the last ulp before the
-    4-decimal round.
+    Two routes (round 8), picked by the measured pair volume when
+    ``method="auto"`` (one cheap count; estimate N²/2^n_planes vs
+    ``pair_budget`` — the same measured-routing pattern as
+    :func:`profile_neighbors`):
+
+    - ``"join"`` (small pair volume): explode per-bucket candidate
+      pairs, re-join the vectors, score in codegen'd column
+      expressions. Cheapest when Σ m_i² is small — no extra Python
+      stage (~0.4 s of fixed Arrow grouped-map cost at bench scale).
+    - ``"gram"`` (large pair volume): one shuffle of the vectors keyed
+      by bucket, then each bucket's Arrow group computes the whole
+      gram matrix with one BLAS matmul and emits the over-threshold
+      upper triangle. Vectors cross the wire ONCE (N rows), not once
+      per candidate pair — the join route ships ~Σ m_i² vector copies
+      through two joins and evaluates every dot product in interpreted
+      higher-order-function lambdas (CodegenFallback), which dominated
+      past the budget (x06 at sf1, ~56M est. pairs: 5.6-18.9 s join vs
+      ~1.6 s gram, byte-identical output). Peak per-task memory is the
+      largest kept bucket's gram matrix: ``max_bucket_size²`` doubles
+      (8 MB at the 1024 default).
+
+    Score arithmetic: the join route uses the sequential-fold oracle
+    form (:func:`cosine`); the gram route numpy's pairwise summation.
+    This operator is approximate/oracle-less by construction; both
+    forms are deterministic and differ at most in the last ulp before
+    the 4-decimal round (byte-identical on the 90k-pair sf1 check).
     """
+    if method not in ("auto", "join", "gram"):
+        raise ValueError(f"unknown method {method!r}; use auto|join|gram")
     import pandas as pd
 
-    id_type = spread(embeddings).schema[id_col].dataType.simpleString()
-    b = with_lsh_buckets(
-        spread(embeddings).select(F.col(id_col).alias("_id"), _dvec(vec_col).alias("_v")),
-        "_v", dim, n_planes, seed,
+    base = spread(embeddings).select(
+        F.col(id_col).alias("_id"), _dvec(vec_col).alias("_v")
     )
+    id_type = spread(embeddings).schema[id_col].dataType.simpleString()
+    if method == "auto":
+        n = base.count()
+        method = "join" if (n * n) >> n_planes <= pair_budget else "gram"
+    b = with_lsh_buckets(base, "_v", dim, n_planes, seed)
+
+    if method == "join":
+        from gcpde_spark.llm.dedup import _bucket_pairs
+
+        # persist: bucket assignment (a pandas-UDF matmul over every
+        # vector) is consumed by candidate generation and two vector
+        # re-joins; caching runs it once, LRU eviction reclaims it
+        b = b.withColumn("_norm", F.sqrt(_dot(F.col("_v"), F.col("_v")))).persist()
+        pairs = _bucket_pairs(
+            b.select("bucket", "_id"), ["bucket"], max_bucket_size=max_bucket_size
+        )
+        x = b.select(
+            F.col("_id").alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_norm").alias("_na"),
+        )
+        y = b.select(
+            F.col("_id").alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_norm").alias("_nb"),
+        )
+        return (
+            pairs.join(x, "id_a")
+            .join(y, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    round4(
+                        _dot(F.col("_va"), F.col("_vb"))
+                        / (F.col("_na") * F.col("_nb"))
+                    )
+                    + F.lit(0.0)
+                ).alias("score"),
+            )
+            .where(F.col("score") >= threshold)
+        )
 
     def _score_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []})

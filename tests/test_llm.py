@@ -3164,3 +3164,45 @@ def test_profile_neighbors_measured_reduce_latch_and_finish(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     spark.catalog.clearCache()
+
+
+def test_embedding_near_dup_routes_agree_and_route_by_volume(spark):
+    """join and gram routes emit the same pair set (scores equal after
+    the 4-decimal round), and auto routes by the measured pair-volume
+    estimate."""
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.llm.similarity import embedding_near_dup_pairs
+
+    spark.catalog.clearCache()
+    # 40 base vectors + 5 planted near-duplicates
+    base = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: (F.col("id") * 31 + i * 7) % 97 / 10.0,
+        ).alias("embedding"),
+    )
+    dups = base.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.0001).alias("embedding"),
+    )
+    corpus = base.unionByName(dups)
+    kw = dict(threshold=0.999, dim=8, n_planes=2, seed=3)
+    jn = sorted(
+        (r.id_a, r.id_b, r.score)
+        for r in embedding_near_dup_pairs(corpus, method="join", **kw).collect()
+    )
+    gm = sorted(
+        (r.id_a, r.id_b, r.score)
+        for r in embedding_near_dup_pairs(corpus, method="gram", **kw).collect()
+    )
+    assert jn == gm
+    assert {(i, i + 1000) for i in range(5)} <= {(a, b) for a, b, _ in jn}
+    # auto: 45 vectors, est 45^2/4 ≈ 506 pairs -> join below budget,
+    # gram above a tiny budget — both must produce the same rows
+    au_small = embedding_near_dup_pairs(corpus, pair_budget=10, **kw)
+    assert "FlatMapGroupsInPandas" in au_small._jdf.queryExecution().executedPlan().toString()
+    au_big = embedding_near_dup_pairs(corpus, pair_budget=10_000, **kw)
+    assert "FlatMapGroupsInPandas" not in au_big._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
