@@ -487,3 +487,41 @@ def test_latch_plan_restores_unset_conf(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     parts = {int(m) for m in re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan)}
     assert parts == {2}
+
+
+def test_recursive_expand_random_forests_match_naive(spark):
+    """Hypothesis differential: on random parent-pointer forests (some
+    multi-root, some with orphaned subtrees never reached), every stride
+    computes exactly the naive fixpoint from a random root set."""
+    from hypothesis import given, settings, strategies as st
+
+    from gcpde_spark.operators import recursive_expand
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        n=st.integers(5, 60),
+        seed=st.integers(0, 2**31 - 1),
+        stride=st.sampled_from([1, 2, 4]),
+        n_roots=st.integers(1, 3),
+    )
+    def run(n, seed, stride, n_roots):
+        import random
+
+        rng = random.Random(seed)
+        # node i's parent is a random earlier node (forest, acyclic);
+        # roots 0..n_roots-1 are the query frontier — parents pointing
+        # at non-root ancestors exercise unreached subtrees
+        edge_rows = [(i, rng.randrange(0, i)) for i in range(1, n)]
+        root_rows = [(r, 0) for r in range(n_roots)]
+        edges = spark.createDataFrame(edge_rows, "k long, p long")
+        roots = spark.createDataFrame(root_rows, "k long, depth long")
+        got = sorted(
+            (r.k, r.depth)
+            for r in recursive_expand(edges, roots, stride=stride).collect()
+        )
+        assert got == _naive_expand(edge_rows, root_rows), (
+            n, seed, stride, n_roots,
+        )
+
+    run()
+    spark.catalog.clearCache()
