@@ -617,6 +617,10 @@ def recursive_expand(
               FROM {es_view} es JOIN d ON es.p = d.k {bound})
             SELECT k, depth FROM d"""
     )
+    # spark.sql analyzes eagerly, inlining the views into the plan — drop
+    # them now so repeated calls don't accumulate catalog entries
+    spark.catalog.dropTempView(base_view)
+    spark.catalog.dropTempView(es_view)
     if max_depth is not None:
         # the recursion bound above prunes ROUNDS; the prologue (and the
         # last round's overshoot when stride > 1) can still emit depths

@@ -525,3 +525,25 @@ def test_recursive_expand_random_forests_match_naive(spark):
 
     run()
     spark.catalog.clearCache()
+
+
+def test_recursive_expand_leaves_no_temp_views(spark):
+    """The operator's internal temp views are dropped before return
+    (spark.sql analyzes eagerly, so the plan no longer needs them) and
+    the returned DataFrame still executes."""
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.operators import recursive_expand
+
+    edges = spark.range(1, 40).select(
+        F.col("id").alias("k"),
+        F.floor((F.col("id") - 1) / 2).cast("bigint").alias("p"),
+    )
+    roots = spark.createDataFrame([(0, 0)], "k long, depth long")
+    out = recursive_expand(edges, roots, stride=4, latch=False)
+    leftover = [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("_rexp")
+    ]
+    assert leftover == [], leftover
+    assert out.count() == 40
+    spark.catalog.clearCache()
