@@ -248,12 +248,29 @@ def main() -> None:
 
     _probe_floor(3)  # pre-pass state
     timings: dict[str, float] = {}
+    # Per-entry Spark-job counts (last cold sample): with the measured
+    # no-op floor this makes the scheduler-dispatch share of every cold
+    # median exactly auditable from the artifact — jobs × floor is a
+    # hard lower bound on the entry's cold time that no plan change can
+    # cross (BASELINE.md round-8 cold anatomy).
+    jobs: dict[str, int] = {}
+
+    def _next_job_id() -> int:
+        try:
+            return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        except Exception:  # noqa: BLE001 — diagnostics only
+            return -1
+
     for i, (name, spec) in enumerate(selected):
         samples = []
         for _ in range(RUNS):
+            j0 = _next_job_id()
             t0 = time.perf_counter()
             spec.build(spark, sf_dir).toPandas()
             samples.append(time.perf_counter() - t0)
+        j1 = _next_job_id()
+        if j0 >= 0 and j1 >= j0:
+            jobs[name] = j1 - j0
         timings[name] = round(statistics.median(samples), 4)
         _drain_session_garbage(spark)
         if (i + 1) % _GC_EVERY == 0:
@@ -317,6 +334,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_jobs": jobs,
+        "jobs_total": sum(jobs.values()),
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 4),
         "noop_floor_s": noop_floor,
