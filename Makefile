@@ -9,7 +9,7 @@ install:  ## editable install (no deps fetched; assumes pyspark et al. present)
 	pip install -e . --no-deps --no-build-isolation
 
 sdist:  ## source distribution into dist/
-	python -c "import os; os.chdir('.'); from setuptools.build_meta import build_sdist; print(build_sdist('dist'))"
+	python -c "from setuptools.build_meta import build_sdist; print(build_sdist('dist'))"
 
 wheel:  ## wheel into dist/ (bdist_wheel where available, PEP 427 fallback otherwise)
 	python scripts/build_wheel.py dist

@@ -109,13 +109,22 @@ def _release_routing_cache(
     inside the memoized plan."""
     if release:
         out = out.persist()
-    if latch_partitions is not None:
-        from gcpde_spark.operators import latch_plan
+    try:
+        if latch_partitions is not None:
+            from gcpde_spark.operators import latch_plan
 
-        latch_plan(out, latch_partitions)
-    if not release:
-        return out
-    out.count()
+            latch_plan(out, latch_partitions)
+        if not release:
+            return out
+        out.count()
+    except Exception:
+        # a failure here means the caller never gets a usable result:
+        # release the routing persist (and, on the eager path, the
+        # half-built result cache) instead of leaking them
+        if release:
+            out.unpersist(blocking=False)
+        routed_input.unpersist(blocking=False)
+        raise
     routed_input.unpersist(blocking=False)
     return out
 

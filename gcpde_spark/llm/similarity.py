@@ -468,7 +468,7 @@ def embedding_near_dup_pairs(
     base = spread(embeddings).select(
         F.col(id_col).alias("_id"), _dvec(vec_col).alias("_v")
     )
-    id_type = spread(embeddings).schema[id_col].dataType.simpleString()
+    id_type = base.schema["_id"].dataType.simpleString()
     if method == "auto":
         n = base.count()
         method = "join" if (n * n) >> n_planes <= pair_budget else "gram"
@@ -521,7 +521,12 @@ def embedding_near_dup_pairs(
         with np.errstate(divide="ignore", invalid="ignore"):
             sims = (vecs @ vecs.T) / np.outer(norms, norms)
         iu = np.triu_indices(m, 1)
-        s = np.round(sims[iu] * 10000.0) / 10000.0 + 0.0
+        raw = sims[iu] * 10000.0
+        # HALF_UP (away from zero) on exact .5 ties, matching Spark's
+        # F.round in the join route — np.round is half-even and would
+        # flip membership on integer-grid cosines landing exactly on a
+        # .00005 boundary (route parity is a documented contract)
+        s = np.sign(raw) * np.floor(np.abs(raw) + 0.5) / 10000.0 + 0.0
         keep = s >= threshold  # NaN (zero-norm rows) compares False
         ids = pdf["_id"].to_numpy()
         ia, ib = ids[iu[0][keep]], ids[iu[1][keep]]

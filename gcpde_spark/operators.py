@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import itertools
 from collections.abc import Callable, Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -461,6 +462,25 @@ def with_ordered_index(
 _LATCH_UNSET = object()
 
 
+@contextmanager
+def _pinned_shuffle_partitions(spark, n: int):
+    """Temporarily pin ``spark.sql.shuffle.partitions``; restore (or
+    unset, if it was never explicitly set) on exit."""
+    try:
+        old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    except Exception:
+        old = None
+    sentinel = _LATCH_UNSET if old is None else old
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        if sentinel is _LATCH_UNSET:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", sentinel)
+
+
 def latch_plan(df: DataFrame, shuffle_partitions: int) -> DataFrame:
     """Memoize ``df``'s physical plan under a pinned shuffle-partition count.
 
@@ -475,22 +495,20 @@ def latch_plan(df: DataFrame, shuffle_partitions: int) -> DataFrame:
     a tiny frontier shuffled session-default-ways is pure task-scheduling
     overhead on a cluster.
 
+    CONCURRENCY CAVEAT: ``spark.sql.shuffle.partitions`` is
+    session-global, so the pin is visible to every planner on this
+    SparkSession for the duration of the call — another thread whose
+    unrelated query materializes its (memoized) physical plan inside
+    the window inherits the pinned count for that plan's lifetime.
+    Multi-threaded drivers sharing one session should serialize calls
+    that plan queries against latch_plan (or use
+    ``SparkSession.newSession()`` per thread: runtime SQL confs are
+    per-session there, sharing only the SparkContext).
+
     Returns ``df`` (the same object) for chaining.
     """
-    spark = df.sparkSession
-    try:
-        old = spark.conf.get("spark.sql.shuffle.partitions", None)
-    except Exception:
-        old = None
-    sentinel = _LATCH_UNSET if old is None else old
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
+    with _pinned_shuffle_partitions(df.sparkSession, shuffle_partitions):
         df._jdf.queryExecution().executedPlan()
-    finally:
-        if sentinel is _LATCH_UNSET:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", sentinel)
     return df
 
 
@@ -552,9 +570,13 @@ def recursive_expand(
     seq = next(_REXP_SEQ)
 
     e = edges.select(F.col(key).alias("k"), F.col(parent).alias("p")).persist()
-    n_edges = e.count()  # the measured frontier bound the latch derives from
-    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    latch_parts = max(1, min(session_parts, -(-n_edges // rows_per_partition)))
+    latch_parts = None
+    if latch:
+        # the measured frontier bound the latch derives from — a job,
+        # paid only when the latch will use it
+        n_edges = e.count()
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        latch_parts = max(1, min(session_parts, -(-n_edges // rows_per_partition)))
 
     if depth_col in roots.columns:
         lv = roots.select(
@@ -568,16 +590,28 @@ def recursive_expand(
     # Stride-step ancestor edges by doubling: e2 = e∘e, e4 = e2∘e2, ...
     # Every power-of-two composition is kept (and persisted) — the
     # recursion uses the widest, the prologue reuses the smaller ones.
-    composed: dict[int, DataFrame] = {1: e}
-    width = 1
-    while width < stride:
-        a, b = composed[width].alias("a"), composed[width].alias("b")
-        composed[width * 2] = (
-            a.join(b, F.col("a.p") == F.col("b.k"))
-            .select(F.col("a.k").alias("k"), F.col("b.p").alias("p"))
-            .persist()
-        )
-        width *= 2
+    # CacheManager plans a persisted frame's build plan at persist()
+    # registration, so when latching, the compositions are registered
+    # under the pinned count too — otherwise their own join shuffles
+    # would keep the session sizing the latch exists to override.
+    def _compose() -> dict[int, DataFrame]:
+        composed: dict[int, DataFrame] = {1: e}
+        width = 1
+        while width < stride:
+            a, b = composed[width].alias("a"), composed[width].alias("b")
+            composed[width * 2] = (
+                a.join(b, F.col("a.p") == F.col("b.k"))
+                .select(F.col("a.k").alias("k"), F.col("b.p").alias("p"))
+                .persist()
+            )
+            width *= 2
+        return composed
+
+    if latch_parts is not None:
+        with _pinned_shuffle_partitions(spark, latch_parts):
+            composed = _compose()
+    else:
+        composed = _compose()
     es = composed[stride]
 
     # Prologue: depths base..base+stride-1, each level composed from the
@@ -628,6 +662,6 @@ def recursive_expand(
         out = out.where(F.col("depth") <= int(max_depth))
     if finish is not None:
         out = finish(out)
-    if latch:
+    if latch_parts is not None:
         latch_plan(out, latch_parts)
     return out
