@@ -3206,3 +3206,36 @@ def test_embedding_near_dup_routes_agree_and_route_by_volume(spark):
     au_big = embedding_near_dup_pairs(corpus, pair_budget=10_000, **kw)
     assert "FlatMapGroupsInPandas" not in au_big._jdf.queryExecution().executedPlan().toString()
     spark.catalog.clearCache()
+
+
+def test_embedding_near_dup_gram_route_rounds_half_up_like_spark(spark):
+    """Regression (round-8 review): an integer-grid cosine landing
+    exactly on a .00005 boundary must round away from zero in BOTH
+    routes — numpy's default half-even would emit 0.4062 for 13/32 and
+    silently drop the pair at threshold 0.4063 only on the gram route."""
+    from gcpde_spark.llm.similarity import embedding_near_dup_pairs
+
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.llm.similarity import _dvec, with_lsh_buckets
+
+    # cos(a, b) = 13 / (1 * sqrt(169+841+9+4+1)) = 13/32 = 0.40625 exactly
+    a = [1.0] + [0.0] * 7
+    b = [13.0, 29.0, 3.0, 2.0, 1.0, 0.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(1, a), (2, b)], "vec_id long, embedding array<double>"
+    )
+    # precondition: this (n_planes, seed) puts both vectors in one LSH
+    # bucket so the pair is a candidate on either route — if the bucket
+    # hashing ever changes, fail HERE, not silently below
+    base = emb.select(F.col("vec_id").alias("_id"), _dvec("embedding").alias("_v"))
+    bk = {r._id: r.bucket for r in with_lsh_buckets(base, "_v", 8, 1, 1).collect()}
+    assert bk[1] == bk[2], bk
+    for method in ("join", "gram"):
+        got = {
+            (r.id_a, r.id_b): r.score
+            for r in embedding_near_dup_pairs(
+                emb, threshold=0.4063, dim=8, n_planes=1, seed=1, method=method
+            ).collect()
+        }
+        assert got == {(1, 2): 0.4063}, (method, got)
