@@ -104,24 +104,36 @@ def _release_routing_cache(
     ``latch_partitions`` additionally pins the result plan's exchanges
     to a measurement-derived shuffle-partition count
     (operators.latch_plan — see profile_neighbors' reduce-stage
-    sizing). Ordering matters on the release path: persist() must
-    precede the plan materialization so the cache substitution lands
-    inside the memoized plan."""
-    if release:
-        out = out.persist()
+    sizing). Ordering matters on the release path: CacheManager plans
+    the cached BUILD plan eagerly at persist() registration, so the
+    persist itself must happen inside the pinned-partition window —
+    persist-then-latch would memoize an InMemoryRelation whose build
+    exchanges keep the session sizing, and the eager count() below
+    would execute the reduce under-parallelized (ADVICE r8)."""
+    persisted = False
     try:
-        if latch_partitions is not None:
-            from gcpde_spark.operators import latch_plan
-
-            latch_plan(out, latch_partitions)
         if not release:
+            if latch_partitions is not None:
+                from gcpde_spark.operators import latch_plan
+
+                latch_plan(out, latch_partitions)
             return out
+        if latch_partitions is not None:
+            from gcpde_spark.operators import _pinned_shuffle_partitions
+
+            with _pinned_shuffle_partitions(out.sparkSession, latch_partitions):
+                out = out.persist()
+                persisted = True
+                out._jdf.queryExecution().executedPlan()
+        else:
+            out = out.persist()
+            persisted = True
         out.count()
     except Exception:
         # a failure here means the caller never gets a usable result:
         # release the routing persist (and, on the eager path, the
         # half-built result cache) instead of leaking them
-        if release:
+        if persisted:
             out.unpersist(blocking=False)
         routed_input.unpersist(blocking=False)
         raise

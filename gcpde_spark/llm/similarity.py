@@ -460,6 +460,13 @@ def embedding_near_dup_pairs(
     This operator is approximate/oracle-less by construction; both
     forms are deterministic and differ at most in the last ulp before
     the 4-decimal round (byte-identical on the 90k-pair sf1 check).
+    Residual routing caveat (ADVICE r8): the gram route emulates
+    Spark's HALF_UP on the raw binary double while ``F.round`` rounds
+    the shortest-decimal repr (BigDecimal.valueOf), so a cosine whose
+    ×10000 product lands a last ulp from an exact .5 boundary can round
+    differently per route — under ``method="auto"`` such borderline
+    pairs' membership can therefore flip with ``pair_budget``/N. Pin
+    ``method`` when bit-stable output across scales matters.
     """
     if method not in ("auto", "join", "gram"):
         raise ValueError(f"unknown method {method!r}; use auto|join|gram")

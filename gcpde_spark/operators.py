@@ -10,6 +10,7 @@ event pipelines this engine targets.
 from __future__ import annotations
 
 import itertools
+import threading
 from collections.abc import Callable, Sequence
 from contextlib import contextmanager
 
@@ -461,11 +462,31 @@ def with_ordered_index(
 
 _LATCH_UNSET = object()
 
+# serializes every pin-materialize-restore window in THIS process
+# (VERDICT r8 #4): spark.sql.shuffle.partitions is session-global, so
+# without the lock a concurrent thread planning an unrelated query could
+# memoize its plan under a pinned count it never asked for. RLock, not
+# Lock: recursive_expand latches a plan whose compose step already runs
+# inside a pinned window, and _release_routing_cache pins around a
+# persist whose registration may re-enter planning.
+_LATCH_LOCK = threading.RLock()
+
 
 @contextmanager
 def _pinned_shuffle_partitions(spark, n: int):
     """Temporarily pin ``spark.sql.shuffle.partitions``; restore (or
-    unset, if it was never explicitly set) on exit."""
+    unset, if it was never explicitly set) on exit. The whole window is
+    serialized under a module-level re-entrant lock, so two latching
+    threads on one session cannot interleave pins — a NON-latching
+    concurrent planner can still observe the pin (session-global conf);
+    see :func:`latch_plan`'s caveat for the multi-process story."""
+    with _LATCH_LOCK:
+        with _pinned_shuffle_partitions_unlocked(spark, n):
+            yield
+
+
+@contextmanager
+def _pinned_shuffle_partitions_unlocked(spark, n: int):
     try:
         old = spark.conf.get("spark.sql.shuffle.partitions", None)
     except Exception:
@@ -495,15 +516,18 @@ def latch_plan(df: DataFrame, shuffle_partitions: int) -> DataFrame:
     a tiny frontier shuffled session-default-ways is pure task-scheduling
     overhead on a cluster.
 
-    CONCURRENCY CAVEAT: ``spark.sql.shuffle.partitions`` is
-    session-global, so the pin is visible to every planner on this
-    SparkSession for the duration of the call — another thread whose
-    unrelated query materializes its (memoized) physical plan inside
-    the window inherits the pinned count for that plan's lifetime.
-    Multi-threaded drivers sharing one session should serialize calls
-    that plan queries against latch_plan (or use
-    ``SparkSession.newSession()`` per thread: runtime SQL confs are
-    per-session there, sharing only the SparkContext).
+    CONCURRENCY: every pin-materialize-restore window in this process
+    is serialized under a module-level re-entrant lock (VERDICT r8 #4),
+    so concurrent latch_plan / recursive_expand / auto-route callers on
+    one session can never interleave pins or restore each other's
+    values. The residual caveat: ``spark.sql.shuffle.partitions`` is
+    session-global, so a thread that does NOT latch but materializes an
+    unrelated (memoized) physical plan inside someone else's window
+    still inherits the pinned count for that plan's lifetime.
+    Multi-threaded drivers mixing latched and unlatched planning on one
+    session should route the unlatched planners through
+    ``SparkSession.newSession()`` (runtime SQL confs are per-session
+    there, sharing only the SparkContext).
 
     Returns ``df`` (the same object) for chaining.
     """
@@ -527,6 +551,9 @@ def recursive_expand(
     rows_per_partition: int = 1 << 20,
     finish: Callable[[DataFrame], DataFrame] | None = None,
     latch: bool = True,
+    broadcast: "bool | str" = "auto",
+    broadcast_row_bound: int = 4_000_000,
+    unpersist_after: bool = False,
 ) -> DataFrame:
     """Label every node reachable from ``roots`` with its traversal depth,
     advancing ``stride`` levels per recursion round (recursive doubling).
@@ -560,23 +587,93 @@ def recursive_expand(
     covers only the plan materialized here, so post-hoc operators added
     OUTSIDE would be re-planned under session confs and lose it.
 
-    The persisted edge/composed-edge inputs stay cached for the returned
-    (lazy) plan's executions; callers done with the result can release
-    them via ``spark.catalog.clearCache()`` or by unpersisting ``edges``.
+    Frontier join routing (VERDICT r8 #3): the recursion reference ``d``
+    is the per-round frontier; broadcasting it keeps each round a
+    map-side join with no per-round edge shuffle, but at graph scale a
+    wide frontier (millions of nodes per depth) would make every round
+    a frontier-sized broadcast build — a memory hazard. ``broadcast``:
+    ``"auto"`` (default) applies the hint only when the measured edge
+    count is ≤ ``broadcast_row_bound`` (for forests/hierarchies the
+    frontier can never exceed edges+roots rows; the 4M default is a few
+    tens of MB of (k, depth) pairs); ``True``/``False`` force a route.
+    CAVEAT: under UNION ALL path semantics a path-multiplying DAG can
+    grow frontiers past the edge count — pass ``broadcast=False`` for
+    such inputs. Both routes return identical rows (property-tested).
+
+    Cache lifecycle: the persisted edge/composed-edge inputs stay cached
+    for the returned (lazy) plan's executions; callers done with the
+    result can release them via ``spark.catalog.clearCache()`` or by
+    unpersisting ``edges``. The power-of-two compositions are INTERNAL
+    frames the caller never holds, so long-lived sessions should pass
+    ``unpersist_after=True`` (the r8 bounded-cache contract, cf.
+    curation.select_top_fraction): the result is persisted + eagerly
+    materialized under the latch pin and every internal persist is
+    released before returning — the caller unpersists the returned
+    frame when done. On any failure all internal persists are released
+    before the error propagates.
     """
     if stride < 1 or (stride & (stride - 1)) != 0:
         raise ValueError(f"stride must be a power of two >= 1, got {stride}")
+    if broadcast not in (True, False, "auto"):
+        raise ValueError(f"broadcast must be True, False or 'auto', got {broadcast!r}")
     spark = edges.sparkSession
     seq = next(_REXP_SEQ)
 
     e = edges.select(F.col(key).alias("k"), F.col(parent).alias("p")).persist()
+    interior: list[DataFrame] = []  # internal persisted frames (e + compositions)
+    interior.append(e)
+
+    def _release_interior() -> None:
+        for f in interior:
+            f.unpersist(blocking=False)
+
+    try:
+        return _recursive_expand_body(
+            spark, e, interior, roots, stride=stride, key=key,
+            depth_col=depth_col, max_depth=max_depth,
+            rows_per_partition=rows_per_partition, finish=finish,
+            latch=latch, broadcast=broadcast,
+            broadcast_row_bound=broadcast_row_bound,
+            unpersist_after=unpersist_after, seq=seq,
+            release_interior=_release_interior,
+        )
+    except Exception:
+        # release-on-error contract (ADVICE r8): the persists are
+        # useless to the caller once construction fails
+        _release_interior()
+        raise
+
+
+def _recursive_expand_body(
+    spark,
+    e: DataFrame,
+    interior: "list[DataFrame]",
+    roots: DataFrame,
+    *,
+    stride: int,
+    key: str,
+    depth_col: str,
+    max_depth: "int | None",
+    rows_per_partition: int,
+    finish: "Callable[[DataFrame], DataFrame] | None",
+    latch: bool,
+    broadcast: "bool | str",
+    broadcast_row_bound: int,
+    unpersist_after: bool,
+    seq: int,
+    release_interior: "Callable[[], None]",
+) -> DataFrame:
+    n_edges = None
+    if latch or broadcast == "auto":
+        # the measured frontier bound that both the latch and the
+        # broadcast route derive from — one job, paid only when a
+        # measurement-driven decision will use it
+        n_edges = e.count()
     latch_parts = None
     if latch:
-        # the measured frontier bound the latch derives from — a job,
-        # paid only when the latch will use it
-        n_edges = e.count()
         session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         latch_parts = max(1, min(session_parts, -(-n_edges // rows_per_partition)))
+    bcast = broadcast if isinstance(broadcast, bool) else n_edges <= broadcast_row_bound
 
     if depth_col in roots.columns:
         lv = roots.select(
@@ -599,11 +696,13 @@ def recursive_expand(
         width = 1
         while width < stride:
             a, b = composed[width].alias("a"), composed[width].alias("b")
-            composed[width * 2] = (
+            nxt = (
                 a.join(b, F.col("a.p") == F.col("b.k"))
                 .select(F.col("a.k").alias("k"), F.col("b.p").alias("p"))
                 .persist()
             )
+            interior.append(nxt)
+            composed[width * 2] = nxt
             width *= 2
         return composed
 
@@ -643,18 +742,25 @@ def recursive_expand(
     # BROADCAST(d): the recursion reference is the per-round frontier —
     # broadcasting it keeps each round a map-side join against the
     # (persisted, partitioned) composed edge, no per-round edge shuffle.
-    out = spark.sql(
-        f"""WITH RECURSIVE d(k, depth) AS (
-              SELECT k, depth FROM {base_view}
-              UNION ALL
-              SELECT /*+ BROADCAST(d) */ es.k, d.depth + {stride}
-              FROM {es_view} es JOIN d ON es.p = d.k {bound})
-            SELECT k, depth FROM d"""
-    )
-    # spark.sql analyzes eagerly, inlining the views into the plan — drop
-    # them now so repeated calls don't accumulate catalog entries
-    spark.catalog.dropTempView(base_view)
-    spark.catalog.dropTempView(es_view)
+    # The measured auto route drops the hint past broadcast_row_bound:
+    # a too-wide frontier then shuffle-joins each round instead of
+    # becoming a per-round broadcast build (VERDICT r8 #3).
+    hint = "/*+ BROADCAST(d) */ " if bcast else ""
+    try:
+        out = spark.sql(
+            f"""WITH RECURSIVE d(k, depth) AS (
+                  SELECT k, depth FROM {base_view}
+                  UNION ALL
+                  SELECT {hint}es.k, d.depth + {stride}
+                  FROM {es_view} es JOIN d ON es.p = d.k {bound})
+                SELECT k, depth FROM d"""
+        )
+    finally:
+        # spark.sql analyzes eagerly, inlining the views into the plan —
+        # drop them now (also on analysis failure) so repeated calls
+        # don't accumulate catalog entries
+        spark.catalog.dropTempView(base_view)
+        spark.catalog.dropTempView(es_view)
     if max_depth is not None:
         # the recursion bound above prunes ROUNDS; the prologue (and the
         # last round's overshoot when stride > 1) can still emit depths
@@ -662,6 +768,25 @@ def recursive_expand(
         out = out.where(F.col("depth") <= int(max_depth))
     if finish is not None:
         out = finish(out)
+    if unpersist_after:
+        # bounded-cache contract: memoize + register the result cache
+        # under the latch pin (persist-then-latch would register the
+        # build plan at session sizing — the r8 CacheManager lesson),
+        # materialize eagerly, then release every internal persist. The
+        # caller owns the returned frame's cache.
+        if latch_parts is not None:
+            with _pinned_shuffle_partitions(spark, latch_parts):
+                out = out.persist()
+                out._jdf.queryExecution().executedPlan()
+        else:
+            out = out.persist()
+        try:
+            out.count()
+        except Exception:
+            out.unpersist(blocking=False)
+            raise  # recursive_expand's handler releases the interior persists
+        release_interior()
+        return out
     if latch_parts is not None:
         latch_plan(out, latch_parts)
     return out

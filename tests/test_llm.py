@@ -3239,3 +3239,52 @@ def test_embedding_near_dup_gram_route_rounds_half_up_like_spark(spark):
             ).collect()
         }
         assert got == {(1, 2): 0.4063}, (method, got)
+
+
+def test_unpersist_after_latch_reaches_cached_build_plan(spark):
+    """ADVICE r8 (medium): CacheManager plans the cached BUILD plan at
+    persist() registration, so on the unpersist_after=True path the
+    persist must happen INSIDE the pinned window — persist-then-latch
+    left the eager count()'s CPU-heavy reduce at the session count. The
+    cached build plan's exchanges must show the raised count, and the
+    pair set must equal the forced-exact route's."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.llm.similarity import profile_neighbors
+
+    spark.catalog.clearCache()
+    ev = spark.range(2000).select(
+        (F.col("id") % 50).cast("string").alias("k"),
+        (F.col("id") % 7).cast("string").alias("c"),
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        out = profile_neighbors(
+            ev, "k", "c", top_k=1,
+            pairs_per_partition=10,  # force derived >> session (3)
+            unpersist_after=True,
+        )
+        # the memoized plan reads the result cache; the latch must be
+        # visible in the InMemoryRelation's build plan
+        opt = out._jdf.queryExecution().optimizedPlan().toString()
+        parts = {
+            int(m) for m in re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", opt)
+        }
+        cap = spark.sparkContext.defaultParallelism
+        assert max(parts) > 3 and max(parts) <= cap, (parts, cap)
+        expected = [
+            (r.k, r.neighbor)
+            for r in profile_neighbors(ev, "k", "c", top_k=1, method="exact")
+            .orderBy("k")
+            .collect()
+        ]
+        assert [
+            (r.k, r.neighbor) for r in out.orderBy("k").collect()
+        ] == expected
+        out.unpersist(blocking=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    spark.catalog.clearCache()

@@ -547,3 +547,142 @@ def test_recursive_expand_leaves_no_temp_views(spark):
     assert leftover == [], leftover
     assert out.count() == 40
     spark.catalog.clearCache()
+
+
+def test_recursive_expand_broadcast_routes_parity_and_plan(spark):
+    """VERDICT r8 #3: the frontier-broadcast hint is measured routing,
+    not a constant. Forced routes and both auto routes return the same
+    multiset; the optimized plan carries the broadcast strategy hint on
+    the recursion join exactly when the route says so."""
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.operators import recursive_expand
+
+    edges = spark.range(1, 120).select(
+        F.col("id").alias("k"),
+        F.floor((F.col("id") - 1) / 2).cast("bigint").alias("p"),
+    )
+    roots = spark.createDataFrame([(0, 0)], "k long, depth long")
+    results, plans = {}, {}
+    cases = {
+        "forced_on": dict(broadcast=True),
+        "forced_off": dict(broadcast=False),
+        "auto_below_bound": dict(broadcast="auto"),  # 119 edges << 4M default
+        "auto_above_bound": dict(broadcast="auto", broadcast_row_bound=10),
+    }
+    for name, kw in cases.items():
+        out = recursive_expand(edges, roots, stride=2, latch=False, **kw)
+        results[name] = sorted((r.k, r.depth) for r in out.collect())
+        plans[name] = out._jdf.queryExecution().optimizedPlan().toString()
+        spark.catalog.clearCache()
+    first = results["forced_on"]
+    assert all(r == first for r in results.values()), {
+        k: len(v) for k, v in results.items()
+    }
+    assert "strategy=broadcast" in plans["forced_on"]
+    assert "strategy=broadcast" in plans["auto_below_bound"]
+    assert "strategy=broadcast" not in plans["forced_off"]
+    assert "strategy=broadcast" not in plans["auto_above_bound"]
+
+
+def test_recursive_expand_unpersist_after_releases_internal_caches(spark):
+    """VERDICT r8 #2: the power-of-two compositions are internal frames
+    the caller never holds; unpersist_after=True materializes the result,
+    releases EVERY internal persist, and leaves exactly one new cached
+    plan — the returned frame, which the caller unpersists."""
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.operators import recursive_expand
+
+    edges = spark.range(1, 200).select(
+        F.col("id").alias("k"),
+        F.floor((F.col("id") - 1) / 2).cast("bigint").alias("p"),
+    )
+    roots = spark.createDataFrame([(0, 0)], "k long, depth long")
+    # lazy-contract default first (stride 4 => e2 and e4 compositions
+    # existed and were released on the eager path below)
+    expected = sorted(
+        (r.k, r.depth) for r in recursive_expand(edges, roots, stride=4).collect()
+    )
+    spark.catalog.clearCache()
+    base_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = recursive_expand(
+        edges, roots, stride=4, rows_per_partition=64, unpersist_after=True
+    )
+    lvl = out.storageLevel
+    assert lvl.useMemory or lvl.useDisk, "result should stay cached"
+    n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_cached - base_cached == 1, (n_cached, base_cached)
+    assert sorted((r.k, r.depth) for r in out.collect()) == expected
+    out.unpersist(blocking=True)
+
+
+def test_recursive_expand_releases_persists_on_error(spark):
+    """ADVICE r8: a failure after e.persist() (here: a raising finish
+    callback) must release the edge persist and every composed-power
+    persist before the error propagates."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.operators import recursive_expand
+
+    spark.catalog.clearCache()
+    base_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    edges = spark.range(1, 50).select(
+        F.col("id").alias("k"),
+        F.floor((F.col("id") - 1) / 2).cast("bigint").alias("p"),
+    )
+    roots = spark.createDataFrame([(0, 0)], "k long, depth long")
+
+    def boom(df):
+        raise RuntimeError("finish failed")
+
+    with _pytest.raises(RuntimeError, match="finish failed"):
+        recursive_expand(edges, roots, stride=4, finish=boom)
+    n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_cached == base_cached, (n_cached, base_cached)
+
+
+def test_latch_lock_serializes_pin_window(spark):
+    """VERDICT r8 #4: the pin-materialize-restore window is atomic under
+    a module lock — while one thread's latch is blocked on the lock, an
+    unrelated plan materialized in this thread keeps session sizing, and
+    the latched plan still gets its pinned count once the lock frees."""
+    import re
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gcpde_spark import operators
+
+    df_latched = spark.range(1000).groupBy((F.col("id") % 11).alias("k")).count()
+    df_other = spark.range(1000).groupBy((F.col("id") % 13).alias("k")).count()
+    done = threading.Event()
+
+    operators._LATCH_LOCK.acquire()
+    try:
+        t = threading.Thread(
+            target=lambda: (operators.latch_plan(df_latched, 2), done.set())
+        )
+        t.start()
+        time.sleep(0.3)
+        assert not done.is_set(), "latch should be blocked on the lock"
+        # the pin cannot be active while the lock is held here, so an
+        # unrelated plan materializes under the session conf
+        plan_other = df_other._jdf.queryExecution().executedPlan().toString()
+        parts_other = {
+            int(m) for m in re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan_other)
+        }
+        assert parts_other == {8}, parts_other
+    finally:
+        operators._LATCH_LOCK.release()
+    assert done.wait(timeout=60), "latch never completed after lock release"
+    t.join()
+    plan_latched = df_latched._jdf.queryExecution().executedPlan().toString()
+    parts_latched = {
+        int(m) for m in re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan_latched)
+    }
+    assert parts_latched == {2}, parts_latched
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
