@@ -176,6 +176,39 @@ def main() -> None:
         # split). At production scale files exceed the default split size
         # and this knob is moot — it only right-sizes the benchmark box.
         confs["spark.sql.files.maxPartitionBytes"] = str(8 << 20)
+    else:
+        # GB-scale tier (sf10+, round 9): AQE stays ON — this is the
+        # production profile's regime and its re-planning is part of
+        # what's being timed — but two defaults sized for a multi-node
+        # cluster starve a 32-core single box and are right-sized here,
+        # with the same logic as the 8 MB split note above:
+        #   - maxPartitionBytes 128 MB scans the single 1.8 GB sf10
+        #     lineitem file as ~15 tasks, idling half the cores (c01
+        #     5.3 -> 2.0 s, c03 6.2 -> 1.8 s median-of-3 at 32 MB). On a
+        #     cluster, inputs exceed the split size by orders of
+        #     magnitude and every core is fed regardless.
+        #   - autoBroadcastJoinThreshold 10 MB exists to bound ONE COPY
+        #     PER EXECUTOR on many-executor clusters; in one 24 GB JVM a
+        #     dimension broadcast is a single in-process copy, and the
+        #     10 MB default forces sf10's 25 MB customer dim into the
+        #     sort-merge path (c06 ~15 -> ~10 s median with 64 MB).
+        confs["spark.sql.files.maxPartitionBytes"] = str(32 << 20)
+        confs["spark.sql.autoBroadcastJoinThreshold"] = str(64 << 20)
+    # Shuffle/spill to tmpfs at every tier: /tmp on this box is the
+    # root disk, so GB-scale shuffle writes would time the disk, not the
+    # engine — DuckDB's side of the pair never leaves RAM at these SFs.
+    # Production clusters put spark.local.dir on local SSDs; /dev/shm is
+    # this box's analog (126 GiB free vs a few GB of peak shuffle).
+    # Spark removes its subdirectory on normal shutdown.
+    confs["spark.local.dir"] = "/dev/shm/gcpde_spark_bench"
+    if input_bytes >= 2 << 30:
+        # GB-scale entries churn the old gen in a handful of queries: the
+        # first full run at sf10 read c06 at 32-45 s (entry 6 — BEFORE
+        # the first every-8th JVM GC drain) vs 5.6 s through an isolated
+        # bench of the same code. Drain the JVM every entry here; the
+        # explicit GC runs in the untimed gap (~0.2-1 s each).
+        global _GC_EVERY
+        _GC_EVERY = 1
     spark = build_session(app_name="gcpde_spark_bench", extra_confs=confs)
 
     # Session warm-up (protocol: warm SESSION, cold PLANS — BASELINE.md
