@@ -19,6 +19,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# Managed-table warehouse on tmpfs for the bench process (import-time:
+# tables.py reads the env when first imported). The stateful entries
+# (c28/c29/c44) write real tables, and at sf10 the root-disk default
+# added ~3.3 s to c29's 4.2 s tmpfs median while the DuckDB side of the
+# pair merges inside an in-memory database. An explicit caller override
+# (e.g. driver_sim's /tmp warehouse) is respected.
+os.environ.setdefault("GCPDE_SPARK_WAREHOUSE", "/dev/shm/gcpde_spark_bench_wh")
+
 from gcpde_spark.queries import CORPUS
 from gcpde_spark.session import build_session
 
