@@ -614,7 +614,11 @@ def recursive_expand(
     """
     if stride < 1 or (stride & (stride - 1)) != 0:
         raise ValueError(f"stride must be a power of two >= 1, got {stride}")
-    if broadcast not in (True, False, "auto"):
+    # isinstance check, not `in (True, False, "auto")`: bool == int in
+    # Python, so broadcast=0 would pass membership yet fail the
+    # isinstance(broadcast, bool) route check below and fall through to
+    # "auto" — silently undoing a forced route
+    if not (isinstance(broadcast, bool) or broadcast == "auto"):
         raise ValueError(f"broadcast must be True, False or 'auto', got {broadcast!r}")
     spark = edges.sparkSession
     seq = next(_REXP_SEQ)

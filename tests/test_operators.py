@@ -468,6 +468,12 @@ def test_recursive_expand_rejects_bad_stride(spark):
     for bad in (0, 3, 6, -4):
         with _pytest.raises(ValueError):
             recursive_expand(edges, roots, stride=bad)
+    # ints are NOT accepted for broadcast even though bool == int in
+    # Python: 0/1 passing a membership check would silently demote a
+    # forced route to "auto" (round-9 review finding)
+    for bad_bc in (0, 1, "yes", None):
+        with _pytest.raises(ValueError):
+            recursive_expand(edges, roots, broadcast=bad_bc)
 
 
 def test_latch_plan_restores_unset_conf(spark):
