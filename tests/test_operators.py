@@ -692,3 +692,79 @@ def test_latch_lock_serializes_pin_window(spark):
     }
     assert parts_latched == {2}, parts_latched
     assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+
+
+def test_recursive_expand_broadcast_routes_agree_on_random_dags(spark):
+    """Hypothesis differential for the round-9 broadcast routing: on
+    random DAGs (multi-parent nodes, path multiplicity) the broadcast
+    and shuffle-join routes compute the identical UNION ALL multiset."""
+    from hypothesis import given, settings, strategies as st
+
+    from gcpde_spark.operators import recursive_expand
+
+    @settings(max_examples=6, deadline=None)
+    @given(n=st.integers(6, 40), seed=st.integers(0, 2**31 - 1))
+    def run(n, seed):
+        import random
+
+        rng = random.Random(seed)
+        # each node gets 1-2 random earlier parents -> a DAG where some
+        # nodes are reached by multiple paths (UNION ALL multiplicity)
+        edge_rows = []
+        for i in range(1, n):
+            for p in rng.sample(range(i), k=min(i, rng.randint(1, 2))):
+                edge_rows.append((i, p))
+        edges = spark.createDataFrame(edge_rows, "k long, p long")
+        roots = spark.createDataFrame([(0, 0)], "k long, depth long")
+        got = {}
+        for bc in (True, False):
+            got[bc] = sorted(
+                (r.k, r.depth)
+                for r in recursive_expand(
+                    edges, roots, stride=2, latch=False, broadcast=bc,
+                    max_depth=n,  # path blowup bound on dense DAGs
+                ).collect()
+            )
+            spark.catalog.clearCache()
+        assert got[True] == got[False], (n, seed, len(got[True]), len(got[False]))
+
+    run()
+
+
+def test_latch_lock_concurrent_latchers_each_get_their_count(spark):
+    """N threads latching different plans under different counts: the
+    lock serializes the pin windows, so every plan memoizes under ITS
+    OWN count and the session conf ends exactly where it started."""
+    import re
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.operators import latch_plan
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    frames = {
+        n: spark.range(500 + n).groupBy((F.col("id") % (3 + n)).alias("k")).count()
+        for n in (2, 3, 5, 6)
+    }
+    errs = []
+
+    def work(n, df):
+        try:
+            latch_plan(df, n)
+        except Exception as e:  # noqa: BLE001 — surfaced via errs
+            errs.append((n, e))
+
+    threads = [threading.Thread(target=work, args=(n, df)) for n, df in frames.items()]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs, errs
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    for n, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        parts = {
+            int(m) for m in re.findall(r"hashpartitioning\([^)]*?, (\d+)\)", plan)
+        }
+        assert parts == {n}, (n, parts)
