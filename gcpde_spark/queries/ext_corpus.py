@@ -351,9 +351,15 @@ def c55(spark: SparkSession, sf: str) -> DataFrame:
     # fallback-eval lambdas, materialize it — holds at any scale; the
     # PLACEMENT below the sort is a trade-off (ADVICE r7): the token
     # array (~document-sized) rides through the range exchange + sort
-    # instead of three scalar columns. A clear win at measured scales;
-    # if sort/spill payload ever dominates (very large documents), sort
-    # AFTER computing the three scalars from a persisted token column.
+    # instead of three scalar columns. NEGATIVE RESULT (VERDICT r9 #2b,
+    # sf10 GB tier, median-of-3): the sort-after-scalars variant —
+    # which DOES tokenize once without the barrier, CollapseProject
+    # refuses to inline a non-cheap alias referenced three times — read
+    # 17.3 s vs 12.7 s shipped (+37%). The range exchange SAMPLES its
+    # child to pick partition bounds, so with the scalars below the
+    # sort the tokenize+HOF projection executes twice (sample pass +
+    # real pass), costing more than the array payload saves. Keep the
+    # sort below the scalars; scripts/sf10_profile.py re-runs the A/B.
     toks = F.col("_toks")
     return (
         docs.select("doc_id", tokens("text").alias("_toks"))
@@ -572,6 +578,14 @@ def c58(spark: SparkSession, sf: str) -> DataFrame:
     # Interval-bounded RANGE frames are SQL-only (DataFrame
     # rangeBetween takes long offsets); selectExpr keeps the identical
     # frame spec on both engines.
+    # NEGATIVE RESULT / decomposition (VERDICT r9 #2b, sf10 GB tier,
+    # median-of-3, scripts/sf10_profile.py): shipped 7.9 s; dropping
+    # the final ORDER BY saves only ~0.6 s, and the bare
+    # exchange+sort SHAPE (repartition(user_id) + sortWithinPartitions,
+    # no window at all) already reads 5-9 s. The entry's cost is the
+    # 10M-row shuffle + sort + Arrow materialization, not the window
+    # evaluation (~2 s) — there is no cheaper plan for these semantics;
+    # one exchange evaluates both frames, which is already minimal.
     return e.selectExpr(
         "event_id",
         "user_id",

@@ -1,4 +1,4 @@
-"""Minimal copy-on-write transactional table format — the backend the
+r"""Minimal copy-on-write transactional table format — the backend the
 :class:`gcpde_spark.tables.MergeIntoBackend` seam anticipates, realized
 in pure Spark + stdlib (SURVEY.md §7 "take Delta and get MERGE free";
 the sandbox ships no Delta/Iceberg runtime, so this implements the same

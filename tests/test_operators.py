@@ -591,6 +591,29 @@ def test_recursive_expand_broadcast_routes_parity_and_plan(spark):
     assert "strategy=broadcast" not in plans["auto_above_bound"]
 
 
+def test_recursive_expand_auto_refuses_broadcast_on_multi_parent_dag(spark):
+    """ADVICE r9: broadcast='auto' measures max in-degree alongside the
+    edge count; a key with >1 parents (path-multiplying DAG, where the
+    UNION ALL frontier can exceed the edge count) disables the frontier
+    broadcast even far below broadcast_row_bound, while broadcast=True
+    still forces it — and both routes agree with the naive fixpoint."""
+    from gcpde_spark.operators import recursive_expand
+
+    dag = [(1, 0), (2, 0), (3, 1), (3, 2), (4, 3)]  # 3 has two parents
+    edges = spark.createDataFrame(dag, "k long, p long")
+    roots = spark.createDataFrame([(0, 0)], "k long, depth long")
+    expected = _naive_expand(dag, [(0, 0)])
+
+    auto = recursive_expand(edges, roots, stride=2, latch=False)
+    forced = recursive_expand(edges, roots, stride=2, latch=False, broadcast=True)
+    auto_rows = sorted((r.k, r.depth) for r in auto.collect())
+    forced_rows = sorted((r.k, r.depth) for r in forced.collect())
+    assert auto_rows == expected == forced_rows
+    assert "strategy=broadcast" not in auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in forced._jdf.queryExecution().optimizedPlan().toString()
+    spark.catalog.clearCache()
+
+
 def test_recursive_expand_unpersist_after_releases_internal_caches(spark):
     """VERDICT r8 #2: the power-of-two compositions are internal frames
     the caller never holds; unpersist_after=True materializes the result,

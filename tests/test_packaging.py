@@ -92,3 +92,71 @@ def test_wheel_is_importable_from_zip(built_wheel):
     )
     assert res.returncode == 0, res.stderr
     assert res.stdout.strip() == "gcpde_spark"
+
+
+# --------------------------------------------------------------- docs drift
+# VERDICT r9 #4: docs/api.md (VERDICT r8 #5) claims to cover every
+# exported name, and nothing enforced it — one rename and the page
+# silently rots. Two directions: every public name is documented, and
+# every documented verb still exists.
+
+_DOCS = Path(__file__).resolve().parent.parent / "docs" / "api.md"
+
+# docs section heading -> module(s) whose public surface that section's
+# table rows name in their first column
+_DOC_MODULES = {
+    "operators": ["gcpde_spark.operators"],
+    "streaming": ["gcpde_spark.streaming"],
+    "llm.dedup": ["gcpde_spark.llm.dedup"],
+    "llm.similarity": ["gcpde_spark.llm.similarity"],
+    "llm.text": ["gcpde_spark.llm.text"],
+    "llm.curation": [
+        "gcpde_spark.llm.curation",
+        "gcpde_spark.llm.pipeline",
+        "gcpde_spark.llm.web",
+        "gcpde_spark.llm.classify",
+    ],
+    "llm.multimodal": ["gcpde_spark.llm.multimodal", "gcpde_spark.llm.h264"],
+}
+
+
+def _doc_text() -> str:
+    return _DOCS.read_text(encoding="utf-8")
+
+
+def test_docs_cover_every_package_export():
+    """Every name in gcpde_spark.__all__ appears (backticked) in
+    docs/api.md — the page cannot silently drop an exported verb."""
+    import gcpde_spark
+
+    text = _doc_text()
+    missing = [n for n in gcpde_spark.__all__ if f"`{n}`" not in text]
+    assert not missing, f"docs/api.md is missing exported names: {missing}"
+
+
+def test_docs_table_verbs_still_exist():
+    """Every backticked identifier in the FIRST column of a documented
+    module section's table resolves to an attribute of that section's
+    module(s) — a rename breaks this test, not the page."""
+    import importlib
+    import re
+
+    text = _doc_text()
+    failures = []
+    section = None
+    for line in text.splitlines():
+        if line.startswith("#"):
+            hdr = re.findall(r"`([\w.]+)`", line)
+            section = None
+            for key in _DOC_MODULES:
+                if any(h == key or h.endswith(key) for h in hdr) or f"`{key}`" in line:
+                    section = key
+            continue
+        if section is None or not line.startswith("|"):
+            continue
+        first_cell = line.split("|")[1]
+        for name in re.findall(r"`([A-Za-z_][A-Za-z0-9_]*)`", first_cell):
+            mods = [importlib.import_module(p) for p in _DOC_MODULES[section]]
+            if not any(hasattr(mod, name) for mod in mods):
+                failures.append(f"{section}: {name}")
+    assert not failures, f"docs/api.md names verbs that no longer exist: {failures}"
