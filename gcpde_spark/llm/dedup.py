@@ -176,6 +176,20 @@ def _bucket_pairs(
 
     ``payload`` may be a struct column carrying per-id extras (e.g. the
     simhash value) — pairs then expose ``id_a``/``id_b`` structs.
+
+    MEMORY SHAPE (round 10): the pair expansion is TWO chained explodes
+    — members positionally first, then each member's sorted suffix —
+    never a single flatten(transform(...)) building the full m(m-1)/2
+    pair ARRAY as one in-row value. The one-expression form allocates
+    O(m²) in a single UnsafeArrayData: a 100k-member bucket is a 5e9
+    struct allocation in ONE row, which is exactly how the first sf10
+    full-corpus run died (GC overhead limit in x04's 16-bit chunks —
+    the 100×-replica bench data makes every chunk bucket ≥100 deep).
+    The chained form streams through two Generate operators at O(m)
+    peak per row; the same 27M+ output pairs still come out, they just
+    never coexist in one allocation. Quadratic OUTPUT is inherent to
+    pair enumeration — ``max_bucket_size`` remains the lever when the
+    output itself (not the allocation) is the problem.
     """
     grouped = (
         skinny.groupBy(*key_cols)
@@ -184,19 +198,23 @@ def _bucket_pairs(
     )
     if max_bucket_size is not None:
         grouped = grouped.where(F.size("_ids") <= max_bucket_size)
-    ids = F.col("_ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda a: F.transform(
-                F.filter(ids, lambda b: b > a),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
+    # ids are strictly ordered (unique id in every payload shape), so
+    # "all b > a" ≡ "the sorted suffix past a's position": explode with
+    # position, slice the suffix, explode the slice.
     return (
-        grouped.select(F.explode(pairs).alias("_p"))
-        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+        grouped.select(
+            F.col("_ids"), F.posexplode(F.col("_ids")).alias("_i", "id_a")
+        )
+        .select(
+            F.col("id_a"),
+            F.explode(
+                F.slice(
+                    F.col("_ids"),
+                    F.col("_i") + F.lit(2),  # slice() is 1-based; skip self
+                    F.size(F.col("_ids")) - F.col("_i") - F.lit(1),
+                )
+            ).alias("id_b"),
+        )
         .distinct()
     )
 

@@ -278,6 +278,31 @@ def test_bucket_cap_drops_degenerate_cohort_keeps_normal_pairs(spark):
     assert uncapped.count() == len(got) + 30 * 29 // 2
 
 
+def test_bucket_pairs_streams_without_quadratic_array(spark):
+    """Round 10 (sf10 full-corpus OOM): the bucket pair expansion must be
+    two chained Generate (explode) operators, never one in-row
+    flatten(transform(...)) that allocates the whole m(m-1)/2 pair array
+    as a single value — a 100k-member bucket is a 5e9-struct allocation
+    in one row under the old shape. Pin the plan shape AND prove the
+    output is the exact ordered-pair set on a bucket big enough that the
+    one-allocation form would be ~1.1M structs in one array."""
+    from pyspark.sql import functions as F
+
+    from gcpde_spark.llm.dedup import _bucket_pairs
+
+    m = 1500
+    skinny = spark.range(m).select(
+        F.lit(0).alias("bucket"), F.col("id").alias("_id")
+    )
+    pairs = _bucket_pairs(skinny, ["bucket"])
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Generate") == 2, plan
+    assert "flatten(transform" not in plan, plan
+    assert pairs.count() == m * (m - 1) // 2
+    sample = {(r.id_a, r.id_b) for r in pairs.where(F.col("id_a") >= m - 3).collect()}
+    assert sample == {(m - 3, m - 2), (m - 3, m - 1), (m - 2, m - 1)}
+
+
 def test_stopword_hits_matches_token_semantics(spark):
     """The regexp_count-based stopword counter must equal the reference
     semantics — count of whitespace tokens (of the NORMALIZED text) equal
