@@ -683,42 +683,24 @@ def profile_neighbors(
         cap = df.sparkSession.sparkContext.defaultParallelism
         if derived > session_parts and min(cap, derived) > session_parts:
             latch_parts = min(cap, derived)
-    # Squared norm per key as a WINDOW over the profile table, carried
-    # through the category join — NOT a separate norm aggregate joined
-    # back onto the pair table (round 10, guide §2.4): the pair table
-    # (one row per co-active key pair) is the big side here, and the
-    # join-back formulation shuffled it twice more (by _ka for the a-norm
-    # join, by _kb for the b-norm join) before the rank window exchanged
-    # it by _ka a third time. The window costs one exchange of the
-    # (keys × categories) PROFILE table — the small side — and the norm
-    # values ride the category join as one extra BIGINT per row, so the
-    # pair table is shuffled exactly once (its groupBy). Values are
-    # identical: _s2 per key is the same sum either way, and MAX over a
-    # per-key-constant column selects that constant.
-    p2 = p.withColumn(
-        "_s2", F.sum(F.col("_n") * F.col("_n")).over(Window.partitionBy(key_col))
+    nrm = p.groupBy(key_col).agg(F.sum(F.col("_n") * F.col("_n")).alias("_s2"))
+    a = p.select(
+        F.col(key_col).alias("_ka"), F.col(cat_col).alias("_c"), F.col("_n").alias("_na")
     )
-    a = p2.select(
-        F.col(key_col).alias("_ka"),
-        F.col(cat_col).alias("_c"),
-        F.col("_n").alias("_na"),
-        F.col("_s2").alias("_s2a"),
+    b = p.select(
+        F.col(key_col).alias("_kb"), F.col(cat_col).alias("_c"), F.col("_n").alias("_nb")
     )
-    b = p2.select(
-        F.col(key_col).alias("_kb"),
-        F.col(cat_col).alias("_c"),
-        F.col("_n").alias("_nb"),
-        F.col("_s2").alias("_s2b"),
-    )
-    sims = (
+    dots = (
         a.join(b, "_c")
         .where(F.col("_ka") != F.col("_kb"))
         .groupBy("_ka", "_kb")
-        .agg(
-            F.sum(F.col("_na") * F.col("_nb")).alias("_dot"),
-            F.max("_s2a").alias("_s2a"),
-            F.max("_s2b").alias("_s2b"),
-        )
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_dot"))
+    )
+    na = nrm.select(F.col(key_col).alias("_ka"), F.col("_s2").alias("_s2a"))
+    nb = nrm.select(F.col(key_col).alias("_kb"), F.col("_s2").alias("_s2b"))
+    sims = (
+        dots.join(na, "_ka")
+        .join(nb, "_kb")
         .select(
             "_ka",
             "_kb",
