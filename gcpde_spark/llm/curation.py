@@ -16,7 +16,12 @@ from pyspark.sql.types import NumericType
 _NUMERIC_TYPES = (NumericType,)
 
 from gcpde_spark.llm.dedup import _exploded_shingles
-from gcpde_spark.llm.text import normalize_text, round4
+from gcpde_spark.llm.text import (
+    auto_collapse,
+    collapse_reps,
+    normalize_text,
+    round4,
+)
 
 
 def _nullsafe_broadcast_join(
@@ -47,6 +52,7 @@ def decontaminate(
     bench_text_col: str = "text",
     n: int = 8,
     min_shared: int = 1,
+    dedup_collapse: bool | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs that share ≥
     ``min_shared`` distinct word-``n``-grams with any benchmark item
@@ -73,8 +79,23 @@ def decontaminate(
     one bounded full-corpus exchange whose cost never depends on how
     contaminated the corpus turns out to be.
     """
+    # ROUND 10, measured duplicate-collapse route (auto by
+    # text_dup_ratio ≥ 3×): n_shared_ngrams is a pure function of the
+    # text, so on an exact-duplicate-heavy corpus the shingle explosion
+    # + overlap join — the dominant stages — run once per DISTINCT text
+    # and the per-text verdict joins back to every member id by md5
+    # fingerprint (skinny join; NULL-text rows keep a NULL fp, miss the
+    # left join and stay n_shared=0, exactly the direct path's
+    # no-shingle behavior). A replica-free corpus keeps the direct
+    # shape: the rep aggregate would add a full-text exchange for
+    # nothing.
+    if dedup_collapse is None:
+        dedup_collapse = auto_collapse(docs, text_col)
+    sh_src = (
+        collapse_reps(docs, id_col, text_col).persist() if dedup_collapse else docs
+    )
     doc_sh = (
-        _exploded_shingles(docs, id_col, text_col, n)
+        _exploded_shingles(sh_src, id_col, text_col, n)
         .select("_vid", F.xxhash64("_s").alias("_h"))
         .distinct()
     )
@@ -88,9 +109,19 @@ def decontaminate(
         .groupBy("_vid")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
     )
-    out = docs.join(
-        shared, docs[id_col] == shared["_vid"], "left"
-    ).drop("_vid")
+    if dedup_collapse:
+        shared_by_fp = shared.join(
+            sh_src.select("_fp", F.col(id_col).alias("_vid")), "_vid"
+        ).select("_fp", "n_shared_ngrams")
+        out = (
+            docs.withColumn("_fp", F.md5(F.col(text_col)))
+            .join(shared_by_fp, "_fp", "left")
+            .drop("_fp")
+        )
+    else:
+        out = docs.join(
+            shared, docs[id_col] == shared["_vid"], "left"
+        ).drop("_vid")
     return out.withColumn(
         "n_shared_ngrams", F.coalesce(F.col("n_shared_ngrams"), F.lit(0).cast("bigint"))
     ).withColumn("contaminated", F.col("n_shared_ngrams") >= min_shared)

@@ -24,7 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from gcpde_spark.llm.text import normalize_text, round4, spread, tokens
+from gcpde_spark.llm.text import (
+    auto_collapse,
+    collapse_reps,
+    normalize_text,
+    round4,
+    spread,
+    tokens,
+)
 
 # Universal-hash family (a*x + b) mod P with P = 2^31 - 1 (Mersenne
 # prime) over inputs folded into [0, P). Two constraints pin this choice:
@@ -153,6 +160,7 @@ def _bucket_pairs(
     key_cols: list[str],
     payload: str = "_id",
     max_bucket_size: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Candidate ``(id_a, id_b)`` pairs from hash buckets, computing the
     bucketed input ONCE.
@@ -201,22 +209,73 @@ def _bucket_pairs(
     # ids are strictly ordered (unique id in every payload shape), so
     # "all b > a" ≡ "the sorted suffix past a's position": explode with
     # position, slice the suffix, explode the slice.
-    return (
-        grouped.select(
-            F.col("_ids"), F.posexplode(F.col("_ids")).alias("_i", "id_a")
-        )
-        .select(
-            F.col("id_a"),
-            F.explode(
-                F.slice(
-                    F.col("_ids"),
-                    F.col("_i") + F.lit(2),  # slice() is 1-based; skip self
-                    F.size(F.col("_ids")) - F.col("_i") - F.lit(1),
-                )
-            ).alias("id_b"),
-        )
-        .distinct()
+    # ``distinct=False`` skips the final dedup exchange for callers whose
+    # buckets are disjoint id sets (e.g. one bucket per text fingerprint)
+    # — there a pair can only be emitted once and the distinct would
+    # shuffle the full quadratic pair stream for nothing.
+    pairs = grouped.select(
+        F.col("_ids"), F.posexplode(F.col("_ids")).alias("_i", "id_a")
+    ).select(
+        F.col("id_a"),
+        F.explode(
+            F.slice(
+                F.col("_ids"),
+                F.col("_i") + F.lit(2),  # slice() is 1-based; skip self
+                F.size(F.col("_ids")) - F.col("_i") - F.lit(1),
+            )
+        ).alias("id_b"),
     )
+    return pairs.distinct() if distinct else pairs
+
+
+def _rep_members(df: DataFrame, id_col: str, text_col: str, reps: DataFrame) -> DataFrame:
+    """``(_vid, _rid)`` — every original id keyed by its text group's
+    representative id. Equi-join on the md5 fingerprint, so NULL-text
+    rows (NULL fp) drop out — exactly the ids that produce no shingles
+    and no signature on the direct paths."""
+    fps = df.select(
+        F.col(id_col).alias("_vid"), F.md5(F.col(text_col)).alias("_fp")
+    )
+    return fps.join(
+        reps.select("_fp", F.col(id_col).alias("_rid")), "_fp"
+    ).select("_vid", "_rid")
+
+
+def _expand_rep_pairs(
+    members: DataFrame, rep_pairs: DataFrame, intra_value
+) -> DataFrame:
+    """Expand representative-level near-dup verdicts to id-level pairs.
+
+    The guide-§8 "attach the decision once" step of the duplicate
+    collapse: identical texts have identical signatures, so (a) every
+    verified rep pair (ra, rb, v) holds verbatim for every cross pair of
+    their member ids, and (b) every same-text pair is a near-dup with
+    the degenerate value ``intra_value`` (Jaccard 1.0 / Hamming 0).
+    Cross pairs and intra pairs are disjoint (different vs equal
+    fingerprint) and each id pair arises exactly once (each id belongs
+    to one group), so the union needs no dedup.
+
+    ``members``: ``(_vid, _rid)`` from :func:`_rep_members`;
+    ``rep_pairs``: ``(id_a, id_b, <value…>)`` over representative ids.
+    """
+    value_cols = [c for c in rep_pairs.columns if c not in ("id_a", "id_b")]
+    a = members.select(F.col("_rid").alias("id_a"), F.col("_vid").alias("_ia"))
+    b = members.select(F.col("_rid").alias("id_b"), F.col("_vid").alias("_ib"))
+    cross = (
+        rep_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            *value_cols,
+        )
+    )
+    # same-text pairs: one disjoint bucket per representative, so the
+    # pair stream is already duplicate-free — skip the distinct exchange
+    intra = _bucket_pairs(
+        members, ["_rid"], payload="_vid", distinct=False
+    ).select("id_a", "id_b", *[v.alias(n) for n, v in intra_value.items()])
+    return cross.unionByName(intra)
 
 
 def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
@@ -308,6 +367,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    dedup_collapse: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by banded MinHash-LSH, verified exactly.
 
@@ -321,7 +381,50 @@ def minhash_near_dup_pairs(
        capture probability (property-tested in tests/test_llm.py).
 
     Returns ``(id_a, id_b, jaccard)``.
+
+    ``dedup_collapse`` (round 10, measured route — default auto by
+    :func:`text_dup_ratio` ≥ 3×): on exact-duplicate-heavy corpora the
+    whole LSH+verify pipeline runs at the DISTINCT-TEXT level and the
+    verdicts expand back to id pairs in one join
+    (:func:`_expand_rep_pairs`). Identical texts have identical
+    signatures, hence identical band buckets, so the id-level candidate
+    set is exactly (rep-level candidates × their member ids) ∪
+    (same-text pairs), and Jaccard is a pure function of the two texts
+    — output row set provably identical to the direct path (pinned by
+    tests/test_llm.py route-parity tests). A 100×-replicated corpus
+    pays ~1/100th of the shingle/signature/verification work and skips
+    the quadratic pre-distinct band-pair stream entirely. Off when
+    ``max_bucket_size`` is set: the cap is defined on id-level bucket
+    depth and rep-level buckets would cap differently.
     """
+    if max_bucket_size is None:
+        route = (
+            dedup_collapse
+            if dedup_collapse is not None
+            else auto_collapse(df, text_col)
+        )
+        if route:
+            reps = collapse_reps(df, id_col, text_col).persist()
+            rep_pairs = minhash_near_dup_pairs(
+                reps.select(id_col, text_col),
+                id_col,
+                text_col,
+                num_hashes,
+                bands,
+                shingle_size,
+                threshold,
+                seed,
+                None,
+                dedup_collapse=False,
+            )
+            members = _rep_members(df, id_col, text_col, reps)
+            out = _expand_rep_pairs(
+                members, rep_pairs, {"jaccard": round4(F.lit(1.0))}
+            )
+            # cross pairs are already threshold-filtered by the inner
+            # call; re-filtering the union keeps the intra branch exact
+            # for any threshold (1.0 passes every threshold ≤ 1)
+            return out.where(F.col("jaccard") >= threshold)
     rows_per_band = num_hashes // bands
     sig = _minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_size, seed
@@ -336,7 +439,17 @@ def minhash_near_dup_pairs(
     candidates = _bucket_pairs(
         skinny, ["band_idx", "band_hash"], max_bucket_size=max_bucket_size
     )
-    return _verify_jaccard(df, candidates, id_col, text_col, shingle_size, threshold)
+    # when the pair route is capped (max_bucket_size) the verification
+    # collapse is still independent and keeps its own auto route
+    return _verify_jaccard(
+        df,
+        candidates,
+        id_col,
+        text_col,
+        shingle_size,
+        threshold,
+        dedup_collapse=dedup_collapse if max_bucket_size is not None else False,
+    )
 
 
 def ngram_jaccard_pairs(
@@ -345,11 +458,15 @@ def ngram_jaccard_pairs(
     id_col: str,
     text_col: str = "text",
     n: int = 3,
+    dedup_collapse: bool | None = None,
 ) -> DataFrame:
     """Exact word-``n``-gram Jaccard for given candidate ``(id_a, id_b)``
     pairs — the verification primitive, also usable standalone when the
     candidate set comes from elsewhere (same source, same URL, …)."""
-    return _verify_jaccard(df, pairs, id_col, text_col, n, threshold=None)
+    return _verify_jaccard(
+        df, pairs, id_col, text_col, n, threshold=None,
+        dedup_collapse=dedup_collapse,
+    )
 
 
 def _verify_jaccard(
@@ -359,6 +476,7 @@ def _verify_jaccard(
     text_col: str,
     n: int,
     threshold: float | None,
+    dedup_collapse: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via explode + count joins.
 
@@ -380,6 +498,18 @@ def _verify_jaccard(
       caches after the query.
     """
     pairs = pairs.persist()
+    if dedup_collapse is None:
+        dedup_collapse = auto_collapse(df, text_col)
+    # ROUND 10, measured route: every consumer of ``ex``/``sizes`` below
+    # references REPRESENTATIVE ids only (the canonical pairs and the
+    # equal-fingerprint branch both key on the per-fingerprint min id),
+    # so on a duplicate-heavy corpus the shingle explosion — the
+    # dominant verification stage — only needs one row per DISTINCT
+    # text. ``collapse_reps`` picks the same min-id representative as
+    # the ``reps`` map below, so the shingle set is keyed identically;
+    # a replica-free corpus keeps the direct explode (the rep aggregate
+    # would add a full-text exchange for nothing).
+    ex_src = collapse_reps(df, id_col, text_col) if dedup_collapse else df
     # The shingle set scales WITH THE CORPUS — it is never broadcast-
     # small by construction. The static planner (AQE off) has no size
     # estimate for this derived subplan and guesses broadcastable; at
@@ -389,7 +519,7 @@ def _verify_jaccard(
     # (user hints take precedence over runtime re-planning): on a tiny
     # corpus this trades a minor SMJ-vs-broadcast penalty (measured
     # ~0.3 s at sf0.1) for guaranteed OOM-safety at every scale.
-    ex = _exploded_shingles(df, id_col, text_col, n).distinct().persist()
+    ex = _exploded_shingles(ex_src, id_col, text_col, n).distinct().persist()
     sizes = ex.groupBy("_vid").agg(F.count(F.lit(1)).alias("_n"))
 
     # FINGERPRINT COLLAPSE (round 10): shingle sets are a pure function
@@ -701,6 +831,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    dedup_collapse: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: the 64-bit hash is split into
     ``max_hamming + 1`` disjoint chunks, so any pair within the Hamming
@@ -713,11 +844,36 @@ def simhash_near_dup_pairs(
     a fixed split silently lost pairs beyond distance 3. Cost scales
     with the bound — ``max_hamming + 1`` bucket rows per doc, and
     narrower chunks collide more often (more candidates to verify).
+
+    ``dedup_collapse``: same measured distinct-text route as
+    :func:`minhash_near_dup_pairs` — identical texts have identical
+    SimHashes, so rep-level pairs expand exactly (cross pairs inherit
+    the rep Hamming distance, same-text pairs are distance 0, which is
+    within every valid ``max_hamming ≥ 0``). Off under
+    ``max_bucket_size`` for the same id-level-cap reason.
     """
     if not 0 <= max_hamming <= 31:
         # > 31 → chunks of ≤1 bit: every doc collides with half the
         # corpus and the candidate join degenerates toward all-pairs.
         raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    if max_bucket_size is None:
+        route = (
+            dedup_collapse
+            if dedup_collapse is not None
+            else auto_collapse(df, text_col)
+        )
+        if route:
+            reps = collapse_reps(df, id_col, text_col).persist()
+            rep_pairs = simhash_near_dup_pairs(
+                reps.select(id_col, text_col),
+                id_col,
+                text_col,
+                max_hamming,
+                None,
+                dedup_collapse=False,
+            )
+            members = _rep_members(df, id_col, text_col, reps)
+            return _expand_rep_pairs(members, rep_pairs, {"hamming": F.lit(0)})
     n_chunks = max_hamming + 1
     width, extra = divmod(64, n_chunks)
     sim = _simhashes(df, id_col, text_col).withColumnRenamed("_sh_id", "_id")

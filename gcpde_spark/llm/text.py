@@ -85,6 +85,138 @@ def _has_shuffle_node(df: DataFrame) -> bool:
         return True
 
 
+# ---------------------------------------------------------------------------
+# measured exact-duplication route (round 10, guide §8: decide on a
+# lightweight proxy before paying per-row work on heavy payloads)
+# ---------------------------------------------------------------------------
+
+import weakref
+
+_DUP_RATIO_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+# Collapse to distinct texts when rows / distinct(text) reaches this
+# ratio. The collapse pays one full-text hash-aggregate (map-side
+# partial, fp-clustered shuffle blocks compress replicas away) plus one
+# skinny join back, and saves (ratio - 1)× of every downstream per-text
+# cost — break-even is well under 2×; 3× keeps the route off for
+# near-dedup'd corpora where the extra exchange buys nothing. The bench
+# decade measures both regimes: sf0.1 is replica-free (ratio 1.0 →
+# direct path, identical plans to round 9) and sf10 is the 100×-replica
+# crawl-shaped corpus the collapse exists for.
+DUP_COLLAPSE_RATIO = 3.0
+
+
+def text_dup_ratio(df: DataFrame, text_col: str = "text") -> float:
+    """Measured rows / distinct-texts ratio of ``df`` — the routing
+    signal for the duplicate-collapse paths (dedup signatures, shingle
+    verification, per-row text projections).
+
+    One scan job: ``count`` + HLL ``approx_count_distinct`` over
+    ``xxhash64(text)`` — both partial-aggregate map-side, so the probe
+    never shuffles text bytes and its cost is one pass at any scale
+    (rsd 5% is irrelevant against the 3× routing threshold). Cached per
+    (session, plan semantic hash): every operator probing the same
+    source table in a session shares a single job. A cached ratio is a
+    ROUTING measurement, not a result — each run still computes every
+    declared query from the parquet inputs.
+    """
+    spark = df.sparkSession
+    key = None
+    try:
+        key = df.select(F.col(text_col)).semanticHash()
+    except Exception:  # noqa: BLE001 — cache key only; probe still runs
+        pass
+    cache = _DUP_RATIO_CACHE.setdefault(spark, {})
+    if key is not None and key in cache:
+        return cache[key]
+    row = df.select(
+        F.count(text_col).alias("n"),
+        F.approx_count_distinct(F.xxhash64(F.col(text_col))).alias("d"),
+    ).first()
+    ratio = float(row["n"]) / float(max(row["d"], 1))
+    if key is not None:
+        cache[key] = ratio
+    return ratio
+
+
+def auto_collapse(df: DataFrame, text_col: str = "text") -> bool:
+    """The duplicate-collapse auto route: probe only SCAN-SHAPED inputs.
+
+    A shuffle-derived frame (join/aggregate/window upstream) would
+    re-execute its whole upstream pipeline just to answer the probe —
+    and such frames are typically post-dedup already. Callers that know
+    better force the route with ``dedup_collapse=True/False``."""
+    if _has_shuffle_node(df):
+        return False
+    return text_dup_ratio(df, text_col) >= DUP_COLLAPSE_RATIO
+
+
+def collapse_reps(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One row per distinct text: ``(_fp, id_col, text_col)`` where
+    ``_fp = md5(text)``, ``id_col`` is the group's MIN id (the canonical
+    representative — same choice as the Jaccard-verification collapse)
+    and ``text_col`` the shared text. NULL texts keep their NULL ``_fp``
+    group; equi-joins on ``_fp`` drop them, matching the no-shingle /
+    no-signature behavior NULL rows already have on the direct paths.
+
+    ``first(text)`` is deterministic here — every value in an md5 group
+    is the same string — and partial-aggregates map-side, so the one
+    full-text exchange this costs ships at most one candidate text per
+    (fingerprint, map task) and the fp-clustered shuffle blocks compress
+    replicas to near nothing."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("_fp")).agg(
+        F.min(F.col(id_col)).alias(id_col),
+        F.first(F.col(text_col)).alias(text_col),
+    )
+
+
+# md5 output is 32 lowercase hex chars, so a NUL-prefixed sentinel can
+# never collide with a real fingerprint; it gives NULL texts their own
+# group so per-text expressions that are non-NULL on NULL input (e.g.
+# lang_pred's 'und' fallback) join back exactly.
+_NULL_FP = "\x00null"
+
+
+def _with_text_cols(
+    df: DataFrame,
+    text_col: str,
+    cols: "dict[str, Column]",
+    dedup_collapse: bool | None = None,
+    fanout: bool = True,
+) -> DataFrame:
+    """Attach columns that are PURE PER-ROW FUNCTIONS of ``text_col``.
+
+    Direct route: one codegen projection (``spread`` fans small scans
+    out first) — the round-9 shape, zero shuffles.
+
+    Collapsed route (round 10, auto when :func:`text_dup_ratio` ≥ 3×):
+    evaluate the expressions once per DISTINCT text and join the values
+    back by md5 fingerprint. On a replica-heavy corpus (crawls before
+    exact dedup; the 100×-replica GB-tier bench data) this trades two
+    skinny exchanges for (ratio−1)× of the per-row expression work —
+    the regex-heavy stats projections are ~100× the cost of the join
+    at 100× duplication. Values are identical by purity; row order is
+    join-dependent, so callers needing order sort afterwards (every
+    corpus entry does).
+    """
+    if dedup_collapse is None:
+        dedup_collapse = auto_collapse(df, text_col)
+    if not dedup_collapse:
+        if fanout:
+            df = spread(df)
+        return df.select("*", *[c.alias(n) for n, c in cols.items()])
+    fp = F.coalesce(F.md5(F.col(text_col)), F.lit(_NULL_FP))
+    reps = df.groupBy(fp.alias("_fp")).agg(
+        F.first(F.col(text_col)).alias(text_col)
+    )
+    rep_vals = reps.select("_fp", *[c.alias(n) for n, c in cols.items()])
+    return (
+        df.withColumn("_fp", fp).join(rep_vals, "_fp", "left").drop("_fp")
+    )
+
+
 def round4(c: Column) -> Column:
     """Cross-engine-stable 4-decimal rounding for DOUBLE ratios.
 
@@ -186,27 +318,38 @@ def lang_pred_expr(norm: Column) -> Column:
     return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
 
 
-def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_text_stats(
+    df: DataFrame, text_col: str = "text", dedup_collapse: bool | None = None
+) -> DataFrame:
     """Add token/character statistics and a composite quality score.
 
     Columns added: ``n_chars_norm``, ``n_tokens``, ``avg_token_len``,
     ``punct_ratio``, ``stopword_ratio``, ``quality_score`` — the standard
     cheap quality signals (length, punctuation density, function-word
     density) used to filter web-scale corpora before training.
+    Duplicate-heavy corpora take the measured distinct-text collapse
+    (:func:`_with_text_cols`).
     """
-    df = spread(df)
     norm = normalize_text(text_col)
     toks = tokens(text_col)
-    cols = _stats_exprs(norm, toks)
-    return df.select("*", *[c.alias(n) for n, c in cols.items()])
+    return _with_text_cols(
+        df, text_col, _stats_exprs(norm, toks), dedup_collapse=dedup_collapse
+    )
 
 
-def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_language_id(
+    df: DataFrame, text_col: str = "text", dedup_collapse: bool | None = None
+) -> DataFrame:
     """Add ``lang_pred``: the language whose function-word list hits the
     most tokens (ties broken by language code order), or ``und`` when
-    nothing hits. Single projection — no shuffle, no UDF."""
-    df = spread(df)
-    return df.withColumn("lang_pred", lang_pred_expr(normalize_text(text_col)))
+    nothing hits. Single projection — no shuffle, no UDF; duplicate-heavy
+    corpora take the measured distinct-text collapse."""
+    return _with_text_cols(
+        df,
+        text_col,
+        {"lang_pred": lang_pred_expr(normalize_text(text_col))},
+        dedup_collapse=dedup_collapse,
+    )
 
 
 # GPT-2-style pre-tokenization pattern, ASCII-simplified so Java regex
@@ -217,21 +360,28 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
 
 
-def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_token_counts(
+    df: DataFrame, text_col: str = "text", dedup_collapse: bool | None = None
+) -> DataFrame:
     """Add ``n_tokens_ws`` (whitespace tokens) and ``n_tokens_bpe``
     (BPE-ish regex pre-tokenizer pieces) — the two standard cheap token
     counters for corpus sizing / cost estimation. One codegen'd
-    projection, no shuffle."""
-    df = spread(df)
+    projection, no shuffle; duplicate-heavy corpora take the measured
+    distinct-text collapse."""
     norm = normalize_text(text_col)
     # regexp_count, not size(regexp_extract_all(...)): counting avoids
     # materializing every matched substring (~2000 string allocations per
     # document) — same value, ~5× cheaper
-    return df.withColumn(
-        "n_tokens_ws", F.size(tokens(text_col)).cast("bigint")
-    ).withColumn(
-        "n_tokens_bpe",
-        F.regexp_count(norm, F.lit(BPE_SPLIT_PATTERN)).cast("bigint"),
+    return _with_text_cols(
+        df,
+        text_col,
+        {
+            "n_tokens_ws": F.size(tokens(text_col)).cast("bigint"),
+            "n_tokens_bpe": F.regexp_count(
+                norm, F.lit(BPE_SPLIT_PATTERN)
+            ).cast("bigint"),
+        },
+        dedup_collapse=dedup_collapse,
     )
 
 
@@ -582,17 +732,27 @@ def unigram_logprob(
     return df.select(F.col(id_col)).join(scored, id_col, "left")
 
 
-def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", dedup_collapse: bool | None = None
+) -> DataFrame:
     """Add two deterministic document fingerprints:
 
     - ``fp_exact``: md5 of the normalized text — exact-dup key.
     - ``fp_bow``: md5 of the sorted distinct token set ("bag-of-words"
       fingerprint) — invariant to word order and repetition, a cheap
       near-dup pre-key between exact hashing and MinHash.
+
+    Duplicate-heavy corpora take the measured distinct-text collapse
+    (:func:`_with_text_cols`) — the bag-of-words tokenize/sort/hash is
+    ~100× the cost of the fingerprint join at 100× duplication.
     """
     norm = normalize_text(text_col)
     bow = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))
-    return df.withColumn("fp_exact", F.md5(norm)).withColumn("fp_bow", F.md5(bow))
+    return _with_text_cols(
+        df, text_col, {"fp_exact": F.md5(norm), "fp_bow": F.md5(bow)},
+        dedup_collapse=dedup_collapse,
+        fanout=False,
+    )
 
 
 def repetition_stats(

@@ -3313,3 +3313,149 @@ def test_unpersist_after_latch_reaches_cached_build_plan(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     spark.catalog.clearCache()
+
+
+# -- round-10 duplicate-collapse routes ---------------------------------------
+# Every collapse route must produce EXACTLY the direct route's rows: the
+# collapsed expressions are pure functions of the text, so values agree
+# bit-for-bit; these tests pin the row-set equality on a corpus with
+# planted exact-duplicate groups (the regime the route exists for),
+# including a NULL-text row (NULL-fingerprint group handling).
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark, docs):
+    """40 base docs replicated 4x under shifted ids (+ one NULL-text
+    row): dup ratio ~4, above the 3x auto-collapse threshold."""
+    base = docs.limit(40).select("doc_id", "text")
+    out = base
+    for i in range(3):
+        out = out.unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(100000 * (i + 1)))
+        )
+    null_row = spark.createDataFrame(
+        [(999999, None)], "doc_id: long, text: string"
+    )
+    return out.unionByName(null_row).cache()
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    rows = [tuple(r[c] for c in cols) for r in df.select(*cols).collect()]
+    # None-safe total order: sort by per-value (is_null, repr) keys
+    return sorted(rows, key=lambda t: tuple((v is None, repr(v)) for v in t))
+
+
+@pytest.mark.parametrize("fn_name", [
+    "with_text_stats", "with_language_id", "with_token_counts",
+    "with_fingerprint",
+])
+def test_text_projection_collapse_parity(dup_docs, fn_name):
+    import gcpde_spark.llm.text as text_mod
+
+    fn = getattr(text_mod, fn_name)
+    direct = _rows(fn(dup_docs, dedup_collapse=False))
+    collapsed = _rows(fn(dup_docs, dedup_collapse=True))
+    assert collapsed == direct
+
+
+def test_minhash_collapse_parity(dup_docs):
+    direct = _rows(
+        minhash_near_dup_pairs(
+            dup_docs, "doc_id", num_hashes=32, bands=8, threshold=0.5,
+            dedup_collapse=False,
+        )
+    )
+    collapsed = _rows(
+        minhash_near_dup_pairs(
+            dup_docs, "doc_id", num_hashes=32, bands=8, threshold=0.5,
+            dedup_collapse=True,
+        )
+    )
+    assert collapsed == direct
+    # the route must actually find the planted same-text pairs
+    assert len(collapsed) >= 40 * 6  # 4 replicas -> C(4,2)=6 pairs per text
+
+
+def test_simhash_collapse_parity(dup_docs):
+    direct = _rows(
+        simhash_near_dup_pairs(dup_docs, "doc_id", dedup_collapse=False)
+    )
+    collapsed = _rows(
+        simhash_near_dup_pairs(dup_docs, "doc_id", dedup_collapse=True)
+    )
+    assert collapsed == direct
+    assert len(collapsed) >= 40 * 6
+
+
+def test_verify_jaccard_collapse_parity(spark, dup_docs):
+    from gcpde_spark.llm.dedup import ngram_jaccard_pairs
+
+    ids = dup_docs.where(F.col("text").isNotNull()).select("doc_id")
+    # adjacent-id candidate pairs across replica boundaries: most pairs
+    # reference NON-representative member ids, exercising the rep remap
+    pairs = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            F.col("a.doc_id") + 100000 == F.col("b.doc_id"),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    direct = _rows(
+        ngram_jaccard_pairs(dup_docs, pairs, "doc_id", dedup_collapse=False)
+    )
+    collapsed = _rows(
+        ngram_jaccard_pairs(dup_docs, pairs, "doc_id", dedup_collapse=True)
+    )
+    assert collapsed == direct
+    assert len(collapsed) > 0
+
+
+def test_decontaminate_collapse_parity(spark, dup_docs):
+    from gcpde_spark.llm.curation import decontaminate
+
+    bench = dup_docs.where(
+        F.col("text").isNotNull() & (F.col("doc_id") % 7 == 0)
+    ).select(F.col("doc_id").alias("bench_id"), "text")
+    direct = _rows(
+        decontaminate(dup_docs, bench, n=3, min_shared=2, dedup_collapse=False)
+    )
+    collapsed = _rows(
+        decontaminate(dup_docs, bench, n=3, min_shared=2, dedup_collapse=True)
+    )
+    assert collapsed == direct
+
+
+def test_auto_collapse_routing(spark, docs, dup_docs):
+    from gcpde_spark.llm.text import auto_collapse
+
+    # replica-heavy scan-shaped input -> collapse (cache() is not a
+    # shuffle); replica-free corpus -> direct
+    assert auto_collapse(dup_docs) is True
+    assert auto_collapse(docs.select("doc_id", "text")) is False
+    # shuffle-derived frames never probe (the probe would re-execute
+    # the upstream pipeline)
+    shuffled = dup_docs.groupBy("doc_id", "text").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    assert auto_collapse(shuffled) is False
+
+
+def test_collapse_reps_min_id_and_null_group(spark):
+    from gcpde_spark.llm.text import collapse_reps
+
+    df = spark.createDataFrame(
+        [(5, "aa"), (2, "aa"), (9, "bb"), (1, None)],
+        "doc_id: long, text: string",
+    )
+    reps = {
+        r["text"]: r["doc_id"]
+        for r in collapse_reps(df, "doc_id", "text").collect()
+    }
+    assert reps["aa"] == 2 and reps["bb"] == 9
+    # NULL text keeps its own (NULL-fp) group and is dropped by the
+    # fingerprint equi-joins downstream
+    assert reps[None] == 1
