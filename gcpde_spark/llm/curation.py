@@ -506,15 +506,28 @@ def corpus_report(
     dup detection is count(distinct md5) inside the same agg — no extra
     shuffle beyond the groupBy.
     """
-    from gcpde_spark.llm.text import normalize_text, with_text_stats
+    from gcpde_spark.llm.text import (
+        _stats_exprs,
+        _with_text_cols,
+        normalize_text,
+        tokens,
+    )
 
     strata = strata_cols if strata_cols is not None else ["source", "lang"]
     # project to just the needed columns first: the input may already
     # carry stats columns from an earlier with_text_stats pass, and
     # re-adding them would make every reference ambiguous
     keep = list(dict.fromkeys([*strata, id_col, text_col]))
-    enriched = with_text_stats(df.select(*keep), text_col=text_col).withColumn(
-        "_fp", F.md5(normalize_text(text_col))
+    # stats AND the dup fingerprint go through ONE _with_text_cols call:
+    # on a duplicate-heavy corpus (measured auto route) the whole
+    # regex-heavy projection — including md5(normalize) — evaluates once
+    # per distinct text; a separate withColumn would leave the
+    # normalize+md5 pass running per replica row.
+    norm = normalize_text(text_col)
+    enriched = _with_text_cols(
+        df.select(*keep),
+        text_col,
+        {**_stats_exprs(norm, tokens(text_col)), "_dupfp": F.md5(norm)},
     )
     q_scaled = F.round(F.col("quality_score") * 10000).cast("bigint")
     return (
@@ -525,10 +538,10 @@ def corpus_report(
             round4(
                 F.sum(q_scaled).cast("double") / 10000.0 / F.count(F.lit(1))
             ).alias("mean_quality"),
-            F.countDistinct("_fp").cast("bigint").alias("n_distinct_texts"),
+            F.countDistinct("_dupfp").cast("bigint").alias("n_distinct_texts"),
             round4(
                 1.0
-                - F.countDistinct("_fp").cast("double") / F.count(F.lit(1))
+                - F.countDistinct("_dupfp").cast("double") / F.count(F.lit(1))
             ).alias("dup_rate"),
         )
     )

@@ -390,6 +390,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    dedup_collapse: bool | None = None,
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document: ``tf = term_count /
     doc_tokens``, ``idf = n_docs / doc_freq`` (the linear inverse
@@ -403,6 +404,53 @@ def tfidf_top_terms(
     count; the doc-count scalar joins as a broadcast literal.
     """
     from pyspark.sql import Window
+
+    # Duplicate collapse (measured auto route): tf and doc-length are
+    # per-text, and document frequency / doc count are weighted sums
+    # over distinct texts (df_term = sum of member counts over reps
+    # containing the term) — exact integer identities with the direct
+    # per-replica counts, so every score double is bit-identical. The
+    # explode (the dominant stage) runs once per distinct text and each
+    # rep's top-k rows expand to its members with one skinny join.
+    if dedup_collapse is None:
+        dedup_collapse = auto_collapse(df, text_col)
+    if dedup_collapse:
+        from gcpde_spark.llm.dedup import _rep_members
+
+        reps = collapse_reps(df, id_col, text_col)
+        members = _rep_members(df, id_col, text_col, reps)
+        wdf = members.groupBy("_rid").agg(F.count(F.lit(1)).alias("_w"))
+        tf = (
+            reps.select(
+                F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
+            )
+            .groupBy("_id", "term")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .join(F.broadcast(wdf), F.col("_id") == F.col("_rid"))
+            .drop("_rid")
+        )
+        n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+        with_df = tf.withColumn(
+            "_df", F.sum("_w").over(Window.partitionBy("term"))
+        )
+        with_len = with_df.withColumn(
+            "_len", F.sum("_cnt").over(Window.partitionBy("_id"))
+        )
+        scored = with_len.crossJoin(F.broadcast(n_docs)).select(
+            F.col("_id").alias("_rid"),
+            "term",
+            round4(
+                (F.col("_cnt").cast("double") / F.col("_len"))
+                * (F.col("_n").cast("double") / F.col("_df"))
+            ).alias("score"),
+        )
+        w = Window.partitionBy("_rid").orderBy(F.desc("score"), F.asc("term"))
+        rep_topk = scored.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        ).where(F.col("rank") <= k)
+        return rep_topk.join(members, "_rid").select(
+            F.col("_vid").alias(id_col), "term", "score", "rank"
+        )
 
     toks = tokens(text_col)
     exploded = spread(df).select(
@@ -446,6 +494,7 @@ def winnowing_fingerprints(
     text_col: str = "text",
     k: int = 3,
     w: int = 4,
+    dedup_collapse: bool | None = None,
 ) -> DataFrame:
     """Rolling-hash document fingerprints by winnowing (Schleimer et al.,
     the MOSS algorithm): hash every ``k``-token gram, slide a window of
@@ -465,6 +514,30 @@ def winnowing_fingerprints(
     oracle-checkable (queries/llm_corpus.py l13).
     """
     from pyspark.sql import Window
+
+    # The fingerprint SET is a pure function of the text, so on a
+    # duplicate-heavy corpus (measured auto route, same 3x threshold as
+    # the other collapse paths) the explode + two window passes — the
+    # whole cost — run once per DISTINCT text and the rep's rows expand
+    # to every member id with one skinny join. NULL/short texts produce
+    # no fingerprints on either route (no full window exists).
+    if dedup_collapse is None:
+        dedup_collapse = auto_collapse(df, text_col)
+    if dedup_collapse:
+        from gcpde_spark.llm.dedup import _rep_members
+
+        reps = collapse_reps(df, id_col, text_col)
+        rep_fps = winnowing_fingerprints(
+            reps.select(id_col, text_col), id_col, text_col, k, w,
+            dedup_collapse=False,
+        )
+        members = _rep_members(df, id_col, text_col, reps)
+        return (
+            rep_fps.join(
+                members, rep_fps[id_col] == members["_rid"]
+            )
+            .select(F.col("_vid").alias(id_col), "fingerprint")
+        )
 
     toks = tokens(text_col)
     base = spread(df).select(
@@ -648,6 +721,7 @@ def unigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     reference: DataFrame | None = None,
+    dedup_collapse: bool | None = None,
 ) -> DataFrame:
     """Per-document mean token log-probability under a corpus unigram
     LM — the cheap perplexity-style quality signal (low score = tokens
@@ -672,14 +746,67 @@ def unigram_logprob(
     """
     from pyspark.sql import Window
 
+    lnp = lambda cnt, total: (  # noqa: E731 — ln P in integer micro-nats
+        F.round(F.log(cnt / total) * 1e6).cast("bigint")
+    )
+    # Self-scoring duplicate collapse (measured auto route): tokenize
+    # once per DISTINCT text and weight each representative's term
+    # frequencies by its member count. The LM's corpus counts are then
+    # EXACT integer sums (sum(tf_rep * w) == the direct path's
+    # per-replica sum), so every micro-nat value is bit-identical, and
+    # the per-doc (n_tokens, mean_logprob) — functions of the doc's own
+    # text plus the corpus LM — expand to members by one skinny join.
+    # The reference path stays direct: its LM side is independent of
+    # df's duplication, and df's tf side alone rarely dominates.
+    if reference is None and dedup_collapse is None:
+        dedup_collapse = auto_collapse(df, text_col)
+    if reference is None and dedup_collapse:
+        from gcpde_spark.llm.dedup import _rep_members
+
+        reps = collapse_reps(df, id_col, text_col)
+        members = _rep_members(df, id_col, text_col, reps)
+        wdf = members.groupBy("_rid").agg(F.count(F.lit(1)).alias("_w"))
+        tf = (
+            reps.select(
+                F.col(id_col).alias("_vid"),
+                F.explode(tokens(text_col)).alias("_term"),
+            )
+            .groupBy("_vid", "_term")
+            .agg(F.count(F.lit(1)).alias("_tf"))
+            .join(F.broadcast(wdf), F.col("_vid") == F.col("_rid"))
+            .drop("_rid")
+        )
+        wtf = F.col("_tf") * F.col("_w")
+        totals = tf.agg(F.sum(wtf).alias("_total"))
+        enriched = (
+            tf.withColumn("_cnt", F.sum(wtf).over(Window.partitionBy("_term")))
+            .crossJoin(F.broadcast(totals))
+            .withColumn("_lnp_micro", lnp(F.col("_cnt"), F.col("_total")))
+        )
+        scored = (
+            enriched.groupBy("_vid")
+            .agg(
+                F.sum("_tf").cast("bigint").alias("n_tokens"),
+                F.sum(F.col("_tf") * F.col("_lnp_micro")).alias("_sum_micro"),
+            )
+            .select(
+                F.col("_vid").alias("_rid"),
+                "n_tokens",
+                round4(
+                    F.col("_sum_micro").cast("double") / 1e6 / F.col("n_tokens")
+                ).alias("mean_logprob"),
+            )
+        )
+        per_member = members.join(scored, "_rid").select(
+            F.col("_vid").alias(id_col), "n_tokens", "mean_logprob"
+        )
+        return df.select(F.col(id_col)).join(per_member, id_col, "left")
+
     tf = (
         spread(df)
         .select(F.col(id_col).alias("_vid"), F.explode(tokens(text_col)).alias("_term"))
         .groupBy("_vid", "_term")
         .agg(F.count(F.lit(1)).alias("_tf"))
-    )
-    lnp = lambda cnt, total: (  # noqa: E731 — ln P in integer micro-nats
-        F.round(F.log(cnt / total) * 1e6).cast("bigint")
     )
     if reference is None:
         # self-scoring: the LM's term counts are the SAME (doc, term)
@@ -884,6 +1011,7 @@ def top_ngrams(
     k: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dedup_collapse: bool | None = None,
 ) -> DataFrame:
     """Corpus-wide most-frequent word ``n``-grams with document reach —
     the standard LM-data frequency analysis (boilerplate discovery,
@@ -907,11 +1035,42 @@ def top_ngrams(
     """
     from gcpde_spark.llm.dedup import _exploded_shingles
 
-    sh = _exploded_shingles(df, id_col, text_col, n)
-    counts = sh.groupBy("_s").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
-        F.countDistinct("_vid").cast("bigint").alias("n_docs"),
-    )
+    # Duplicate collapse (measured auto route): corpus-wide n-gram
+    # counts are weighted sums over DISTINCT texts — n_occurrences =
+    # sum(per-rep occurrences x member count), n_docs = sum(member
+    # count over reps containing the n-gram) — exact integer identities
+    # with the direct per-replica counts, so the top-k order and every
+    # output value are bit-identical. The shingle explosion (the
+    # dominant stage) shrinks by the duplication ratio.
+    if dedup_collapse is None:
+        dedup_collapse = auto_collapse(df, text_col)
+    if dedup_collapse:
+        from gcpde_spark.llm.dedup import _rep_members
+
+        reps = collapse_reps(df, id_col, text_col)
+        members = _rep_members(df, id_col, text_col, reps)
+        wdf = members.groupBy("_rid").agg(F.count(F.lit(1)).alias("_w"))
+        per_rep = (
+            _exploded_shingles(reps, id_col, text_col, n)
+            .groupBy("_vid", "_s")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        counts = (
+            per_rep.join(F.broadcast(wdf), F.col("_vid") == F.col("_rid"))
+            .groupBy("_s")
+            .agg(
+                F.sum(F.col("_c") * F.col("_w"))
+                .cast("bigint")
+                .alias("n_occurrences"),
+                F.sum("_w").cast("bigint").alias("n_docs"),
+            )
+        )
+    else:
+        sh = _exploded_shingles(df, id_col, text_col, n)
+        counts = sh.groupBy("_s").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("_vid").cast("bigint").alias("n_docs"),
+        )
     topk = counts.orderBy(F.col("n_occurrences").desc(), F.col("_s").asc()).limit(k)
     # rank = position in the (count DESC, ngram ASC) order; struct sort is
     # ascending on the leading field, so sort on the negated count

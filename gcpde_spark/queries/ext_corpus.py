@@ -1192,14 +1192,21 @@ def l35(spark: SparkSession, sf: str) -> DataFrame:
     "aggregation.",
 )
 def l36(spark: SparkSession, sf: str) -> DataFrame:
-    from gcpde_spark.llm.text import tokens
+    from gcpde_spark.llm.text import _with_text_cols, tokens
 
     docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
-    t = docs.select(
-        "lang",
-        F.size(tokens("text")).cast("bigint").alias("toks"),
-        F.length("text").cast("bigint").alias("chars"),
-    )
+    # per-text token/char counts through the measured duplicate-collapse
+    # route (fanout=False keeps the replica-free plan identical to the
+    # direct projection this entry always had)
+    t = _with_text_cols(
+        docs,
+        "text",
+        {
+            "toks": F.size(tokens("text")).cast("bigint"),
+            "chars": F.length("text").cast("bigint"),
+        },
+        fanout=False,
+    ).select("lang", "toks", "chars")
     return (
         t.groupBy("lang")
         .agg(

@@ -646,16 +646,19 @@ def l20(spark: SparkSession, sf: str) -> DataFrame:
 )
 def l21(spark: SparkSession, sf: str) -> DataFrame:
     from gcpde_spark.llm.text import (
+        _with_text_cols,
         normalize_text,
-        spread,
         strip_boilerplate,
         strip_html,
     )
 
     # ~15 sequential regex passes per row: CPU-bound enough that a
     # 1-2-partition parquet scan pins it to 1-2 cores (measured 13 s at
-    # sf1 without the fan-out, ~1 s with it)
-    docs = spread(load_table(spark, sf, "documents"))
+    # sf1 without the fan-out, ~1 s with it). The clean text is a pure
+    # function of `text`, so _with_text_cols keeps that spread fan-out
+    # on replica-free corpora and evaluates the regex chain once per
+    # DISTINCT text on duplicate-heavy ones (measured auto route).
+    docs = load_table(spark, sf, "documents")
     html = F.concat(
         F.lit(
             '<html><head><title>t</title><style>p{color:red}</style>'
@@ -671,7 +674,11 @@ def l21(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     clean = normalize_text(strip_boilerplate(strip_html(html)))
-    return docs.select("doc_id", clean.alias("clean")).orderBy("doc_id")
+    return (
+        _with_text_cols(docs, "text", {"clean": clean})
+        .select("doc_id", "clean")
+        .orderBy("doc_id")
+    )
 
 
 @_q(

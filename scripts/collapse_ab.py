@@ -57,6 +57,16 @@ ENTRIES = [
     "x03_minhash_neardup",
     "x04_simhash_neardup",
     "x08_dedup_clusters",
+    # wave 2: winnowing, html strip, unigram LM, top-ngrams, corpus card
+    "l13_winnowing",
+    "l21_html_strip",
+    "l22_unigram_logprob",
+    "l27_top_ngrams",
+    "l28_corpus_report",
+    # wave 2b: composed pipeline, tf-idf, fertility
+    "l14_curation_pipeline",
+    "l15_tfidf",
+    "l36_tokenizer_fertility",
 ]
 
 

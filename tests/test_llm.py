@@ -3459,3 +3459,85 @@ def test_collapse_reps_min_id_and_null_group(spark):
     # NULL text keeps its own (NULL-fp) group and is dropped by the
     # fingerprint equi-joins downstream
     assert reps[None] == 1
+
+
+def test_winnowing_collapse_parity(dup_docs):
+    from gcpde_spark.llm.text import winnowing_fingerprints
+
+    direct = _rows(
+        winnowing_fingerprints(dup_docs, "doc_id", dedup_collapse=False)
+    )
+    collapsed = _rows(
+        winnowing_fingerprints(dup_docs, "doc_id", dedup_collapse=True)
+    )
+    assert collapsed == direct
+    assert len(collapsed) > 0
+
+
+def test_unigram_logprob_collapse_parity(dup_docs):
+    from gcpde_spark.llm.text import unigram_logprob
+
+    direct = _rows(unigram_logprob(dup_docs, dedup_collapse=False))
+    collapsed = _rows(unigram_logprob(dup_docs, dedup_collapse=True))
+    # exact equality incl. the micro-nat-derived doubles: the collapsed
+    # LM counts are the same integers (sum(tf_rep * members) == the
+    # per-replica sums), so every ln P quantization is bit-identical
+    assert collapsed == direct
+
+
+def test_top_ngrams_collapse_parity(dup_docs):
+    from gcpde_spark.llm.text import top_ngrams
+
+    direct = _rows(top_ngrams(dup_docs, n=2, k=15, dedup_collapse=False))
+    collapsed = _rows(top_ngrams(dup_docs, n=2, k=15, dedup_collapse=True))
+    assert collapsed == direct
+    assert len(collapsed) == 15
+
+
+def test_corpus_report_collapse_parity(spark, dup_docs):
+    from gcpde_spark.llm.curation import corpus_report
+    import gcpde_spark.llm.text as text_mod
+
+    # corpus_report's strata come from extra columns; give replicas a
+    # DIFFERENT stratum than their originals so the collapse must keep
+    # per-row strata intact while collapsing only the text work
+    df = dup_docs.withColumn(
+        "source", F.when(F.col("doc_id") < 100000, "a").otherwise("b")
+    ).withColumn("lang", F.lit("en"))
+    ratio0 = text_mod.DUP_COLLAPSE_RATIO
+    try:
+        text_mod.DUP_COLLAPSE_RATIO = float("inf")
+        direct = _rows(corpus_report(df))
+        text_mod.DUP_COLLAPSE_RATIO = 0.0
+        collapsed = _rows(corpus_report(df))
+    finally:
+        text_mod.DUP_COLLAPSE_RATIO = ratio0
+    assert collapsed == direct
+    assert len(collapsed) == 2  # both strata present
+
+
+def test_tfidf_collapse_parity(dup_docs):
+    from gcpde_spark.llm.text import tfidf_top_terms
+
+    direct = _rows(tfidf_top_terms(dup_docs, k=3, dedup_collapse=False))
+    collapsed = _rows(tfidf_top_terms(dup_docs, k=3, dedup_collapse=True))
+    # exact equality incl. score doubles: the collapsed document
+    # frequency / doc count are the same integers as the per-replica
+    # counts, so every tf*idf product is bit-identical
+    assert collapsed == direct
+    assert len(collapsed) > 0
+
+
+def test_pipeline_collapse_parity(dup_docs):
+    from gcpde_spark.llm.pipeline import curate_documents
+
+    direct = _rows(
+        curate_documents(dup_docs, min_tokens=5, dedup_collapse=False)
+    )
+    collapsed = _rows(
+        curate_documents(dup_docs, min_tokens=5, dedup_collapse=True)
+    )
+    # raw-text groups refine the normalized-text dedup groups and the
+    # rep is the min id, so the surviving rows are identical
+    assert collapsed == direct
+    assert len(collapsed) > 0
