@@ -376,6 +376,7 @@ def exact_dedup_keep(
     text_col: str = "text",
     keep: str = "min_id",
     quality_col: str | None = None,
+    dedup_collapse: bool | None = None,
 ) -> DataFrame:
     """Exact dedup on normalized text with an explicit survivor policy:
 
@@ -396,6 +397,27 @@ def exact_dedup_keep(
     }
     if keep not in order:
         raise ValueError(f"keep must be one of {sorted(order)}, got {keep!r}")
+    # Duplicate collapse (measured auto route) for the policies that are
+    # pure functions of (text, id): within a raw-text group every text
+    # (hence its length) is equal, so the group's best candidate under
+    # (len desc, id asc) or (id asc) is its MIN id — the representative.
+    # Running the normalized window over representatives therefore picks
+    # the same survivor ids; one semi-join restores the full rows.
+    # max_quality ranks on a non-text column and keeps the direct path.
+    if keep in ("min_id", "longest"):
+        if dedup_collapse is None:
+            dedup_collapse = auto_collapse(df, text_col)
+        if dedup_collapse:
+            reps = collapse_reps(df, id_col, text_col)
+            w = Window.partitionBy(F.md5(normalize_text(text_col))).orderBy(
+                *order[keep]
+            )
+            winners = (
+                reps.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(id_col)
+            )
+            return df.join(winners, id_col, "left_semi")
     w = Window.partitionBy(F.md5(normalize_text(text_col))).orderBy(*order[keep])
     return (
         df.withColumn("_rn", F.row_number().over(w))

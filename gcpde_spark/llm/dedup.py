@@ -72,9 +72,36 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
-def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def exact_dedup_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    dedup_collapse: bool | None = None,
+) -> DataFrame:
     """Dedup *accounting*: one row per distinct normalized text with the
-    surviving id and the copy count — the audit view of :func:`exact_dedup`."""
+    surviving id and the copy count — the audit view of :func:`exact_dedup`.
+
+    Duplicate collapse (measured auto route): raw-md5 groups refine the
+    normalized-md5 groups, so a raw pre-aggregate carrying (min id,
+    count) feeds the normalized aggregate exactly — ``keep_id`` =
+    min-over-group-mins, ``n_copies`` = sum-of-group-counts — and the
+    normalize regex (the per-row cost) runs once per DISTINCT raw text.
+    """
+    if dedup_collapse is None:
+        dedup_collapse = auto_collapse(df, text_col)
+    if dedup_collapse:
+        pre = df.groupBy(F.md5(F.col(text_col)).alias("_rfp")).agg(
+            F.min(id_col).alias("_mid"),
+            F.count(F.lit(1)).alias("_n"),
+            F.first(F.col(text_col)).alias(text_col),
+        )
+        return (
+            pre.groupBy(F.md5(normalize_text(text_col)).alias("fp"))
+            .agg(
+                F.min("_mid").alias("keep_id"),
+                F.sum("_n").cast("bigint").alias("n_copies"),
+            )
+        )
     return (
         df.groupBy(F.md5(normalize_text(text_col)).alias("fp"))
         .agg(

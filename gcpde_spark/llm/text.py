@@ -953,6 +953,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 512,
     overlap: int = 64,
+    dedup_collapse: bool | None = None,
 ) -> DataFrame:
     """Split each document into fixed-size token windows with overlap —
     the training-sequence prep step (512/64 ≈ a context-window shard
@@ -968,14 +969,52 @@ def chunk_documents(
     O(total tokens · fanout) work, one narrow explode, no shuffle, no
     UDF (a transform-lambda formulation would re-evaluate the split per
     chunk; see _exploded_shingles for the same trap).
+
+    ``dedup_collapse`` (round 10): the distinct-text collapse is
+    available but OFF by default — a MEASURED NEGATIVE for chunking.
+    A document's chunk set is a pure function of its text, but the
+    fan-out join must ship every chunk_text byte through an exchange,
+    while the direct path slices token arrays in place with zero
+    shuffle; re-tokenizing a replica is cheaper than shuffling its
+    chunks. sf10 A/B (100× replicas, BENCH_SELF_SF10_COLLAPSE_AB.jsonl):
+    l25 direct 2.31 s vs collapse 5.96 s (+158%), l26 6.89 vs 7.06 s
+    (wash) — so unlike the skinny-verdict collapses (stats, fingerprints,
+    dedup survivors) this one does NOT auto-route; pass
+    ``dedup_collapse=True`` only when the downstream consumes a
+    per-distinct-text slice anyway. Row order on the forced collapse
+    path is join-dependent; the declared entries sort afterwards.
     """
     if overlap >= chunk_tokens:
         raise ValueError(
             f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
         )
+    if dedup_collapse:
+        fp = F.coalesce(F.md5(F.col(text_col)), F.lit(_NULL_FP))
+        reps = df.groupBy(fp.alias("_fp")).agg(
+            F.first(F.col(text_col)).alias(text_col)
+        )
+        rep_chunks = _chunk_rows(reps, "_fp", text_col, chunk_tokens, overlap)
+        return (
+            df.select(F.col(id_col), fp.alias("_fp"))
+            .join(rep_chunks, "_fp")
+            .select(id_col, "chunk_id", "chunk_text", "n_chunk_tokens")
+        )
+    return _chunk_rows(spread(df), id_col, text_col, chunk_tokens, overlap)
+
+
+def _chunk_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int,
+) -> DataFrame:
+    """The chunking dataflow shared by both :func:`chunk_documents`
+    routes — tokenize once per input row, explode the chunk-index range,
+    slice the parent array per chunk."""
     stride = chunk_tokens - overlap
     base = (
-        spread(df)
+        df
         .withColumn("_toks", tokens(text_col))
         .withColumn("_n", F.size("_toks"))
         .withColumn(

@@ -67,6 +67,14 @@ ENTRIES = [
     "l14_curation_pipeline",
     "l15_tfidf",
     "l36_tokenizer_fertility",
+    # wave 3: exact-dedup accounting/survivors. l25/l26 (chunking) were
+    # A/B'd and REJECTED: the chunk_text fan-out join costs more than
+    # re-tokenizing replicas in place (l25 2.31 s direct vs 5.96 s
+    # collapsed, l26 a wash — artifact lines in
+    # BENCH_SELF_SF10_COLLAPSE_AB.jsonl), so chunk_documents never
+    # auto-routes and its global-ratio toggle here would be a no-op.
+    "l01_exact_dedup",
+    "l18_dedup_keep",
 ]
 
 

@@ -3541,3 +3541,62 @@ def test_pipeline_collapse_parity(dup_docs):
     # rep is the min id, so the surviving rows are identical
     assert collapsed == direct
     assert len(collapsed) > 0
+
+
+def test_exact_dedup_groups_collapse_parity(dup_docs):
+    from gcpde_spark.llm.dedup import exact_dedup_groups
+
+    direct = _rows(
+        exact_dedup_groups(dup_docs, "doc_id", dedup_collapse=False)
+    )
+    collapsed = _rows(
+        exact_dedup_groups(dup_docs, "doc_id", dedup_collapse=True)
+    )
+    # raw-md5 groups refine the normalized-md5 groups: min-over-mins is
+    # the group min and sum-of-counts the group count, so (fp, keep_id,
+    # n_copies) agree exactly — incl. the NULL-text group
+    assert collapsed == direct
+    assert any(n == 4 for _, _, n in [
+        (r[0], r[1], r[2]) for r in collapsed
+    ] if isinstance(n, int))
+
+
+@pytest.mark.parametrize("keep", ["min_id", "longest"])
+def test_exact_dedup_keep_collapse_parity(dup_docs, keep):
+    from gcpde_spark.llm.curation import exact_dedup_keep
+
+    direct = _rows(
+        exact_dedup_keep(dup_docs, keep=keep, dedup_collapse=False)
+    )
+    collapsed = _rows(
+        exact_dedup_keep(dup_docs, keep=keep, dedup_collapse=True)
+    )
+    # within a raw-text group every length is equal, so the best row
+    # under (len desc, id asc) or (id asc) is the min-id representative;
+    # ranking reps only picks the same survivors
+    assert collapsed == direct
+    assert len(collapsed) == 41  # 40 distinct texts + the NULL row
+
+
+def test_chunk_documents_collapse_parity(dup_docs):
+    from gcpde_spark.llm.text import chunk_documents
+
+    direct = _rows(
+        chunk_documents(
+            dup_docs, chunk_tokens=8, overlap=2, dedup_collapse=False
+        )
+    )
+    collapsed = _rows(
+        chunk_documents(
+            dup_docs, chunk_tokens=8, overlap=2, dedup_collapse=True
+        )
+    )
+    # chunk sets are pure functions of the text; the fingerprint
+    # fan-out join must reproduce every member's rows. NULL-text docs
+    # produce NO chunks on the direct path (explode of a NULL index
+    # range drops the row) and the sentinel group reproduces exactly
+    # that: no rep chunk row, so the inner join drops the members too.
+    assert collapsed == direct
+    assert len(collapsed) > 0
+    n_null = sum(1 for r in direct if r[1] is None)
+    assert n_null == 0
