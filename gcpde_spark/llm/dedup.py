@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gcpde_spark.llm.text import (
+    _with_text_cols,
     auto_collapse,
     collapse_reps,
     normalize_text,
@@ -725,6 +726,7 @@ def dedup_clusters(
     pairs: DataFrame | None = None,
     keep: str = "min_id",
     quality_col: str | None = None,
+    dedup_collapse: bool | None = None,
 ) -> DataFrame:
     """Full near-dup clustering: MinHash-LSH pairs → connected
     components → one row per document with its cluster representative.
@@ -748,12 +750,65 @@ def dedup_clusters(
 
     The non-default policies add one window over the (tiny) clustered
     subset — singleton documents never enter the window.
+
+    ``dedup_collapse`` (round 10, measured auto route): contract every
+    exact-duplicate text group to one vertex before the iterative CC —
+    see the inline comment for the exactness argument. The route treats
+    same-text rows as one cluster member set, which matches every
+    internal pair generator (identical texts always candidate-pair at
+    Jaccard 1.0); a caller-supplied ``pairs`` list that deliberately
+    omits same-text pairs should pass ``dedup_collapse=False``.
     """
     if pairs is None:
         pairs = minhash_near_dup_pairs(
             df, id_col, text_col, num_hashes, bands, shingle_size, threshold, seed
         )
-    comp = connected_components(pairs.select("id_a", "id_b"))
+    # Duplicate collapse (round 10, measured auto route): run the
+    # iterative CC on the QUOTIENT graph. On a replica-heavy corpus the
+    # id-level pair list is dominated by same-text cliques (C(m,2) edges
+    # per m-replica text); contracting every text group to one vertex
+    # (its min-id representative) before CC is exact, because a member's
+    # component is its group's component and the min reachable id equals
+    # the min over the component's groups of each group's min id — which
+    # is exactly what CC over rep vertices (labels start at the rep id =
+    # group min id) computes. Three skinny integer joins replace
+    # O(diameter) iterative joins over the clique-expanded edge list.
+    # Requires ``pairs`` to reference ids of non-NULL-text rows of
+    # ``df`` (true for every internal pair generator; NULL-text ids
+    # never produce shingles or signatures).
+    if dedup_collapse is None:
+        dedup_collapse = auto_collapse(df, text_col)
+    if dedup_collapse:
+        reps = collapse_reps(df, id_col, text_col)
+        members = _rep_members(df, id_col, text_col, reps)  # (_vid, _rid)
+        m_a = members.select(
+            F.col("_vid").alias("id_a"), F.col("_rid").alias("_ra")
+        )
+        m_b = members.select(
+            F.col("_vid").alias("id_b"), F.col("_rid").alias("_rb")
+        )
+        rep_edges = (
+            pairs.select("id_a", "id_b")
+            .join(m_a, "id_a")
+            .join(m_b, "id_b")
+            .where(F.col("_ra") != F.col("_rb"))
+            .select(F.col("_ra").alias("id_a"), F.col("_rb").alias("id_b"))
+            .distinct()
+        )
+        comp_rep = connected_components(rep_edges)
+        # groups absent from every cross edge (intra-only or singleton)
+        # keep the group min — the rep id itself
+        comp = (
+            members.join(comp_rep, members["_rid"] == comp_rep["id"], "left")
+            .select(
+                F.col("_vid").alias("id"),
+                F.coalesce(F.col("component"), F.col("_rid")).alias(
+                    "component"
+                ),
+            )
+        )
+    else:
+        comp = connected_components(pairs.select("id_a", "id_b"))
     all_ids = df.select(F.col(id_col).alias("id")).distinct()
     labeled = (
         all_ids.join(comp, "id", "left")
@@ -1075,6 +1130,7 @@ def bloom_dedup_new(
     expected_items: int | None = None,
     fpp: float = 0.01,
     exact: bool = False,
+    dedup_collapse: bool | None = None,
 ) -> DataFrame:
     """Incremental dedup of a ``new`` batch against an ``old`` corpus
     WITHOUT joining new×old: a Bloom filter over the old fingerprints
@@ -1093,11 +1149,31 @@ def bloom_dedup_new(
 
     ``expected_items``: old-corpus cardinality for sizing; defaults to
     ``old.count()`` (one extra cheap metadata-friendly pass).
+
+    ``dedup_collapse`` (round 10, measured auto route — probed once on
+    ``new``; both sides are usually filters of the same corpus): a
+    Bloom bitmap is a ``bit_or`` fold, so duplicate keys contribute
+    nothing — the filter built from one fingerprint per DISTINCT raw
+    text is bit-identical to the full build, and the normalize regex
+    (the per-row cost) runs once per distinct text on the build side
+    with no join back at all. The same holds for the ``exact=True``
+    rescue anti-join's distinct old-fingerprint set; the new side
+    attaches its fingerprints through the standard rep-value join.
     """
     fp = lambda d: F.md5(normalize_text(F.col(text_col)))  # noqa: E731
+    if dedup_collapse is None:
+        dedup_collapse = auto_collapse(new, text_col)
     n = expected_items if expected_items is not None else old.count()
     m_bits, k = _bloom_sizing(n, fpp)
-    bloom = bloom_filter_table(old.select(fp(old).alias("_fp")), "_fp", m_bits, k)
+    if dedup_collapse:
+        old_fp_src = (
+            old.groupBy(F.md5(F.col(text_col)).alias("_rfp"))
+            .agg(F.first(F.col(text_col)).alias(text_col))
+            .select(fp(None).alias("_fp"))
+        )
+    else:
+        old_fp_src = old.select(fp(old).alias("_fp"))
+    bloom = bloom_filter_table(old_fp_src, "_fp", m_bits, k)
 
     probes = F.array(
         *[
@@ -1105,7 +1181,12 @@ def bloom_dedup_new(
             for i in range(k)
         ]
     )
-    new_fp = new.withColumn("_fp", fp(new))
+    # value column named "_nfp": _with_text_cols uses "_fp" internally
+    # as its rep-join key
+    new_fp = _with_text_cols(
+        new, text_col, {"_nfp": fp(new)}, dedup_collapse=dedup_collapse,
+        fanout=False,
+    ).withColumnRenamed("_nfp", "_fp")
     hits = (
         new_fp.select(F.col(id_col).alias("_pid"), F.explode(probes).alias("_pos"))
         .join(
@@ -1133,7 +1214,10 @@ def bloom_dedup_new(
     novel = new_fp.join(hits, new_fp[id_col] == hits["_pid"], "left_anti")
     if not exact:
         return novel.drop("_fp")
-    old_fps = old.select(fp(old).alias("_ofp")).distinct()
+    if dedup_collapse:
+        old_fps = old_fp_src.select(F.col("_fp").alias("_ofp")).distinct()
+    else:
+        old_fps = old.select(fp(old).alias("_ofp")).distinct()
     rescued = maybe_dup.join(
         old_fps, maybe_dup["_fp"] == old_fps["_ofp"], "left_anti"
     )

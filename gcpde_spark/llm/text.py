@@ -1150,6 +1150,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dedup_collapse: bool | None = None,
 ) -> DataFrame:
     """Top-``top_k`` documents for a bag-of-words query under BM25 —
     the classical sparse-retrieval scorer (the lexical half of a RAG /
@@ -1189,9 +1190,42 @@ def bm25_topk(
         return df.select(
             F.col(id_col), F.lit(0.0).alias("bm25")
         ).limit(0)
-    ex = spread(df).select(
-        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_term")
-    )
+    # Duplicate collapse (round 10, measured auto route): (dl, per-term
+    # tf) is a pure function of the text, so the corpus explode + the
+    # doc-keyed aggregation — the only corpus-sized work — run once per
+    # DISTINCT text; the per-doc (dl, tf…) row then fans back out to
+    # every member id through one skinny fingerprint join BEFORE the
+    # corpus stats, so N/total/df/idf and every score see exactly the
+    # per-document rows the direct route sees (NULL texts produce no
+    # explode row on either route — the sentinel group has no tokens).
+    if dedup_collapse is None:
+        dedup_collapse = auto_collapse(df, text_col)
+    if dedup_collapse:
+        fpc = F.coalesce(F.md5(F.col(text_col)), F.lit(_NULL_FP))
+        reps = df.groupBy(fpc.alias("_rid")).agg(
+            F.first(F.col(text_col)).alias(text_col)
+        )
+        members = df.select(F.col(id_col).alias("_mid"), fpc.alias("_rid"))
+
+        def _expand(per_doc: DataFrame) -> DataFrame:
+            return (
+                members.join(
+                    per_doc.withColumnRenamed("_id", "_rid"), "_rid"
+                )
+                .drop("_rid")
+                .withColumnRenamed("_mid", "_id")
+            )
+
+        ex = reps.select(
+            F.col("_rid").alias("_id"),
+            F.explode(tokens(text_col)).alias("_term"),
+        )
+    else:
+        _expand = lambda per_doc: per_doc  # noqa: E731
+        ex = spread(df).select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(text_col)).alias("_term"),
+        )
     if len(terms) <= _BM25_WIDE_TERM_LIMIT:
         # small queries: |terms| conditional-sum columns in ONE id-keyed
         # aggregation, then an all-literal struct unpivot — dl and every
@@ -1205,6 +1239,7 @@ def bm25_topk(
                 for i, t in enumerate(terms)
             ],
         )
+        dltf = _expand(dltf)
         stats = dltf.agg(
             F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
             F.sum("_dl").alias("_total"),
@@ -1246,6 +1281,7 @@ def bm25_topk(
                 F.when(F.col("_term").isin(terms), F.col("_term"))
             ).alias("_qhits"),
         )
+        agg = _expand(agg)
         stats = agg.agg(
             F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
             F.sum("_dl").alias("_total"),

@@ -1246,12 +1246,27 @@ def l36(spark: SparkSession, sf: str) -> DataFrame:
 )
 def l37(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
-    from gcpde_spark.llm.text import tokens
+    from gcpde_spark.llm.text import auto_collapse, tokens
 
     prefix = F.array_join(F.slice(tokens("text"), 1, 5), " ")
-    g = docs.groupBy(F.md5(prefix).alias("fp")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("sz")
-    )
+    # Round 10 duplicate collapse (measured auto route): raw-md5 text
+    # groups refine the prefix-fingerprint groups, so a raw pre-aggregate
+    # carrying the copy count feeds the prefix aggregate exactly (sz =
+    # sum of raw-group counts) and the tokenize+md5 prefix expression
+    # runs once per DISTINCT text. Replica-free corpora keep the direct
+    # single aggregation.
+    if auto_collapse(docs, "text"):
+        pre = docs.groupBy(F.md5(F.col("text")).alias("_rfp")).agg(
+            F.first(F.col("text")).alias("text"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        g = pre.groupBy(F.md5(prefix).alias("fp")).agg(
+            F.sum("_n").cast("bigint").alias("sz")
+        )
+    else:
+        g = docs.groupBy(F.md5(prefix).alias("fp")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("sz")
+        )
     return (
         g.groupBy(F.col("sz").alias("cluster_size"))
         .agg(
@@ -1504,18 +1519,34 @@ def c70(spark: SparkSession, sf: str) -> DataFrame:
     "shuffle.",
 )
 def l38(spark: SparkSession, sf: str) -> DataFrame:
-    from gcpde_spark.llm.text import normalize_text
+    from gcpde_spark.llm.text import _with_text_cols, normalize_text
 
     docs = load_table(spark, sf, "documents")
-    fp = F.md5(normalize_text(F.col("text")))
-    a = docs.where(F.col("doc_id") % 10 != 0).select(
-        "doc_id", "source", fp.alias("fp")
+    # Round 10 duplicate collapse (measured auto route, _with_text_cols):
+    # both snapshot fingerprints are pure functions of the text, so on a
+    # replica-heavy corpus the normalize regex runs once per DISTINCT
+    # text (both variants in one rep projection) and the two hashes join
+    # back by raw fingerprint; the %10 side filters and the doc_id-keyed
+    # full-outer compare are unchanged. Replica-free corpora (the
+    # sf0.01/sf0.1 oracle and bench data) keep the direct projection.
+    fps = _with_text_cols(
+        docs,
+        "text",
+        {
+            "_fp_plain": F.md5(normalize_text(F.col("text"))),
+            "_fp_v2": F.md5(
+                normalize_text(F.concat(F.col("text"), F.lit(" v2")))
+            ),
+        },
+        fanout=False,
     )
-    fp_b = F.when(
-        F.col("doc_id") % 7 == 0,
-        F.md5(normalize_text(F.concat(F.col("text"), F.lit(" v2")))),
-    ).otherwise(F.md5(normalize_text(F.col("text"))))
-    b = docs.where(F.col("doc_id") % 10 != 1).select(
+    a = fps.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "source", F.col("_fp_plain").alias("fp")
+    )
+    fp_b = F.when(F.col("doc_id") % 7 == 0, F.col("_fp_v2")).otherwise(
+        F.col("_fp_plain")
+    )
+    b = fps.where(F.col("doc_id") % 10 != 1).select(
         "doc_id", "source", fp_b.alias("fp")
     )
     j = a.alias("a").join(
@@ -1563,14 +1594,34 @@ def l38(spark: SparkSession, sf: str) -> DataFrame:
     "the rate is one double division of exact values.",
 )
 def l39(spark: SparkSession, sf: str) -> DataFrame:
-    from gcpde_spark.llm.text import tokens
+    from gcpde_spark.llm.text import _NULL_FP, auto_collapse, tokens
 
     docs = load_table(spark, sf, "documents")
-    ex = lambda pred: (  # noqa: E731
-        docs.where(pred)
-        .select("lang", F.explode(tokens("text")).alias("term"))
-        .distinct()
-    )
+    # Round 10 duplicate collapse (measured auto route): each side's
+    # distinct (lang, term) set only needs every DISTINCT text exploded
+    # once — replicas contribute no new terms. Collapsed route: rep
+    # terms per text fingerprint (distinct), the side's distinct
+    # (fingerprint, lang) keys, one skinny equi-join, then the same
+    # (lang, term) distinct. NULL texts explode to nothing on both
+    # routes. Replica-free corpora keep the direct explode.
+    collapse = auto_collapse(docs, "text")
+
+    def ex(pred):
+        side = docs.where(pred)
+        if not collapse:
+            return side.select(
+                "lang", F.explode(tokens("text")).alias("term")
+            ).distinct()
+        fp = F.coalesce(F.md5(F.col("text")), F.lit(_NULL_FP))
+        reps = side.groupBy(fp.alias("_fp")).agg(
+            F.first(F.col("text")).alias("text")
+        )
+        rep_terms = reps.select(
+            "_fp", F.explode(tokens("text")).alias("term")
+        ).distinct()
+        keys = side.select(fp.alias("_fp"), "lang").distinct()
+        return keys.join(rep_terms, "_fp").select("lang", "term").distinct()
+
     ref = ex(F.col("doc_id") % 2 == 0).withColumnRenamed("term", "rterm")
     cur = ex(F.col("doc_id") % 2 == 1)
     nv = cur.join(

@@ -75,6 +75,15 @@ ENTRIES = [
     # auto-routes and its global-ratio toggle here would be a no-op.
     "l01_exact_dedup",
     "l18_dedup_keep",
+    # wave 4: bloom build over distinct reps, BM25 rep aggregation,
+    # snapshot-diff fingerprints, vocab novelty rep explode
+    "l31_bloom_incremental",
+    "l32_bm25_topk",
+    "l38_snapshot_diff",
+    "l39_vocab_novelty",
+    # wave 5: quotient-graph CC (x08 re-A/B'd after the contraction),
+    # prefix-fingerprint histogram
+    "l37_dup_cluster_sizes",
 ]
 
 

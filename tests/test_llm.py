@@ -3600,3 +3600,118 @@ def test_chunk_documents_collapse_parity(dup_docs):
     assert len(collapsed) > 0
     n_null = sum(1 for r in direct if r[1] is None)
     assert n_null == 0
+
+
+def test_bloom_dedup_collapse_parity(spark, dup_docs):
+    from gcpde_spark.llm.dedup import bloom_dedup_new
+
+    # plant NOVEL texts (replicated, new-side only) so the parity covers
+    # non-empty output — on the replica corpus every text of `new` also
+    # exists in `old` and the result would be vacuously empty
+    novel = spark.createDataFrame(
+        [(500000 + i, f"novel text number {i % 5} planted only in new")
+         for i in range(15)],
+        "doc_id: long, text: string",
+    )
+    new = dup_docs.where(F.col("doc_id") % 3 == 0).unionByName(novel)
+    old = dup_docs.where(F.col("doc_id") % 3 != 0)
+    for exact in (False, True):
+        direct = _rows(
+            bloom_dedup_new(new, old, exact=exact, dedup_collapse=False)
+        )
+        collapsed = _rows(
+            bloom_dedup_new(new, old, exact=exact, dedup_collapse=True)
+        )
+        # a Bloom bitmap is a bit_or fold — duplicate keys contribute
+        # nothing, so the distinct-text build is bit-identical and the
+        # flag/rescue decisions agree row for row
+        assert collapsed == direct
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_bm25_collapse_parity(dup_docs, wide):
+    import gcpde_spark.llm.text as text_mod
+
+    q = ["the", "of", "data", "missing_term"]
+    limit0 = text_mod._BM25_WIDE_TERM_LIMIT
+    try:
+        if wide:
+            text_mod._BM25_WIDE_TERM_LIMIT = 2  # force the wide route
+        direct = _rows(
+            text_mod.bm25_topk(dup_docs, q, top_k=50, dedup_collapse=False)
+        )
+        collapsed = _rows(
+            text_mod.bm25_topk(dup_docs, q, top_k=50, dedup_collapse=True)
+        )
+    finally:
+        text_mod._BM25_WIDE_TERM_LIMIT = limit0
+    # (dl, tf) per doc is a pure text function and the member fan-out
+    # happens BEFORE the corpus stats, so N/total/df/idf — and every
+    # quantized score — are identical on both routes
+    assert collapsed == direct
+    assert len(collapsed) == 50
+
+
+@pytest.mark.parametrize("entry", ["l38_snapshot_diff", "l39_vocab_novelty"])
+def test_snapshot_entries_collapse_parity(spark, entry):
+    # builder-level routes: force the collapse on the replica-free
+    # oracle corpus (threshold 0) vs the direct path (threshold inf) —
+    # values must agree on ANY corpus, not just replica-heavy ones
+    import gcpde_spark.llm.text as text_mod
+    from gcpde_spark.queries import CORPUS
+    from tests.conftest import SF_ORACLE
+
+    ratio0 = text_mod.DUP_COLLAPSE_RATIO
+    try:
+        text_mod.DUP_COLLAPSE_RATIO = float("inf")
+        direct = _rows(CORPUS[entry].build(spark, SF_ORACLE))
+        text_mod.DUP_COLLAPSE_RATIO = 0.0
+        collapsed = _rows(CORPUS[entry].build(spark, SF_ORACLE))
+    finally:
+        text_mod.DUP_COLLAPSE_RATIO = ratio0
+    assert collapsed == direct
+    assert len(collapsed) > 0
+
+
+def test_dedup_clusters_collapse_parity(dup_docs):
+    from gcpde_spark.llm.dedup import dedup_clusters, minhash_near_dup_pairs
+
+    pairs = minhash_near_dup_pairs(
+        dup_docs, "doc_id", num_hashes=32, bands=8, threshold=0.5,
+        dedup_collapse=False,
+    )
+    direct = _rows(
+        dedup_clusters(dup_docs, "doc_id", pairs=pairs, dedup_collapse=False)
+    )
+    collapsed = _rows(
+        dedup_clusters(dup_docs, "doc_id", pairs=pairs, dedup_collapse=True)
+    )
+    # quotient-graph CC: contracting same-text groups (rep = group min
+    # id) before min-label propagation yields the same (id, component,
+    # keep) rows — incl. the NULL-text row (no fingerprint group; keeps
+    # itself on both routes)
+    assert collapsed == direct
+    # the planted 4x replicas must actually cluster
+    comps = {}
+    for r in collapsed:
+        comps.setdefault(r[0], []).append(r)
+    assert any(len(v) >= 4 for v in comps.values())
+
+
+def test_dup_cluster_sizes_collapse_parity(spark):
+    import gcpde_spark.llm.text as text_mod
+    from gcpde_spark.queries import CORPUS
+    from tests.conftest import SF_ORACLE
+
+    ratio0 = text_mod.DUP_COLLAPSE_RATIO
+    try:
+        text_mod.DUP_COLLAPSE_RATIO = float("inf")
+        direct = _rows(CORPUS["l37_dup_cluster_sizes"].build(spark, SF_ORACLE))
+        text_mod.DUP_COLLAPSE_RATIO = 0.0
+        collapsed = _rows(
+            CORPUS["l37_dup_cluster_sizes"].build(spark, SF_ORACLE)
+        )
+    finally:
+        text_mod.DUP_COLLAPSE_RATIO = ratio0
+    assert collapsed == direct
+    assert len(collapsed) > 0
