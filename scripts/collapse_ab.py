@@ -84,6 +84,10 @@ ENTRIES = [
     # wave 5: quotient-graph CC (x08 re-A/B'd after the contraction),
     # prefix-fingerprint histogram
     "l37_dup_cluster_sizes",
+    # wave 6: no code change — l29 composes unigram_logprob, whose
+    # wave-2 route auto-fires on the scan-shaped docs input; measured
+    # here so the checklist row carries its own number
+    "l29_quality_select",
 ]
 
 
