@@ -528,15 +528,15 @@ def _verify_jaccard(
     pairs = pairs.persist()
     if dedup_collapse is None:
         dedup_collapse = auto_collapse(df, text_col)
-    # ROUND 10, measured route: every consumer of ``ex``/``sizes`` below
-    # references REPRESENTATIVE ids only (the canonical pairs and the
-    # equal-fingerprint branch both key on the per-fingerprint min id),
-    # so on a duplicate-heavy corpus the shingle explosion — the
-    # dominant verification stage — only needs one row per DISTINCT
-    # text. ``collapse_reps`` picks the same min-id representative as
-    # the ``reps`` map below, so the shingle set is keyed identically;
-    # a replica-free corpus keeps the direct explode (the rep aggregate
-    # would add a full-text exchange for nothing).
+    # ROUND 10, measured route: under the collapse every consumer of
+    # ``ex``/``sizes`` below references REPRESENTATIVE ids only (the
+    # canonical pairs and the equal-fingerprint branch both key on the
+    # per-fingerprint min id), so on a duplicate-heavy corpus the
+    # shingle explosion — the dominant verification stage — only needs
+    # one row per DISTINCT text. ``collapse_reps`` picks the same min-id
+    # representative as the ``reps`` map below, so the shingle set is
+    # keyed identically; a replica-free corpus keeps the direct explode
+    # (the rep aggregate would add a full-text exchange for nothing).
     ex_src = collapse_reps(df, id_col, text_col) if dedup_collapse else df
     # The shingle set scales WITH THE CORPUS — it is never broadcast-
     # small by construction. The static planner (AQE off) has no size
@@ -549,6 +549,55 @@ def _verify_jaccard(
     # ~0.3 s at sf0.1) for guaranteed OOM-safety at every scale.
     ex = _exploded_shingles(ex_src, id_col, text_col, n).distinct().persist()
     sizes = ex.groupBy("_vid").agg(F.count(F.lit(1)).alias("_n"))
+
+    def _score(key_pairs: DataFrame) -> DataFrame:
+        """Exact Jaccard for ``(id_a, id_b)`` rows whose ids key ``ex``
+        — hint at the join sites (a hint on the persisted frame itself
+        also reaches its aggregate consumer, where it warns and does
+        nothing)."""
+        pa = key_pairs.join(
+            ex.select(F.col("_vid").alias("_ida"), F.col("_s")).hint("merge"),
+            F.col("id_a") == F.col("_ida"),
+        ).select("id_a", "id_b", "_s")
+        inter = (
+            pa.join(
+                ex.select(
+                    F.col("_vid").alias("_idb"), F.col("_s").alias("_sb")
+                ).hint("merge"),
+                (F.col("id_b") == F.col("_idb")) & (F.col("_s") == F.col("_sb")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+        return (
+            key_pairs.join(inter, ["id_a", "id_b"], "left")
+            .withColumn("_inter", F.coalesce(F.col("_inter"), F.lit(0)))
+            .join(sizes.select(F.col("_vid").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+            .join(sizes.select(F.col("_vid").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                round4(
+                    F.col("_inter").cast("double")
+                    / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+                ).alias("jaccard"),
+            )
+        )
+
+    if not dedup_collapse:
+        # ROUND 11 (VERDICT r10 #1): the direct route scores the given
+        # pairs as-is — the round-9 plan, byte-identical. The
+        # fingerprint-canonicalization machinery below only pays when
+        # candidate pairs repeat text pairs; on a replica-free corpus
+        # every fingerprint is unique, ``same_fp`` is empty, and its 2
+        # persists + 4 extra joins were pure plan overhead (the driver's
+        # l05 regression, 0.843 → 1.11 s at sf0.1). Gating it on the
+        # same route flag as the shingle source makes "a replica-free
+        # corpus keeps the round-9 plans" true for this path too.
+        out = _score(pairs)
+        if threshold is not None:
+            out = out.where(F.col("jaccard") >= threshold)
+        return out
 
     # FINGERPRINT COLLAPSE (round 10): shingle sets are a pure function
     # of the text, so Jaccard only has to be computed once per distinct
@@ -563,11 +612,11 @@ def _verify_jaccard(
     # 581 → 181 s (−69%), identical outputs; l05's oracle hash is
     # bit-unchanged at sf0.01.
     # Semantics preserved exactly: a pair is emitted iff BOTH sides
-    # have a shingle row (the sizes joins below are inner on both
-    # branches, matching the pre-collapse inner joins), and identical
-    # sets scored J = na/(na+na-na) = 1.0 before too. NULL-text ids
-    # have a NULL fingerprint, never join the rep map, and drop — they
-    # had no shingle rows before either.
+    # have a shingle row (the sizes joins in ``_score`` are inner on
+    # both branches, matching the pre-collapse inner joins), and
+    # identical sets scored J = na/(na+na-na) = 1.0 before too.
+    # NULL-text ids have a NULL fingerprint, never join the rep map,
+    # and drop — they had no shingle rows before either.
     fps = df.select(
         F.col(id_col).alias("_vid"), F.md5(F.col(text_col)).alias("_fp")
     )
@@ -599,36 +648,11 @@ def _verify_jaccard(
         .persist()
     )
 
-    # exact Jaccard for the (small) canonical representative pairs —
-    # hint at the join sites (a hint on the persisted frame itself also
-    # reaches its aggregate consumer, where it warns and does nothing)
-    pa = canon.join(
-        ex.select(F.col("_vid").alias("_ida"), F.col("_s")).hint("merge"),
-        F.col("id_a") == F.col("_ida"),
-    ).select("id_a", "id_b", "_s")
-    inter = (
-        pa.join(
-            ex.select(
-                F.col("_vid").alias("_idb"), F.col("_s").alias("_sb")
-            ).hint("merge"),
-            (F.col("id_b") == F.col("_idb")) & (F.col("_s") == F.col("_sb")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    verdict = (
-        canon.join(inter, ["id_a", "id_b"], "left")
-        .withColumn("_inter", F.coalesce(F.col("_inter"), F.lit(0)))
-        .join(sizes.select(F.col("_vid").alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sizes.select(F.col("_vid").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
-        .select(
-            F.col("id_a").alias("_ca"),
-            F.col("id_b").alias("_cb"),
-            round4(
-                F.col("_inter").cast("double")
-                / (F.col("_na") + F.col("_nb") - F.col("_inter"))
-            ).alias("jaccard"),
-        )
+    # exact Jaccard for the (small) canonical representative pairs
+    verdict = _score(canon).select(
+        F.col("id_a").alias("_ca"),
+        F.col("id_b").alias("_cb"),
+        "jaccard",
     )
     from_verify = diff_fp.join(
         verdict,
@@ -754,11 +778,18 @@ def dedup_clusters(
     ``dedup_collapse`` (round 10, measured auto route): contract every
     exact-duplicate text group to one vertex before the iterative CC —
     see the inline comment for the exactness argument. The route treats
-    same-text rows as one cluster member set, which matches every
-    internal pair generator (identical texts always candidate-pair at
-    Jaccard 1.0); a caller-supplied ``pairs`` list that deliberately
-    omits same-text pairs should pass ``dedup_collapse=False``.
+    same-text rows as one cluster member set, which is guaranteed only
+    for pair lists that include every same-text pair. The internal
+    generator always does (identical texts candidate-pair at Jaccard
+    1.0), so the auto route fires only when ``pairs`` is None; a
+    caller-supplied list may deliberately omit same-text pairs
+    (external candidate sources), so it takes the direct path unless
+    the caller opts in with an explicit ``dedup_collapse=True``
+    (round 11, ADVICE r10 — the auto default was a silent
+    data-dependent semantic change for such callers).
     """
+    if dedup_collapse is None:
+        dedup_collapse = pairs is None and auto_collapse(df, text_col)
     if pairs is None:
         pairs = minhash_near_dup_pairs(
             df, id_col, text_col, num_hashes, bands, shingle_size, threshold, seed
@@ -776,8 +807,6 @@ def dedup_clusters(
     # Requires ``pairs`` to reference ids of non-NULL-text rows of
     # ``df`` (true for every internal pair generator; NULL-text ids
     # never produce shingles or signatures).
-    if dedup_collapse is None:
-        dedup_collapse = auto_collapse(df, text_col)
     if dedup_collapse:
         reps = collapse_reps(df, id_col, text_col)
         members = _rep_members(df, id_col, text_col, reps)  # (_vid, _rid)

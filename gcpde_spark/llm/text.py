@@ -9,6 +9,8 @@ expression has a DuckDB-equivalent form (see queries/llm_corpus.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -105,6 +107,39 @@ _DUP_RATIO_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 # crawl-shaped corpus the collapse exists for.
 DUP_COLLAPSE_RATIO = 3.0
 
+# Below this input size the probe machinery itself — one Spark job for
+# the ratio plus a per-build plan-tree walk — costs more than the
+# collapse could ever save (the per-text work on a sub-tier input is
+# sub-second on ANY route, while the probe job floor alone is ~0.05 s
+# and the collapsed plan adds two exchanges). ``auto_collapse``
+# therefore short-circuits to the direct route straight from the scan's
+# file-index statistics: a driver-side plan-stats lookup, NO job, no
+# tree walk (VERDICT r10 #1b). 16 MB of parquet is ~100 MB of text —
+# two orders of magnitude under the smallest corpus where the collapse
+# measured a win (the ~60 MB-parquet GB-tier replica corpus measured
+# −18% to −88%; the 0.6 MB sf0.1 documents table measured the probe as
+# pure overhead). At 100 TB every real corpus is 6 orders of magnitude
+# past this floor, so the short-circuit only ever fires on frames where
+# routing cost dominates routing benefit. Env-tunable for other boxes.
+DUP_PROBE_MIN_BYTES = int(
+    os.environ.get("GCPDE_DUP_PROBE_MIN_BYTES", str(16 << 20))
+)
+
+
+def _scan_size_bytes(df: DataFrame) -> int:
+    """``sizeInBytes`` from the optimized logical plan's statistics —
+    for a scan-shaped frame this is the parquet file-index total,
+    already computed when the read was planned, so the call is a
+    driver-side lookup, not a Spark job. Returns -1 when unavailable
+    (e.g. Spark Connect, where ``_jdf`` does not exist); callers must
+    treat -1 as "unknown", never as "small"."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — stats are advisory only
+        return -1
+
 
 def text_dup_ratio(df: DataFrame, text_col: str = "text") -> float:
     """Measured rows / distinct-texts ratio of ``df`` — the routing
@@ -119,6 +154,14 @@ def text_dup_ratio(df: DataFrame, text_col: str = "text") -> float:
     source table in a session shares a single job. A cached ratio is a
     ROUTING measurement, not a result — each run still computes every
     declared query from the parquet inputs.
+
+    Staleness: the cache key is the plan's ``semanticHash``, which does
+    NOT change when the files under the same path change — a session
+    that grows a corpus in place (incremental intake loops) keeps the
+    first probe's ratio for its lifetime. That can only mis-ROUTE
+    (outputs stay exact on either route); sessions that mutate their
+    inputs should pass ``dedup_collapse`` explicitly or start a fresh
+    session per batch, the normal structure for intake jobs.
     """
     spark = df.sparkSession
     key = None
@@ -145,7 +188,18 @@ def auto_collapse(df: DataFrame, text_col: str = "text") -> bool:
     A shuffle-derived frame (join/aggregate/window upstream) would
     re-execute its whole upstream pipeline just to answer the probe —
     and such frames are typically post-dedup already. Callers that know
-    better force the route with ``dedup_collapse=True/False``."""
+    better force the route with ``dedup_collapse=True/False``.
+
+    Inputs under :data:`DUP_PROBE_MIN_BYTES` short-circuit to the
+    direct route from the scan's file statistics alone — no probe job,
+    no plan walk (see the constant's sizing note). The guard is skipped
+    when the ratio threshold has been forced ≤ 1 (the plan-audit
+    scripts set ``DUP_COLLAPSE_RATIO = 0`` to dump the collapsed plans
+    on tiny fixtures)."""
+    if DUP_COLLAPSE_RATIO > 1.0:
+        size = _scan_size_bytes(df)
+        if 0 <= size < DUP_PROBE_MIN_BYTES:
+            return False
     if _has_shuffle_node(df):
         return False
     return text_dup_ratio(df, text_col) >= DUP_COLLAPSE_RATIO
@@ -207,13 +261,20 @@ def _with_text_cols(
         if fanout:
             df = spread(df)
         return df.select("*", *[c.alias(n) for n, c in cols.items()])
+    # collision-proof internal key: an input that already carries "_fp"
+    # (collapse_reps output, user data) must not have it silently
+    # overwritten and dropped — and the output schema must not depend on
+    # which route fired (ADVICE r10)
+    key = "_fp"
+    while key in df.columns or key in cols:
+        key = "_" + key
     fp = F.coalesce(F.md5(F.col(text_col)), F.lit(_NULL_FP))
-    reps = df.groupBy(fp.alias("_fp")).agg(
+    reps = df.groupBy(fp.alias(key)).agg(
         F.first(F.col(text_col)).alias(text_col)
     )
-    rep_vals = reps.select("_fp", *[c.alias(n) for n, c in cols.items()])
+    rep_vals = reps.select(key, *[c.alias(n) for n, c in cols.items()])
     return (
-        df.withColumn("_fp", fp).join(rep_vals, "_fp", "left").drop("_fp")
+        df.withColumn(key, fp).join(rep_vals, key, "left").drop(key)
     )
 
 
@@ -426,7 +487,10 @@ def tfidf_top_terms(
             )
             .groupBy("_id", "term")
             .agg(F.count(F.lit(1)).alias("_cnt"))
-            .join(F.broadcast(wdf), F.col("_id") == F.col("_rid"))
+            # no broadcast hint on wdf: one row per DISTINCT text scales
+            # with the corpus (the module's own _verify_jaccard OOM-safety
+            # rule) — let the planner/AQE size the join (ADVICE r10)
+            .join(wdf, F.col("_id") == F.col("_rid"))
             .drop("_rid")
         )
         n_docs = df.select(F.countDistinct(id_col).alias("_n"))
@@ -773,7 +837,9 @@ def unigram_logprob(
             )
             .groupBy("_vid", "_term")
             .agg(F.count(F.lit(1)).alias("_tf"))
-            .join(F.broadcast(wdf), F.col("_vid") == F.col("_rid"))
+            # no broadcast hint on wdf: per-distinct-text frame — scales
+            # with the corpus; planner/AQE sizes the join (ADVICE r10)
+            .join(wdf, F.col("_vid") == F.col("_rid"))
             .drop("_rid")
         )
         wtf = F.col("_tf") * F.col("_w")
@@ -1095,7 +1161,9 @@ def top_ngrams(
             .agg(F.count(F.lit(1)).alias("_c"))
         )
         counts = (
-            per_rep.join(F.broadcast(wdf), F.col("_vid") == F.col("_rid"))
+            # no broadcast hint on wdf: per-distinct-text frame — scales
+            # with the corpus; planner/AQE sizes the join (ADVICE r10)
+            per_rep.join(wdf, F.col("_vid") == F.col("_rid"))
             .groupBy("_s")
             .agg(
                 F.sum(F.col("_c") * F.col("_w"))

@@ -498,13 +498,20 @@ def l15(spark: SparkSession, sf: str) -> DataFrame:
 )
 def l16(spark: SparkSession, sf: str) -> DataFrame:
     from gcpde_spark.llm.dedup import dedup_clusters
+    from gcpde_spark.llm.text import auto_collapse
 
     docs = load_table(spark, sf, "documents")
     # reuse x03's verified pairs: the ≥ 0.7 subset of the shared ≥ 0.5
     # pair list is exactly minhash_near_dup_pairs(threshold=0.7) for the
-    # same signature family (candidates don't depend on the threshold)
+    # same signature family (candidates don't depend on the threshold).
+    # The pairs come from the internal generator, which always emits
+    # same-text pairs — the precondition of the quotient-CC collapse —
+    # so this caller opts in to the measured auto route explicitly
+    # (caller-supplied pair lists no longer auto-route; ADVICE r10).
     pairs = _shared_minhash_pairs(spark, sf).where(F.col("jaccard") >= 0.7)
-    return dedup_clusters(docs, "doc_id", pairs=pairs).orderBy("doc_id")
+    return dedup_clusters(
+        docs, "doc_id", pairs=pairs, dedup_collapse=auto_collapse(docs)
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -3430,18 +3430,34 @@ def test_decontaminate_collapse_parity(spark, dup_docs):
 
 
 def test_auto_collapse_routing(spark, docs, dup_docs):
-    from gcpde_spark.llm.text import auto_collapse
+    import gcpde_spark.llm.text as text_mod
+    from gcpde_spark.llm.text import _scan_size_bytes, auto_collapse
 
-    # replica-heavy scan-shaped input -> collapse (cache() is not a
-    # shuffle); replica-free corpus -> direct
-    assert auto_collapse(dup_docs) is True
-    assert auto_collapse(docs.select("doc_id", "text")) is False
-    # shuffle-derived frames never probe (the probe would re-execute
-    # the upstream pipeline)
-    shuffled = dup_docs.groupBy("doc_id", "text").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    assert auto_collapse(shuffled) is False
+    # round 11: sub-DUP_PROBE_MIN_BYTES inputs short-circuit to the
+    # direct route from plan statistics alone — no probe job, no plan
+    # walk — even when the corpus is replica-heavy
+    assert 0 <= _scan_size_bytes(dup_docs) < text_mod.DUP_PROBE_MIN_BYTES
+    assert auto_collapse(dup_docs) is False
+    min0 = text_mod.DUP_PROBE_MIN_BYTES
+    text_mod.DUP_PROBE_MIN_BYTES = 0
+    try:
+        # past the size floor: replica-heavy scan-shaped input ->
+        # collapse (cache() is not a shuffle); replica-free -> direct
+        assert auto_collapse(dup_docs) is True
+        assert auto_collapse(docs.select("doc_id", "text")) is False
+        # shuffle-derived frames never probe (the probe would
+        # re-execute the upstream pipeline)
+        shuffled = dup_docs.groupBy("doc_id", "text").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        assert auto_collapse(shuffled) is False
+    finally:
+        text_mod.DUP_PROBE_MIN_BYTES = min0
+    # frames with no usable size estimate must fall through to the
+    # probe (unknown is not small): a pickled-rows local relation
+    # reports the defaultSizeInBytes sentinel
+    local = spark.createDataFrame([(1, "a")], "doc_id: long, text: string")
+    assert _scan_size_bytes(local) >= text_mod.DUP_PROBE_MIN_BYTES
 
 
 def test_collapse_reps_min_id_and_null_group(spark):
