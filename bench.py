@@ -305,6 +305,15 @@ def main() -> None:
 
     _probe_floor(3)  # pre-pass state
     timings: dict[str, float] = {}
+    # Per-entry FIRST cold sample (round 11, VERDICT r10 #4): a few
+    # entries share a session-scoped stage cache (x03/x08's persisted
+    # MinHash pair list, x07/x09's trained IVF quantizer — see
+    # queries/llm_corpus.py), so their median-of-3 reports the
+    # cached-stage time from run 2 on. Recording run 1 for EVERY entry
+    # makes the uncached number part of the artifact without changing
+    # what the median measures (the medians stay comparable to every
+    # prior round's). Additions-only; stdout is unchanged.
+    run1: dict[str, float] = {}
     # Per-entry Spark-job counts (last cold sample): with the measured
     # no-op floor this makes the scheduler-dispatch share of every cold
     # median exactly auditable from the artifact — jobs × floor is a
@@ -329,6 +338,7 @@ def main() -> None:
         if j0 >= 0 and j1 >= j0:
             jobs[name] = j1 - j0
         timings[name] = round(statistics.median(samples), 4)
+        run1[name] = round(samples[0], 4)
         _drain_session_garbage(spark)
         if (i + 1) % _GC_EVERY == 0:
             _probe_floor()
@@ -391,6 +401,20 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_run1": run1,
+        # entries whose runs 2+ reuse a session-scoped shared stage
+        # (disclosed in queries/llm_corpus.py docstrings); read their
+        # medians together with queries_run1
+        "cached_stage_entries": [
+            n
+            for n in (
+                "x03_minhash_neardup",
+                "x07_ivf_topk",
+                "x08_dedup_clusters",
+                "x09_kmeans_clusters",
+            )
+            if n in timings
+        ],
         "queries_jobs": jobs,
         "jobs_total": sum(jobs.values()),
         "queries_warm": warm,

