@@ -1003,24 +1003,17 @@ _AUDIO_CODEC_FIELDS = [
 def audio_codec_info(df: DataFrame) -> DataFrame:
     """Audio sibling of :func:`video_codec_info`: AAC
     AudioSpecificConfig fields (object type, true sample rate, channel
-    configuration, declared average bitrate) per media row via
-    Arrow-batched ``mapInPandas``; all-null on rows without a
-    parseable mp4a/esds chain."""
-    out_schema = StructType(list(df.schema.fields) + _AUDIO_CODEC_FIELDS)
-    cols = [f.name for f in df.schema.fields]
-
-    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            infos = [
-                _mp4_audio_codec_info(bytes(c or b"")) or {}
-                for c in pdf["content"]
-            ]
-            out = pdf[cols].copy()
-            for field in _AUDIO_CODEC_FIELDS:
-                out[field.name] = [i.get(field.name) for i in infos]
-            yield out
-
-    return df.mapInPandas(_batch, out_schema)
+    configuration, declared average bitrate) per media row; all-null on
+    rows without a parseable mp4a/esds chain. Boundary shape: see
+    :func:`_attach_struct`."""
+    return _attach_struct(
+        df,
+        _AUDIO_CODEC_FIELDS,
+        ["content"],
+        lambda content: [
+            _mp4_audio_codec_info(bytes(c or b"")) or {} for c in content
+        ],
+    )
 
 
 _CODEC_FIELDS = [
@@ -1034,26 +1027,76 @@ _CODEC_FIELDS = [
 ]
 
 
+def _attach_struct(
+    df: DataFrame,
+    fields: "list[StructField]",
+    in_cols: "list[str]",
+    parse: "Any",
+) -> DataFrame:
+    """Append per-row metadata columns computed in Python from
+    ``in_cols`` only — the guide-§4 boundary shape for operators that
+    ADD columns without changing the payload.
+
+    A ``mapInPandas`` over the full row (the round-10 shape) ships
+    EVERY column JVM→Python and back, so a metadata parse over media
+    rows round-trips the multi-MB ``content`` blob twice. A scalar
+    Arrow-batched ``pandas_udf`` returning one STRUCT column instead
+    sends only ``in_cols`` to the worker and gets the tiny struct back;
+    the payload columns never leave the JVM (``ArrowEvalPython`` zips
+    the struct onto the original rows positionally). Measured on the
+    media A/B harness (scripts/media_ab.py): ~half the Arrow boundary
+    bytes and see OPTIMIZATION_r11.md for wall-clock.
+
+    ``parse`` takes one positional ``pd.Series`` per name in
+    ``in_cols`` and returns a list of per-row dicts (missing keys →
+    null, matching the all-null degradation contract).
+    """
+    out_struct = StructType(fields)
+
+    def _frame(infos: "list[dict]") -> pd.DataFrame:
+        return pd.DataFrame(
+            {f.name: [i.get(f.name) for i in infos] for f in fields}
+        )
+
+    # fixed arities: pandas_udf infers the eval type from the signature,
+    # and a *args form is not part of the supported hint shapes
+    if len(in_cols) == 1:
+
+        def _parse_batch(s1: pd.Series) -> pd.DataFrame:
+            return _frame(parse(s1))
+
+    elif len(in_cols) == 2:
+
+        def _parse_batch(s1: pd.Series, s2: pd.Series) -> pd.DataFrame:  # type: ignore[misc]
+            return _frame(parse(s1, s2))
+
+    else:  # pragma: no cover — no current caller
+        raise ValueError("_attach_struct supports 1 or 2 input columns")
+
+    udf = F.pandas_udf(_parse_batch, out_struct)
+    key = "_meta"
+    while key in df.columns:
+        key = "_" + key
+    tagged = df.withColumn(key, udf(*[F.col(c) for c in in_cols]))
+    return tagged.select(
+        *df.columns,
+        *[F.col(key)[f.name].alias(f.name) for f in fields],
+    )
+
+
 def video_codec_info(df: DataFrame) -> DataFrame:
     """Add H.264 codec-payload columns (profile/level/chroma/bit depth
-    and the CODED picture size from the embedded SPS) per media row —
-    Arrow-batched ``mapInPandas`` like :func:`decode_media`; rows
-    without a parseable avcC record get all-null codec columns."""
-    out_schema = StructType(list(df.schema.fields) + _CODEC_FIELDS)
-    cols = [f.name for f in df.schema.fields]
-
-    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            infos = [
-                _mp4_codec_info(bytes(c or b"")) or {}
-                for c in pdf["content"]
-            ]
-            out = pdf[cols].copy()
-            for field in _CODEC_FIELDS:
-                out[field.name] = [i.get(field.name) for i in infos]
-            yield out
-
-    return df.mapInPandas(_batch, out_schema)
+    and the CODED picture size from the embedded SPS) per media row;
+    rows without a parseable avcC record get all-null codec columns.
+    Boundary shape: see :func:`_attach_struct`."""
+    return _attach_struct(
+        df,
+        _CODEC_FIELDS,
+        ["content"],
+        lambda content: [
+            _mp4_codec_info(bytes(c or b"")) or {} for c in content
+        ],
+    )
 
 
 def _gif_frame_delays(b: bytes) -> list[int]:
@@ -1317,8 +1360,6 @@ def extract_features(
     extra = [StructField("features", ArrayType(FloatType()), True)]
     if features == "real":
         extra.append(StructField("features_real", BooleanType(), True))
-    out_schema = StructType(list(df.schema.fields) + extra)
-    cols = [f.name for f in df.schema.fields]
 
     def _hash_expand(raw: bytes) -> list[float]:
         vals: list[float] = []
@@ -1329,23 +1370,18 @@ def extract_features(
             counter += 1
         return vals[:dim]
 
-    def _embed_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats, real_flags = [], []
-            for content, mtype in zip(pdf["content"], pdf["media_type"]):
-                raw = bytes(content or b"")
-                vec = (
-                    _real_features(raw, mtype, dim) if features == "real" else None
-                )
-                real_flags.append(vec is not None)
-                feats.append(vec if vec is not None else _hash_expand(raw))
-            out = pdf[cols].copy()
-            out["features"] = feats
+    def _embed(contents: pd.Series, mtypes: pd.Series) -> "list[dict]":
+        infos = []
+        for content, mtype in zip(contents, mtypes):
+            raw = bytes(content or b"")
+            vec = _real_features(raw, mtype, dim) if features == "real" else None
+            info = {"features": vec if vec is not None else _hash_expand(raw)}
             if features == "real":
-                out["features_real"] = real_flags
-            yield out
+                info["features_real"] = vec is not None
+            infos.append(info)
+        return infos
 
-    return df.mapInPandas(_embed_batch, out_schema)
+    return _attach_struct(df, extra, ["content", "media_type"], _embed)
 
 
 def _png_decode(b: bytes) -> "Any | None":
