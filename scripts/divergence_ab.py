@@ -22,9 +22,11 @@ processes, medians):
 Usage:
   python scripts/divergence_ab.py [r9_worktree] [iterations]
   python scripts/divergence_ab.py --run <repo_root>   (internal)
-"""
 
-from __future__ import annotations
+NOTE: deliberately NO ``from __future__ import annotations`` — the
+worker-prefork pandas_udf infers its eval type from the hints, and
+stringified hints fail infer_eval_type (same constraint as bench.py).
+"""
 
 import json
 import os
